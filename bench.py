@@ -1,0 +1,63 @@
+"""BENCH harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count-style action (collect on already-
+aggregated results) so the full plan runs; timings are wall-clock per
+query after a shared warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from presto_cached_examples_spark import get_session, registry
+from presto_cached_examples_spark.session import default_sf_dir
+
+# Headline set: one per operator family (kept in sync as families land).
+HEADLINE = [
+    "q_agg_pricing",
+    "q_agg_distinct",
+    "q_agg_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = sf_dir.rstrip("/").split("sf")[-1].rstrip("/")
+    spark = get_session(app_name="pce-spark-bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm up the JVM + parquet footer cache with the flagship query once.
+    qs["q_agg_pricing"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
