@@ -1,0 +1,356 @@
+"""Join operators (SURVEY.md §2.B: q_join_*).
+
+Scale posture, per join:
+- Equi-joins on keys shuffle both sides by the key (sort-merge) unless
+  one side is broadcastable. Dimensions bounded in size (region=5,
+  nation=25, and filtered small sides) are explicitly `F.broadcast`-ed
+  so the 100 TB fact side never shuffles for them.
+- The multiway query joins facts in FK order so each join's build side
+  is the already-reduced result, and AQE can re-plan to broadcast when
+  a filtered side turns out small.
+- Non-equi (range/as-of) joins always pair a *bounded* side with the
+  big side: the bounded side broadcasts, so the big side is a single
+  scan — no cartesian shuffle. The as-of join is an equi-join on the
+  partition key (user) with the time predicate applied inside the
+  per-key window, which is the partition-local pattern that survives
+  scale-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+
+@register(
+    "q_join_inner",
+    category="join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer. The segment filter reduces the
+    customer side ~5×; AQE converts to broadcast when it fits."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "q_join_broadcast",
+    category="join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join — region (5 rows, bounded at every sf) is
+    the C1 'small hot side cached' analog. Plan shows BroadcastHashJoin
+    with zero shuffle of the probe side (tests/test_plans.py)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@register(
+    "q_join_multiway",
+    category="join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders   o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join → revenue by nation. Dimension chain
+    (region→nation→supplier) broadcasts; the fact chain joins in FK
+    order so the largest table (lineitem) joins an already-filtered
+    orders side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    category="join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey)                     AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero urgent orders; the
+    ON-clause extra predicate (vs WHERE) is the part outer joins get
+    wrong most often — checked exactly against the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    category="join",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_acctbal > 9000
+    ),
+    big AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS big_total, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT
+      COALESCE(rich.c_custkey, big.o_custkey) AS custkey,
+      rich.acctbal,
+      big.big_total,
+      big.n_big
+    FROM rich FULL OUTER JOIN big ON rich.c_custkey = big.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuinely unmatched rows on both sides
+    (rich customers without big orders; big-order customers who aren't
+    rich). NULL columns survive into the result."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("big_total"),
+            F.count(F.lit(1)).alias("n_big"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        "acctbal",
+        "big_total",
+        "n_big",
+    )
+
+
+@register(
+    "q_join_semi",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS: customers with ≥1 urgent order. Semi
+    join never duplicates the probe side — output rows ≤ customer rows
+    regardless of order fan-out."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_anti",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS: customers with no urgent orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+@register(
+    "q_join_cross",
+    category="join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (r.r_regionkey = n.n_regionkey) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two bounded dimensions (5 × 25) — the only place a
+    cartesian product is acceptable at scale is bounded × anything
+    (reference analog: the 4-way symmetric fan-out, R34)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home")
+    )
+
+
+@register(
+    "q_join_range",
+    category="join",
+    oracle="""
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal,
+           COUNT(o.o_orderkey)               AS n_in_band,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS band_total
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_totalprice BETWEEN c.c_acctbal * 20 AND c.c_acctbal * 40
+    WHERE c.c_acctbal > 9900
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: orders whose price falls in a per-customer band.
+    The customer side is filtered to a bounded set (acctbal > 9900) and
+    broadcast, so the physical plan is BroadcastNestedLoopJoin with a
+    single pass over orders — the only range-join shape that scales."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cond = F.col("o_totalprice").between(F.col("c_acctbal") * 20, F.col("c_acctbal") * 40)
+    return (
+        F.broadcast(c)
+        .join(o, cond, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").alias("n_in_band"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("band_total"),
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_in_band",
+            "band_total",
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    category="join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    paired AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.value AS click_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC
+             ) AS rn
+      FROM purchases p
+      JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, purchase_ts, click_ts,
+           ROUND(click_value, 2) AS click_value
+    FROM paired WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at or before it (reference analog: latest-state lookup GetTouch,
+    FT6236.h:121-127).
+
+    Spark-first shape: equi-join on the partition key (user_id) with
+    the time bound as a join predicate, then a per-purchase window
+    keeps the latest match. Partitioning by user_id co-locates both
+    sides; no cross-partition time logic — this survives 1000
+    executors. Ties are impossible (ts is unique per user in-band) and
+    the window order is (ts DESC) on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("click_ts").desc())
+    return (
+        p.join(cl, (p.user_id == cl.c_user_id) & (cl.click_ts <= p.purchase_ts))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            "click_ts",
+            F.round("click_value", 2).alias("click_value"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Scan / projection / filter operators (SURVEY.md §2.B: q_scan_*, q_filter_*).
+
+Reference analog: the FatFS bulk-read source (fileio.cpp:8-44, R21-R25)
+and the delta predicate `Touch::HasMoved()` (FT6236.h:33-36, R18).
+
+Scale posture: these queries are *scan-shaped* — their cost at 100 TB is
+entirely the parquet scan, so the plan must show (a) ReadSchema pruned
+to the referenced columns and (b) PushedFilters containing every
+sargable predicate. tests/test_plans.py asserts both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+
+@register(
+    "q_scan_project",
+    category="scan",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount)               AS net_price,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+      l_quantity * l_extendedprice                     AS notional
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + arithmetic derived columns. Catalyst prunes the scan
+    to 6 of 11 lineitem columns (ReadSchema).
+
+    Per-row products are left unrounded deliberately: with identical
+    association order, IEEE-754 double arithmetic is bit-identical
+    across engines, while ROUND at half-way boundaries is not (Spark
+    HALF_UP on the exact binary expansion vs DuckDB's scaled round).
+    Rounding is only for *aggregates*, where summation order varies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("notional"),
+    )
+
+
+@register(
+    "q_filter_basic",
+    category="filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 50000 AND 150000)
+       OR (o_orderpriority = '1-URGENT' AND o_totalprice > 400000)
+    """,
+)
+def q_filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR, BETWEEN, IN, comparison — all sargable,
+    all pushed to the parquet reader."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus").isin("F", "P") & F.col("o_totalprice").between(50000, 150000))
+        | ((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "q_filter_like_null",
+    category="filter",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_name,
+      COALESCE(NULLIF(p_brand, 'Brand#11'), '<masked>') AS brand_masked,
+      (p_name LIKE '%gold%')                            AS has_gold
+    FROM part
+    WHERE p_name LIKE '%re%' AND p_name NOT LIKE 'w%'
+    """,
+)
+def q_filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE patterns + NULLIF/COALESCE null semantics. The fixtures are
+    NULL-free (FIXTURES.md), so NULLIF synthesizes the nulls this query
+    then COALESCEs away — exercising three-valued logic end to end."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%re%") & ~F.col("p_name").like("w%"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("<masked>")).alias(
+                "brand_masked"
+            ),
+            F.col("p_name").like("%gold%").alias("has_gold"),
+        )
+    )
