@@ -1,0 +1,305 @@
+"""Deduplication operators over `documents` (north-star family; SURVEY.md
+§2.B q_dedup_*).
+
+Four tiers, each with a different scale/recall trade-off:
+
+- exact       — hash-groupBy on normalized text. One shuffle on a
+                64-bit-ish key; the 100 TB workhorse.
+- ngram       — exact token-set Jaccard within a blocking key (source).
+                Quadratic only inside blocks; SQL-checkable.
+- minhash LSH — shingle → minhash signature → banded LSH bucket join →
+                verify candidates with true Jaccard. Near-linear: the
+                only quadratic work is within LSH buckets.
+- simhash     — 64-bit signature, prefix-blocked Hamming-distance pairs.
+
+All signatures use Spark's xxhash64 (engine-specific), so the LSH and
+simhash variants are rows-only checks; the exact and ngram variants are
+hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+# MinHash parameters: 16 permutations in 4 bands of 4 rows.
+# P(candidate | jaccard=j) = 1-(1-j^4)^4 — steep around j≈0.55.
+_N_HASHES = 16
+_BAND_SIZE = 4
+_JACCARD_THRESHOLD = 0.5
+
+# SimHash: 64-bit signatures, 16-bit prefix blocking, Hamming radius 12.
+_SIMHASH_PREFIX_BITS = 16
+_HAMMING_MAX = 12
+
+
+@register(
+    "q_dedup_exact",
+    category="llm-dedup",
+    oracle="""
+    SELECT
+      md5(LOWER(TRIM(text)))  AS fp,
+      MIN(doc_id)             AS canonical_id,
+      COUNT(*)                AS n_copies
+    FROM documents
+    GROUP BY md5(LOWER(TRIM(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by a fingerprint of normalized text, keep the
+    minimum doc_id as canonical. At 100 TB: shuffle moves only
+    (fp, doc_id) pairs — never the text — and the md5 key distributes
+    uniformly, so no skew."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    category="llm-dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct(STRING_SPLIT(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(
+             LEN(list_intersect(a.toks, b.toks))::DOUBLE
+             / LEN(list_distinct(list_concat(a.toks, b.toks))), 4
+           ) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(list_intersect(a.toks, b.toks))::DOUBLE
+          / LEN(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard pairs ≥ 0.8 within a blocking
+    key. Blocking on `source` bounds the quadratic term to block size —
+    the standard exact-verify stage after any LSH prefilter. The
+    Jaccard ratio is an integer division computed identically on both
+    sides, so the threshold cut is hash-stable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jacc = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jacc >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct n-token shingles of a text column, as strings."""
+    toks = F.split(text_col, " ")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(windows)
+
+
+def _minhash_sigs(shingle_col):
+    """16 minhash values; permutation k is xxhash64(shingle, seed=k).
+    (Closure factory, not default-arg lambdas: a two-parameter lambda
+    would be invoked by the HOF engine as (element, index).)"""
+
+    def min_hash(k: int):
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k))))
+
+    return [min_hash(k).alias(f"m{k}") for k in range(_N_HASHES)]
+
+
+@register("q_dedup_near", category="llm-dedup", oracle=None)  # xxhash sigs are engine-specific
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via MinHash + banded LSH.
+
+    Pipeline (each stage a DataFrame op — no Python in the row path):
+      1. shingle: distinct 3-token shingles per doc (map-side).
+      2. sign: 16 minhash values per doc (map-side).
+      3. band: 4 band-hashes per doc; explode → (band, band_hash, doc).
+      4. bucket join: docs sharing any (band, band_hash) are candidates.
+      5. verify: true shingle Jaccard ≥ 0.5 on candidate pairs only.
+      6. cluster: doc_id → min(doc_id over verified neighbors ∪ self).
+
+    Scale: the only shuffle keys are band hashes (uniform by
+    construction); quadratic work is confined to LSH buckets. A skewed
+    bucket (boilerplate shingle sets) is handled by AQE skew-join
+    splitting. Output is one row per doc — stable row count for the
+    driver's check."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    sigs = d.select("doc_id", "sh", *_minhash_sigs(F.col("sh")))
+
+    band_hashes = [
+        F.xxhash64(*[F.col(f"m{b * _BAND_SIZE + i}") for i in range(_BAND_SIZE)]).alias(
+            f"band{b}"
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    banded = sigs.select("doc_id", "sh", *band_hashes)
+    buckets = banded.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                    for b in range(_N_HASHES // _BAND_SIZE)
+                ]
+            )
+        ).alias("bucket"),
+    ).select("doc_id", "sh", "bucket.band", "bucket.bh")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    jacc = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    verified = cand.filter(jacc >= _JACCARD_THRESHOLD).select("doc_a", "doc_b")
+
+    # Single-pass min-neighbor clustering (union-find's first round —
+    # enough for pair-shaped duplicate groups; docstring of the round-2
+    # iterative closure lives with the snapshot/incremental pillar).
+    neighbors = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    all_docs = d.select("doc_id")
+    clustered = (
+        all_docs.join(neighbors, all_docs.doc_id == neighbors.doc_a, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(F.min("doc_b"), F.first("doc_id")).alias("cluster_id"),
+            F.count("doc_b").alias("n_near_dups"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_near_dups",
+        )
+    )
+    return clustered
+
+
+@register("q_dedup_simhash", category="llm-dedup", oracle=None)  # xxhash sigs engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature per doc (sign of the
+    per-bit weighted sum of token hashes), candidates blocked on the
+    16-bit prefix, kept if Hamming distance ≤ 12.
+
+    Scale: signature build is one scan; the prefix block bounds the
+    pair join. bit_count(xor) is a single JVM intrinsic per pair."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    hashes = d.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
+
+    # bit j of the signature = (sum over token-hashes of ±1 by bit j) > 0
+    def bit_vote(j: int):
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for j in range(64):
+        vote = bit_vote(j)
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    # pack bits MSB-first into one long
+    sig = bit_cols[0]
+    for bit in bit_cols[1:]:
+        sig = F.shiftleft(sig, 1).bitwiseOR(bit)
+    sigs = hashes.select("doc_id", sig.alias("sig"))
+
+    prefix = F.shiftrightunsigned("sig", 64 - _SIMHASH_PREFIX_BITS)
+    blocked = sigs.select("doc_id", "sig", prefix.alias("pfx"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+@register("q_dedup_embed", category="llm-dedup", oracle=None)  # float accumulation order
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.25), blocked by label.
+
+    The fixture embeddings are near-random (max pairwise cosine ≈ 0.51,
+    p99 ≈ 0.3), so the threshold sits at the p99 tail to emit the
+    genuinely-closest pairs; with real near-duplicate embeddings the
+    knob moves to ~0.95 without any plan change.
+
+    Scale: label (or any coarse quantizer — see q_sim_topk_ivf) bounds
+    the quadratic pair join; dot products are JVM higher-order-function
+    folds over array<float> — no Python, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    e = e.select("vec_id", "label", "v", norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )

@@ -1,0 +1,143 @@
+"""Multimodal-column operators (north-star family).
+
+Design: image/audio/video payloads are opaque `binary` columns with
+typed metadata alongside. Heavy per-item work (decode, resize,
+feature-extract, frame-sample) runs as Arrow-batched `mapInPandas` —
+the one place Python is the right tool, because the work is per-item
+CPU, not relational.
+
+The container has no image/audio libraries, so the decode step is
+STUBBED: `decode_payload` raises NotImplementedError for real media
+types and a deterministic byte-level "decoder" stands in for tests.
+Everything Spark-side — schemas, batch iteration, partitioning,
+output contract — is real and tested (tests/test_multimodal.py).
+
+The fixture carrier is `documents.text` encoded as UTF-8 bytes: the
+plumbing is identical for a JPEG — a binary column is a binary column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+#: Output schema of the feature extractor — fixed, declared, never inferred.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("byte_hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def decode_payload(payload: bytes, media_type: str):
+    """Decode a media payload into a numpy byte array.
+
+    STUB: real decoders (image → pixels, audio → PCM, video → frames)
+    need libraries absent from this container. The 'bytes' media type
+    is the deterministic stand-in that exercises the identical
+    plumbing; real types fail loudly rather than silently fake."""
+    import numpy as np
+
+    if media_type == "bytes":
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(
+        f"decoder for media_type={media_type!r} requires external libraries "
+        "(PIL/ffmpeg); install and register in decode_payload"
+    )
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, decode each payload and emit
+    fixed-schema features (byte stats + 8-bin histogram)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload, media_type in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            arr = decode_payload(payload, media_type)
+            hist = np.bincount(arr >> 5, minlength=8)[:8]
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "media_type": str(media_type),
+                    "n_bytes": int(arr.size),
+                    "mean_byte": float(arr.mean()) if arr.size else 0.0,
+                    "max_byte": int(arr.max()) if arr.size else 0,
+                    "byte_hist": hist.astype("int64").tolist(),
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal view of documents: opaque binary payload + typed
+    metadata — the engine's `binary`-column data model."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("bytes").alias("media_type"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_mm_meta",
+    category="llm-multimodal",
+    oracle="""
+    SELECT
+      doc_id,
+      'bytes'                               AS media_type,
+      CAST(octet_length(ENCODE(text)) AS INT) AS n_bytes,
+      md5(text)                             AS payload_md5,
+      SUBSTRING(text, 1, 4)                 AS head
+    FROM documents
+    """,
+)
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata scan: payload byte length, content hash,
+    head bytes — the catalog/stats pass a multimodal pipeline runs
+    before any decode. Pure JVM; SQL-checkable."""
+    m = media_table(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        m.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "media_type",
+            F.octet_length("payload").alias("n_bytes"),
+            F.md5("text").alias("payload_md5"),
+            F.substring("text", 1, 4).alias("head"),
+        )
+    )
+
+
+@register("q_mm_features", category="llm-multimodal", oracle=None)  # mapInPandas path
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Scale posture: Arrow batches stream through Python workers with
+    zero driver involvement; partition count governs parallelism, and
+    the fixed output schema keeps downstream relational. Swapping the
+    stub decoder for PIL/ffmpeg changes no Spark-side code."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    return m.mapInPandas(extract_features, schema=FEATURE_SCHEMA)

@@ -1,0 +1,260 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.B
+q_text_*; north-star "text analysis" family).
+
+All of these are single-pass, scan-shaped queries built from JVM-side
+string/array/regex functions — at 100 TB they are bandwidth-bound scans
+with trivial (small-key) aggregations, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+# Marker words for the heuristic language-ID scorer. The fixture corpus
+# is synthetic (31-word shared vocabulary), so markers are drawn from it;
+# with a real multilingual corpus these would be per-language stopword
+# n-gram profiles — the operator shape (score per language, argmax) is
+# identical.
+_LANG_MARKERS = {
+    "en": ("table", "row", "value"),
+    "de": ("data", "query", "join"),
+    "es": ("scan", "hash", "agg"),
+    "fr": ("line", "order", "part"),
+    "zh": ("spark", "batch", "window"),
+}
+
+_STOPWORDS = ("a", "the", "of", "data", "value")
+
+
+@register(
+    "q_text_tokens",
+    category="llm-text",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode(split) → count. The classic
+    word-count; at scale the explode is map-side and the aggregation
+    keys on the (bounded) vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_text_langstats",
+    category="llm-text",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*)                                             AS n_docs,
+      ROUND(AVG(n_chars), 2)                               AS avg_chars,
+      ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 2)          AS avg_tokens,
+      ROUND(SUM(n_chars)::DOUBLE / SUM(LEN(STRING_SPLIT(text, ' '))), 2) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, avg chars, avg tokens,
+    chars-per-token ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(ntok.cast("double")), 2).alias("avg_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.sum(ntok.cast("long")), 2).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_text_quality",
+    category="llm-text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        LEN(STRING_SPLIT(text, ' '))                       AS n_tokens,
+        LEN(list_distinct(STRING_SPLIT(text, ' ')))        AS n_distinct,
+        LEN(regexp_extract_all(text, '[aeiou]'))           AS n_vowels,
+        LEN(list_filter(STRING_SPLIT(text, ' '),
+                        t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop,
+        n_chars
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(n_tokens AS INT)                                 AS n_tokens,
+      ROUND(n_distinct::DOUBLE / n_tokens, 4)               AS distinct_ratio,
+      ROUND(n_vowels::DOUBLE / n_chars, 4)                  AS vowel_ratio,
+      ROUND(n_stop::DOUBLE / n_tokens, 4)                   AS stopword_ratio,
+      ROUND(n_chars::DOUBLE / n_tokens, 4)                  AS avg_token_len,
+      (n_tokens >= 20 AND n_distinct::DOUBLE / n_tokens > 0.2) AS passes_quality
+    FROM scored
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, lexical diversity, vowel ratio,
+    stopword ratio, and a composite pass/fail gate — the standard
+    pre-training filter stack (C4/Gopher-style heuristics) as one
+    scan-shaped projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_vowels = F.size(F.regexp_extract_all("text", F.lit("[aeiou]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    distinct_ratio = F.round(n_distinct.cast("double") / n_tokens, 4)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.round(n_vowels.cast("double") / F.col("n_chars"), 4).alias("vowel_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        ((n_tokens >= 20) & (n_distinct.cast("double") / n_tokens > 0.2)).alias("passes_quality"),
+    )
+
+
+def _langid_score_sql() -> str:
+    cases = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = " + ".join(
+            f"LEN(list_filter(STRING_SPLIT(text, ' '), t -> t = '{m}'))" for m in markers
+        )
+        cases.append(f"({score}) AS score_{lang}")
+    return ", ".join(cases)
+
+
+@register(
+    "q_text_langid",
+    category="llm-text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_langid_score_sql()}
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang AS labeled_lang,
+      CASE GREATEST(score_en, score_de, score_es, score_fr, score_zh)
+        WHEN score_en THEN 'en'
+        WHEN score_de THEN 'de'
+        WHEN score_es THEN 'es'
+        WHEN score_fr THEN 'fr'
+        ELSE 'zh'
+      END AS guessed_lang,
+      CAST(GREATEST(score_en, score_de, score_es, score_fr, score_zh) AS INT) AS top_score
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language marker-token score, argmax
+    with a deterministic tie order (en > de > es > fr > zh). On a real
+    corpus the markers become char-n-gram profiles; the operator shape
+    (k scores per doc → argmax) is the scalable part — one scan, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def count_marker(m: str):
+        # NB: a plain `lambda t, m=m:` would be called by the HOF engine
+        # as (element, index) — two-arg lambdas get the array index.
+        return F.size(F.filter(toks, lambda t: t == F.lit(m)))
+
+    scores = {
+        lang: sum((count_marker(m) for m in markers), F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    top = F.greatest(*scores.values())
+    guess = (
+        F.when(scores["en"] == top, "en")
+        .when(scores["de"] == top, "de")
+        .when(scores["es"] == top, "es")
+        .when(scores["fr"] == top, "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        top.cast("int").alias("top_score"),
+    )
+
+
+@register(
+    "q_token_count",
+    category="llm-text",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(LEN(STRING_SPLIT(text, ' ')) AS INT)                       AS ws_tokens,
+      CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+      CAST(CEIL(n_chars / 4.0) AS BIGINT)                             AS est_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    segmentation (letter runs / digit runs / other), and the chars/4
+    estimator — the cost accounting every training pipeline runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    category="llm-text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    )
+    SELECT
+      doc_id,
+      md5(array_to_string(t, ' ')) AS full_fp,
+      list_min(list_transform(
+        generate_series(1, GREATEST(LEN(t) - 4, 1)),
+        i -> md5(array_to_string(t[i:i+4], ' '))
+      )) AS min_shingle_fp
+    FROM toks
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 plus a winnowing-style
+    minimum over rolling 5-token-window md5s (the rolling-hash
+    fingerprint family). Identical prose ⇒ identical min-fingerprint,
+    and near-identical prose shares it with high probability — a
+    cheap SQL-only near-dup prefilter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # windows i = 1 .. max(len-4, 1): md5 of the 5-token window starting at i
+    win_fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("full_fp"),
+        F.array_min(win_fps).alias("min_shingle_fp"),
+    )

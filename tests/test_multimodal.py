@@ -1,0 +1,43 @@
+"""Multimodal plumbing tests: the mapInPandas feature extractor's
+schema, determinism, and stub behavior (llm/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_cached_examples_spark.llm.multimodal import (
+    FEATURE_SCHEMA,
+    decode_payload,
+    media_table,
+    q_mm_features,
+)
+from tests.conftest import SF_TINY
+
+
+def test_features_schema_and_rows(spark):
+    df = q_mm_features(spark, SF_TINY)
+    assert df.schema == FEATURE_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 500  # documents fixture is 500 rows at every sf
+    r = {row.doc_id: row for row in rows}[0]
+    assert r.n_bytes > 0 and 0 <= r.mean_byte <= 255
+    assert len(r.byte_hist) == 8 and sum(r.byte_hist) == r.n_bytes
+
+
+def test_features_deterministic(spark):
+    a = sorted(map(tuple, q_mm_features(spark, SF_TINY).collect()))
+    b = sorted(map(tuple, q_mm_features(spark, SF_TINY).collect()))
+    assert a == b
+
+
+def test_features_match_source_bytes(spark):
+    """n_bytes from the decoder equals octet_length computed JVM-side."""
+    feats = q_mm_features(spark, SF_TINY).select("doc_id", "n_bytes")
+    meta = media_table(spark, SF_TINY).select("doc_id", "meta.n_bytes")
+    mismatch = feats.exceptAll(meta)
+    assert mismatch.count() == 0
+
+
+def test_decode_stub_fails_loudly():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff", "image/jpeg")
