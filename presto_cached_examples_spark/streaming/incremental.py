@@ -1,0 +1,113 @@
+"""Incremental refresh runner — the dirty-rect clear generalized (C4).
+
+Reference ground truth: CLEAR_TYPE 1 erases only the rectangles the
+2-frames-ago pass drew, using per-row position history, instead of
+memset-ing the whole 460 KB buffer every frame
+(/root/reference/src/DoublePsramBuffer480x480.cpp:176-180, history
+shift :144-147; motivation README.md:41-42 — "clearing or copying a
+buffer every frame can be quite costly"). Strategy knob CLEAR_TYPE 0-3
+trades write volume vs correctness (:68-69,181-186).
+
+Spark-native translation: an incrementally-maintained grouped
+aggregate. Each new micro-batch is partially aggregated (touching only
+the *keys present in the batch* — the dirty rects), then merged with
+the running state by key; the result is published as a snapshot (C3).
+The CLEAR_TYPE knob maps to `strategy`: "incremental" merges deltas,
+"full" recomputes from all data seen — both must produce identical
+results (the C4 equivalence, tested in tests/test_streaming.py).
+
+At 100 TB: the merge shuffles only |batch keys| rows against state
+co-partitioned by key — not the full history. Sum/count/min/max are
+mergeable; avg derives from (sum, count). This is exactly the partial
+aggregation Spark does *within* a job, lifted across jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.plans.snapshot import SnapshotPublisher
+
+
+class IncrementalAggregator:
+    """Maintains `SELECT <keys>, count(*), sum(v), min(v), max(v)
+    GROUP BY <keys>` across arbitrarily many appended batches."""
+
+    def __init__(self, spark: SparkSession, keys: list[str], value_col: str, name: str):
+        self.spark = spark
+        self.keys = keys
+        self.value_col = value_col
+        self.publisher = SnapshotPublisher(spark, name)
+        self._state: DataFrame | None = None
+        self._all_batches: list[DataFrame] = []  # kept for the "full" strategy
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return df.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+
+    @staticmethod
+    def _merge(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+        s, d = state.alias("s"), delta.alias("d")
+        joined = s.join(d, keys, "full_outer")
+
+        def comb(fn, col):
+            return fn(F.col(f"s.{col}"), F.col(f"d.{col}"))
+
+        def zsum(col):
+            return F.coalesce(F.col(f"s.{col}"), F.lit(0).cast("long")) + F.coalesce(
+                F.col(f"d.{col}"), F.lit(0).cast("long")
+            )
+
+        return joined.select(
+            *keys,
+            zsum("n").alias("n"),
+            (
+                F.coalesce(F.col("s.sum_v"), F.lit(0.0)) + F.coalesce(F.col("d.sum_v"), F.lit(0.0))
+            ).alias("sum_v"),
+            comb(F.least, "min_v").alias("min_v"),  # least/greatest skip NULLs
+            comb(F.greatest, "max_v").alias("max_v"),
+        )
+
+    def update(self, batch: DataFrame, strategy: str = "incremental") -> int:
+        """Fold one appended batch into the aggregate and publish.
+
+        strategy="incremental" — merge the batch's partial agg into
+        state (dirty keys only). strategy="full" — recompute from every
+        batch seen (CLEAR_TYPE 2's memset-everything). Identical
+        results, different cost."""
+        self._all_batches.append(batch)
+        if strategy == "full" or self._state is None:
+            if strategy == "incremental" and self._state is None:
+                new_state = self._partial(batch)
+            else:
+                full = self._all_batches[0]
+                for b in self._all_batches[1:]:
+                    full = full.unionByName(b)
+                new_state = self._partial(full)
+        else:
+            new_state = self._merge(self._state, self._partial(batch), self.keys)
+        self._state = new_state
+        return self.publisher.publish(self.result(new_state))
+
+    def result(self, state: DataFrame | None = None) -> DataFrame:
+        state = state if state is not None else self._state
+        if state is None:
+            raise ValueError("no batches folded yet")
+        return state.select(
+            *self.keys,
+            "n",
+            F.round("sum_v", 2).alias("sum_v"),
+            F.round("min_v", 2).alias("min_v"),
+            F.round("max_v", 2).alias("max_v"),
+            F.round(F.col("sum_v") / F.col("n"), 2).alias("avg_v"),
+        )
+
+    def current(self) -> DataFrame:
+        """The published snapshot (readers see only complete versions)."""
+        return self.publisher.reader()

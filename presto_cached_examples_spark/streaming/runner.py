@@ -1,0 +1,71 @@
+"""Structured Streaming runtime: readStream sources over the fixture
+parquet, watermarked windowed aggregation, and streaming dedup — the
+genuinely streaming execution of windows.py's batch twins.
+
+Reference trace (SURVEY.md §3.1 EP2): the eternal frame loop —
+poll (ReadTouch) → vsync barrier → transform → write → metrics —
+is one micro-batch: source poll → trigger boundary → stateful
+transform → sink write. `Trigger.AvailableNow` drains the fixture
+like the demo's finite test run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.sources.catalog import SCHEMAS, table_path
+
+# Streaming reads declare the schema explicitly (no inference in the
+# engine core) — but events.parquet physically stores ts as
+# TIMESTAMP(NANOS), which the session reads as long (nanosAsLong).
+_EVENTS_PHYSICAL = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (file source; one file = one
+    initial micro-batch under AvailableNow). ts converted ns→µs exactly
+    as the batch catalog does."""
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        # the fixture is a single parquet *file* and the file stream
+        # source requires a directory path — so stream the directory
+        # with a glob filter selecting only the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1h tumbling counts — streaming twin of
+    q_stream_tumbling. The watermark bounds state: windows older than
+    max(event time) - watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming dedup on (user_id, event_type): keeps the
+    first-seen row per key; rows arriving later than the watermark are
+    dropped without growing state (C2's torn-read hazard, solved by
+    state + watermark instead of a second buffer)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    an in-memory sink table and return the result as a batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,155 @@
+"""Streaming window queries (SURVEY.md §2.B q_stream_*), registered as
+their batch twins.
+
+Contract: each `queries()` entry here is the *batch* form (runs on the
+static events table, SQL-checkable against DuckDB). The genuinely
+streaming execution of the same plans — readStream → watermark →
+window → memory sink — lives in runner.py and is asserted equal to
+these twins in tests/test_streaming.py. That makes the tumbling window
+&c. hash-checked even though the driver's streaming check is
+rows-only.
+
+Scale posture: tumbling/sliding windows are hash aggregations keyed by
+(window, type) — partial aggregation map-side, tiny shuffle. Session
+windows key by user, so state is bounded per user; watermarks bound
+total state by evicting closed windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+
+@register(
+    "q_stream_tumbling",
+    category="streaming",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts)  AS ws,
+      event_type,
+      COUNT(*)                AS n,
+      ROUND(SUM(value), 2)    AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window. Spark's window()
+    start for a 1h/0-offset window equals date_trunc('hour') — the
+    oracle identity (R43: the vsync trigger boundary analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    category="streaming",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+      event_type,
+      COUNT(*)             AS n,
+      ROUND(SUM(value), 2) AS sum_value
+    FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes. Each event lands in
+    exactly 4 windows; the oracle materializes the same 4 starts via
+    UNNEST — so even the sliding case is hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_stream_session",
+    category="streaming",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+           COUNT(*)                         AS n_events,
+           ROUND(SUM(value), 2)             AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap, via
+    Spark's native session_window. The oracle is the classic
+    gaps-and-islands rewrite; session_window.end = last event + gap by
+    definition, matching MAX(ts) + 30 min."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup_late",
+    category="streaming",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the batch twin of streaming
+    `withWatermark(...).dropDuplicates(...)`, written as an explicit
+    earliest-row window so it's deterministic and SQL-checkable (the
+    streaming form keeps 'first seen', which in event-time order is
+    exactly min(ts, event_id)). The watermark/late-drop behavior is
+    exercised for real in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

@@ -1,0 +1,218 @@
+"""Streaming pillar tests (SURVEY.md §7 M3):
+
+1. Real streaming runs (readStream → watermark → memory sink) equal
+   their batch twins.
+2. Watermarked dedup drops late rows.
+3. The stateful delta operator equals the window-lag form, and its
+   cross-batch state carries deltas across micro-batch boundaries.
+4. SnapshotPublisher gives snapshot isolation (C3).
+5. IncrementalAggregator: incremental == full recompute (C4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.plans.snapshot import SnapshotPublisher
+from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.streaming import runner, stateful
+from presto_cached_examples_spark.streaming.incremental import IncrementalAggregator
+from presto_cached_examples_spark.streaming.windows import q_stream_tumbling
+from tests.conftest import SF_TINY
+from tests.util import canon_rows
+
+
+def _sorted_rows(df):
+    return canon_rows(df.toPandas())
+
+
+def test_stream_tumbling_equals_batch_twin(spark):
+    # complete mode: emit open windows too — append mode would hold back
+    # windows newer than (max event time - watermark), which is correct
+    # streaming behavior but makes the batch comparison asymmetric.
+    events = runner.read_events_stream(spark, SF_TINY)
+    streamed = runner.run_to_memory(
+        runner.tumbling_counts_stream(events), "t_tumbling", output_mode="complete"
+    )
+    batch = q_stream_tumbling(spark, SF_TINY)
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_stream_tumbling_append_holds_back_open_windows(spark):
+    """Append mode must emit exactly the windows closed by the final
+    watermark — the late-data discipline the reference's single-buffer
+    demo lacks (C2)."""
+    events = runner.read_events_stream(spark, SF_TINY)
+    streamed = runner.run_to_memory(
+        runner.tumbling_counts_stream(events), "t_tumbling_append", output_mode="append"
+    )
+    batch = q_stream_tumbling(spark, SF_TINY).toPandas()
+    max_ts = load_table(spark, SF_TINY, "events").agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = (max_ts - datetime.timedelta(hours=2)).replace(minute=0, second=0, microsecond=0)
+    closed = batch[batch.ws < cutoff]
+    assert streamed.count() == len(closed)
+
+
+def test_stream_dedup_drops_duplicates(spark):
+    events = runner.read_events_stream(spark, SF_TINY)
+    streamed = runner.run_to_memory(runner.dedup_stream(events), "t_dedup")
+    batch = load_table(spark, SF_TINY, "events")
+    assert streamed.count() == batch.select("user_id", "event_type").distinct().count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a row far older than the
+    watermark after batch 1 — streaming dedup must drop it."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    fresh = [(1, "2024-01-10 12:00:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-10 12:30:00", 2, "view", 2.0, "{}")]
+    late = [(3, "2024-01-01 00:00:00", 3, "click", 3.0, "{}")]  # 9 days late
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def write_batch(rows, fname):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("append").parquet(str(d))
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        # memory sink can't recover from a checkpoint; foreachBatch can.
+        seen: set[int] = set()
+
+        def sink(batch_df, batch_id):
+            seen.update(r.event_id for r in batch_df.collect())
+
+        src = spark.readStream.schema(schema).parquet(str(d))
+        dedup = src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        q = (
+            dedup.writeStream.foreachBatch(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return seen
+
+    # run 1: only fresh rows exist; watermark persists to the checkpoint
+    # as max(ts) - 1h = 11:30.
+    write_batch(fresh, "b1")
+    assert run("t_late") == {1, 2}
+
+    # run 2 (same checkpoint): the new file carries a row 9 days older
+    # than the persisted watermark — it must be dropped as late.
+    write_batch(late, "b2")
+    assert 3 not in run("t_late2")
+
+
+def test_stateful_deltas_match_lag(spark):
+    """applyInPandasWithState over the stream == window lag over the batch."""
+    events = runner.read_events_stream(spark, SF_TINY)
+    streamed = runner.run_to_memory(
+        stateful.event_deltas_stateful(events), "t_deltas", output_mode="append"
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_TINY, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("us_since_prev"),
+    )
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_stateful_state_spans_batches(spark, tmp_path):
+    """The second micro-batch's first delta references state from the
+    first micro-batch — the dx/dy-across-polls property."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = tmp_path / "sin"
+    d.mkdir()
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+
+    write([(1, "2024-01-01 00:00:00", 7, "click", 10.0, "{}")])
+    write([(2, "2024-01-01 00:01:00", 7, "click", 25.0, "{}")])
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(d))
+    q = (
+        stateful.event_deltas_stateful(src)
+        .writeStream.format("memory").queryName("t_span")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.event_id: r for r in spark.table("t_span").collect()}
+    assert rows[1].value_delta is None
+    assert rows[2].value_delta == 15.0 and rows[2].us_since_prev == 60_000_000
+
+
+def test_snapshot_publisher_isolation(spark):
+    pub = SnapshotPublisher(spark, "snap_test")
+    df1 = spark.range(5).withColumn("gen", F.lit(1))
+    pub.publish(df1)
+    reader_v1 = pub.reader()
+    assert reader_v1.agg(F.max("gen")).first()[0] == 1
+
+    pub.publish(spark.range(7).withColumn("gen", F.lit(2)))
+    # handle resolved before the swap still sees generation 1 (C3)
+    assert reader_v1.agg(F.max("gen")).first()[0] == 1
+    assert reader_v1.count() == 5
+    # new resolution sees generation 2
+    assert pub.reader().agg(F.max("gen")).first()[0] == 2
+    assert pub.reader().count() == 7
+    pub.drop()
+
+
+def test_incremental_equals_full(spark):
+    """C4 equivalence: dirty-key merge == full recompute, batch by batch."""
+    ev = load_table(spark, SF_TINY, "events")
+    slices = [
+        ev.filter(F.dayofmonth("ts") <= 10),
+        ev.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)),
+        ev.filter(F.dayofmonth("ts") > 20),
+    ]
+    inc = IncrementalAggregator(spark, ["event_type"], "value", "inc_test")
+    full = IncrementalAggregator(spark, ["event_type"], "value", "full_test")
+    for s in slices:
+        inc.update(s, strategy="incremental")
+        full.update(s, strategy="full")
+        assert _sorted_rows(inc.result()) == _sorted_rows(full.result())
+    # and the final state equals a one-shot aggregate over everything
+    one_shot = IncrementalAggregator(spark, ["event_type"], "value", "once_test")
+    one_shot.update(ev)
+    assert _sorted_rows(inc.result()) == _sorted_rows(one_shot.result())
+    inc.publisher.drop()
+    full.publisher.drop()
+    one_shot.publisher.drop()
+
+
+def test_observed_metrics(spark):
+    from presto_cached_examples_spark.observability import StageTimer, observed
+
+    df = load_table(spark, SF_TINY, "events")
+    t = StageTimer()
+    dfo, obs = observed(df.filter(F.col("event_type") == "click"))
+    n = dfo.count()
+    t.lap("scan")
+    assert obs.get["rows"] == n
+    line = t.summary(rows=n)
+    assert "scan=" in line and "F=" in line
