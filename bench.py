@@ -22,9 +22,35 @@ from presto_cached_examples_spark.session import default_sf_dir
 
 # Headline set: one per operator family (kept in sync as families land).
 HEADLINE = [
+    # scan / filter / scalar
+    "q_scan_project",
+    "q_filter_basic",
+    "q_json_funcs",
+    "q_math_funcs",
+    # joins
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_asof",
+    # aggregation
     "q_agg_pricing",
     "q_agg_distinct",
     "q_agg_rollup",
+    # windows / top-k / sort
+    "q_window_lag",
+    "q_topk_group",
+    "q_sort_limit",
+    # set ops / subquery
+    "q_union_distinct",
+    "q_subquery_scalar",
+    # LLM pipeline
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_text_quality",
+    # streaming batch-twin
+    "q_stream_tumbling",
 ]
 
 
@@ -42,7 +68,10 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        df.collect()
+        # noop sink: executes the complete physical plan (every scan,
+        # shuffle, and operator) but skips driver-side row serialization,
+        # so the number measures the engine, not Py4J transfer.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

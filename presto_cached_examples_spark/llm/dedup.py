@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.
 # P(candidate | jaccard=j) = 1-(1-j^4)^4 — steep around j≈0.55.
@@ -142,12 +142,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only shuffle keys are band hashes (uniform by
     construction); quadratic work is confined to LSH buckets. A skewed
     bucket (boilerplate shingle sets) is handled by AQE skew-join
-    splitting. Output is one row per doc — stable row count for the
-    driver's check."""
-    d = load_table(spark, sf_dir, "documents").select(
+    splitting. The heavy shingle arrays never ride the bucket shuffle:
+    the bucket self-join and pair-dedup move only (band, bh, doc_id)
+    triples, and shingles are fetched by doc_id once per surviving
+    candidate pair for the verify stage. Output is one row per doc —
+    stable row count for the driver's check."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    sigs = d.select("doc_id", "sh", *_minhash_sigs(F.col("sh")))
+    sigs = d.select("doc_id", *_minhash_sigs(F.col("sh")))
 
     band_hashes = [
         F.xxhash64(*[F.col(f"m{b * _BAND_SIZE + i}") for i in range(_BAND_SIZE)]).alias(
@@ -155,10 +158,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_N_HASHES // _BAND_SIZE)
     ]
-    banded = sigs.select("doc_id", "sh", *band_hashes)
+    banded = sigs.select("doc_id", *band_hashes)
     buckets = banded.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -167,7 +169,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bucket"),
-    ).select("doc_id", "sh", "bucket.band", "bucket.bh")
+    ).select("doc_id", "bucket.band", "bucket.bh")
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -180,17 +182,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    # Verify stage: fetch each side's shingles by key (ids-only shuffles
+    # above keep array bytes off the wire until exactly here).
+    pairs = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
     jacc = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
     )
-    verified = cand.filter(jacc >= _JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    verified = pairs.filter(jacc >= _JACCARD_THRESHOLD).select("doc_a", "doc_b")
 
     # Single-pass min-neighbor clustering (union-find's first round —
     # enough for pair-shaped duplicate groups; docstring of the round-2
@@ -223,7 +229,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signature build is one scan; the prefix block bounds the
     pair join. bit_count(xor) is a single JVM intrinsic per pair."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     hashes = d.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
@@ -277,7 +283,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: label (or any coarse quantizer — see q_sim_topk_ivf) bounds
     the quadratic pair join; dot products are JVM higher-order-function
     folds over array<float> — no Python, no UDF."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

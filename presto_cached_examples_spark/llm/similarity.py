@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 _N_PROBES = 10
 _TOP_K = 5
@@ -39,7 +39,7 @@ def _dot(a, b):
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     return e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))

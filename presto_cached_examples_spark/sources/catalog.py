@@ -152,6 +152,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow scan across the cluster for CPU-heavy per-row work.
+
+    Small fixture files arrive as a single input split (one parquet
+    row-group), which would serialize expensive per-row expressions
+    (shingling, minhash, simhash votes) onto one core. When the scan's
+    parallelism is below the session's, insert one round-robin
+    repartition; at production scale the scan's natural split count far
+    exceeds the core count and this is a no-op — no shuffle is added on
+    the 100 TB path.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture as a temp view (for the SQL entry point)."""
     out = {}
