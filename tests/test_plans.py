@@ -1,0 +1,116 @@
+"""Plan-shape regression tests (SURVEY.md §5.2 item 6).
+
+These guard the §4.2 "Catalyst already does it" assumptions: if a
+config or code change silently turns a broadcast join into a
+sort-merge join, drops parquet filter pushdown, or lets a Python UDF
+leak into a hot path, the bench would degrade long before correctness
+does — so the plan itself is the asserted artifact.
+
+All assertions run on the *planned* (never executed) DataFrame, so the
+whole module costs planning time only.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from presto_cached_examples_spark import registry
+from tests.conftest import SF_TINY
+
+SPECS = registry.all_specs()
+
+# Queries that intentionally cross the JVM→Python Arrow boundary
+# (declared UDF surface + the multimodal mapInPandas plumbing).
+PANDAS_ALLOWED = {"udf_pack_pen", "udaf_weighted_avg", "q_mm_features"}
+
+PYTHON_EVAL_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def build(spark, name: str):
+    return SPECS[name].fn(spark, SF_TINY)
+
+
+def test_broadcast_join_chosen(spark):
+    """q_join_broadcast: the bounded dimension must broadcast — the probe
+    side never shuffles (C1 'small hot side')."""
+    p = plan_of(build(spark, "q_join_broadcast"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiway_broadcasts_dimensions(spark):
+    """q_join_multiway: nation and region ride broadcast joins; only the
+    fact-chain joins may shuffle."""
+    p = plan_of(build(spark, "q_join_multiway"))
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    """q_join_range: bounded side broadcast + single pass over orders —
+    never a cartesian shuffle."""
+    p = plan_of(build(spark, "q_join_range"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q_filter_basic: predicates must reach the parquet reader."""
+    p = plan_of(build(spark, "q_filter_basic"))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "PushedFilters is empty — pushdown lost"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q_agg_pricing: the lineitem scan must not read columns the query
+    never touches (l_partkey/l_suppkey) — ReadSchema is the proof."""
+    p = plan_of(build(spark, "q_agg_pricing"))
+    assert "ReadSchema" in p
+    assert "l_partkey" not in p
+    assert "l_suppkey" not in p
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    """q_agg_pricing runs inside whole-stage codegen (JVM fast path).
+    The unexecuted AQE plan hides codegen annotations, so ask for the
+    codegen dump itself — it lists each WholeStageCodegen subtree."""
+    p = plan_of(build(spark, "q_agg_pricing"), mode="codegen")
+    assert "WholeStageCodegen" in p
+
+
+def test_partial_aggregation(spark):
+    """q_agg_pricing: hash aggregation must be two-phase (map-side
+    partial then final) so the shuffle moves group states, not rows."""
+    p = plan_of(build(spark, "q_agg_pricing"))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sort_limit_is_top_k(spark):
+    """q_sort_limit: global ORDER BY + LIMIT must plan as
+    TakeOrderedAndProject (per-partition top-N), never a full sort."""
+    p = plan_of(build(spark, "q_sort_limit"))
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", sorted(set(SPECS) - PANDAS_ALLOWED))
+def test_no_python_in_row_path(spark, name):
+    """Every query outside the declared UDF/multimodal surface stays
+    JVM-side: no Python evaluation node anywhere in its physical plan."""
+    p = plan_of(build(spark, name), mode="simple")
+    for node in PYTHON_EVAL_NODES:
+        assert node not in p, f"{name}: {node} leaked into the row path"

@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY.md §5.2 item 4) — algebraic invariants
+over randomized inputs via hypothesis.
+
+Each property is the engine-level generalization of a reference
+behavior: filter/projection commutation and union additivity are plan
+identities Catalyst must preserve; rank bounds pin window semantics;
+dedup idempotence is the exact-dedup contract; incremental == full is
+the C4 glitch-free double-buffer equivalence
+(/root/reference/src/DoublePsramBuffer480x480.cpp:176-186).
+
+Spark jobs dominate runtime, so examples are small and capped; the
+deadline is disabled because JVM warm-up skews the first example.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def mkdf(spark, data):
+    return spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], "id long, k long, v double"
+    )
+
+
+@PROP
+@given(data=rows, threshold=st.integers(min_value=-1000, max_value=1000))
+def test_filter_commutes_with_projection(spark, data, threshold):
+    df = mkdf(spark, data)
+    a = df.filter(F.col("v") > threshold).select("id", "k")
+    b = df.select("id", "k", "v").filter(F.col("v") > threshold).select("id", "k")
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+@PROP
+@given(data1=rows, data2=rows)
+def test_union_all_count_additivity(spark, data1, data2):
+    d1, d2 = mkdf(spark, data1), mkdf(spark, data2)
+    assert d1.unionByName(d2).count() == d1.count() + d2.count()
+
+
+@PROP
+@given(data=rows)
+def test_window_rank_bounds(spark, data):
+    df = mkdf(spark, data)
+    w = Window.partitionBy("k").orderBy("v", "id")
+    ranked = df.withColumn("rn", F.row_number().over(w))
+    got = ranked.groupBy("k").agg(
+        F.min("rn").alias("lo"), F.max("rn").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    for r in got.collect():
+        assert r.lo == 1 and r.hi == r.n  # ranks are exactly 1..|partition|
+
+
+@PROP
+@given(data=rows)
+def test_dedup_idempotent(spark, data):
+    df = mkdf(spark, data).select("k", "v")
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert sorted(once.collect()) == sorted(twice.collect())
+    # every surviving (k, v) appeared in the input; none appears twice
+    survivors = [tuple(r) for r in once.collect()]
+    assert len(survivors) == len(set(survivors))
+    assert set(survivors) <= {(k, float(v)) for k, v in data}
+
+
+@PROP
+@given(batches=st.lists(rows, min_size=1, max_size=4))
+def test_incremental_equals_full_refresh(spark, batches):
+    """C4: folding batches one at a time through the incremental merge
+    must equal a single full recompute over the concatenation."""
+    from presto_cached_examples_spark.streaming.incremental import IncrementalAggregator
+
+    inc = IncrementalAggregator(spark, keys=["k"], value_col="v", name="prop_inc")
+    full = IncrementalAggregator(spark, keys=["k"], value_col="v", name="prop_full")
+    for batch in batches:
+        df = mkdf(spark, batch)
+        inc.update(df, strategy="incremental")
+        full.update(df, strategy="full")
+    key = lambda r: r.k  # noqa: E731
+    assert sorted(inc.result().collect(), key=key) == sorted(
+        full.result().collect(), key=key
+    )
