@@ -36,7 +36,11 @@ HEADLINE = [
     "q_agg_pricing",
     "q_agg_distinct",
     "q_agg_rollup",
-    # windows / top-k / sort
+    "q_agg_percentiles",
+    # reshape
+    "q_pivot",
+    # windows / top-k / sort / sessionization
+    "q_sessionize",
     "q_window_lag",
     "q_topk_group",
     "q_sort_limit",

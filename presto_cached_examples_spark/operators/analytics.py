@@ -1,0 +1,286 @@
+"""Extended analytics operators: percentiles, correlation, pivot and
+unpivot reshaping, window distribution functions, regexp scalars, and
+batch sessionization.
+
+These widen the Presto-class surface beyond SURVEY.md §2.B's initial
+inventory — each is a standard warehouse operation a reference user
+would expect, each hash-checked against DuckDB.
+
+Scale notes inline per operator; common themes: exact percentiles use
+Spark's single-pass `percentile` aggregate (sort within group state, no
+extra shuffle); pivots with a declared value list avoid the
+values-discovery job entirely; sessionization is one window pass per
+user partition — the batch twin of the streaming session window
+(streaming/windows.py q_stream_session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_agg_percentiles",
+    category="aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.25), 2) / 100 AS p25,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.50), 2) / 100 AS p50,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.75), 2) / 100 AS p75,
+           ROUND(MAX(l_extendedprice), 2)                                       AS p_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's `percentile`
+    aggregate sorts within each group's state in one pass — one shuffle
+    on the group key, same as any hash aggregate. (The 100 TB variant
+    swaps in approx_percentile's mergeable sketch; this is the exact
+    oracle it is checked against.)
+
+    Cross-engine float discipline: percentiles are computed in integer
+    cent space. Prices are exact cents, so every interpolated quantile
+    is an exact multiple of 0.25 there — never the x.xx5 rounding
+    boundary where two engines' ULPs can disagree (a plain
+    ROUND(median, 2) flakes: the median of 2-decimal data is a
+    half-cent value half the time)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
+
+    def pct(q: float):
+        return F.round(F.percentile(cents, F.lit(q)), 2) / 100
+
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        F.round(F.max("l_extendedprice"), 2).alias("p_max"),
+    )
+
+
+@register(
+    "q_agg_corr",
+    category="aggregation",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_p
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (Pearson correlation, sample/population
+    covariance) — single-pass mergeable moments, so partial aggregation
+    applies exactly as for sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_p"),
+    )
+
+
+@register(
+    "q_pivot",
+    category="reshape",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a DECLARED value list ('A','N','R'): no extra
+    values-discovery job, and the plan is an ordinary grouped
+    conditional aggregate — one shuffle, pivot width known at plan
+    time. (Undeclared pivots first run a distinct() over the pivot
+    column — never do that on the 100 TB path.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "q_unpivot",
+    category="reshape",
+    oracle="""
+    SELECT o_orderkey, metric, ROUND(val, 2) AS val
+    FROM (
+      SELECT o_orderkey,
+             ROUND(o_totalprice, 2)        AS price,
+             CAST(LENGTH(o_orderpriority) AS DOUBLE) AS prio_len
+      FROM orders
+    )
+    UNPIVOT (val FOR metric IN (price, prio_len))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → (key, metric, value) rows.
+    Purely map-side — each input row emits one row per metric, no
+    shuffle at all."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.length("o_orderpriority").cast("double").alias("prio_len"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"], values=["price", "prio_len"], variableColumnName="metric",
+        valueColumnName="v",
+    ).select("o_orderkey", "metric", F.round("v", 2).alias("val"))
+
+
+@register(
+    "q_window_dist",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions (ntile / percent_rank / cume_dist)
+    per market segment. The order key is (acctbal, custkey) — unique —
+    so every rank is deterministic across engines and partitionings."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_window_firstlast",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(last_value(o_totalprice)  OVER w, 2) AS last_price,
+           ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over the full-partition frame (explicit —
+    the default frame stops at CURRENT ROW, the classic last_value
+    trap). Order key (orderdate, orderkey) is unique per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@register(
+    "q_string_regexp",
+    category="scalar",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1)            AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+           regexp_matches(p_type, 'BRUSHED|POLISHED')       AS is_finished
+    FROM part
+    """,
+)
+def q_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions over part names/types. Patterns stay in
+    the portable intersection of Java regex and RE2 (character classes,
+    alternation — no lookaround), and DuckDB's replace takes the 'g'
+    flag to match Spark's replace-all semantics."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+    )
+
+
+@register(
+    "q_sessionize",
+    category="window",
+    oracle=f"""
+    WITH gapped AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_no
+      FROM gapped
+    )
+    SELECT user_id, session_no,
+           MIN(ts)  AS session_start,
+           MAX(ts)  AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    {gap}-minute silence. Two window passes over the same (user_id)
+    partitioning — Spark reuses the exchange — then one grouped
+    aggregate; the batch twin of q_stream_session's session_window.
+    All per-user: nothing crosses partitions, so it scales with user
+    cardinality, not event count per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap — casting ts to seconds would truncate and
+    # mis-classify gaps within 1s of the threshold
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id", "ts", "event_id", is_start.alias("is_start")
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
