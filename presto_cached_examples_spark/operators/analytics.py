@@ -53,15 +53,19 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-cent value half the time)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-
-    def pct(q: float):
-        return F.round(F.percentile(cents, F.lit(q)), 2) / 100
-
-    return li.groupBy("l_returnflag").agg(
-        pct(0.25).alias("p25"),
-        pct(0.50).alias("p50"),
-        pct(0.75).alias("p75"),
-        F.round(F.max("l_extendedprice"), 2).alias("p_max"),
+    # ONE percentile aggregate with an array of percentages: one state
+    # buffer and one sort per group, instead of three.
+    qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("qs"), F.round(F.max("l_extendedprice"), 2).alias("p_max"))
+        .select(
+            "l_returnflag",
+            (F.round(F.element_at("qs", 1), 2) / 100).alias("p25"),
+            (F.round(F.element_at("qs", 2), 2) / 100).alias("p50"),
+            (F.round(F.element_at("qs", 3), 2) / 100).alias("p75"),
+            "p_max",
+        )
     )
 
 
