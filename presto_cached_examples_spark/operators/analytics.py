@@ -288,3 +288,109 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_subquery_in",
+    category="subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    AND o_orderkey NOT IN (
+      SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + NOT IN subqueries. NOT IN is the NULL-semantics trap: one
+    NULL in the subquery empties the result — here both key columns are
+    non-null, so NOT IN ≡ anti join and Spark plans it as
+    LeftAnti(NAAJ). Built with the SQL entry point to exercise the
+    parser → decorrelation path on the Spark side too."""
+    from presto_cached_examples_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        )
+        AND o_orderkey NOT IN (
+          SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09
+        )
+        """
+    )
+
+
+@register(
+    "q_subquery_corr",
+    category="subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's mean
+    balance. Catalyst decorrelates this into an aggregate + join
+    (RewriteCorrelatedScalarSubquery) — the plan a hand-written
+    group-then-join would produce, for free."""
+    from presto_cached_examples_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@register(
+    "q_agg_groupingid",
+    category="aggregation",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, '<all>') AS returnflag,
+      COALESCE(l_linestatus, '<all>') AS linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) * 2
+        + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_groupingid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() markers in a rollup: distinguishes a real NULL group
+    from a subtotal row — the standard way to label aggregation levels
+    in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag").cast("int") * 2
+                + F.grouping("l_linestatus").cast("int")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n",
+        )
+    )

@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.operators.windows",
     "presto_cached_examples_spark.operators.setops",
     "presto_cached_examples_spark.operators.analytics",
+    "presto_cached_examples_spark.operators.skew",
     "presto_cached_examples_spark.operators.scalars",
     "presto_cached_examples_spark.functions.udfs",
     "presto_cached_examples_spark.llm.text",
