@@ -394,3 +394,146 @@ def q_agg_groupingid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_agg_argminmax",
+    category="aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2)       AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin): the key of the extreme row in one
+    aggregate — no self-join back to find which row held the max.
+    o_totalprice is unique per priority group in the fixtures, so the
+    arg is deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q_date_series",
+    category="time-series",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    days AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT d.day::TIMESTAMP AS day, COALESCE(daily.revenue, 0.0) AS revenue,
+           COALESCE(daily.n_orders, 0) AS n_orders
+    FROM days d LEFT JOIN daily ON d.day = daily.day
+    """,
+)
+def q_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue: a generated calendar spine left-joined
+    to the daily aggregate, so silent days appear as explicit zeros
+    (time-series hygiene before any rolling computation).
+
+    Scale: the spine is sequence()+explode from a 1-row bounds
+    aggregate — thousands of rows at most, broadcast side of the join;
+    the fact side aggregates once. No shuffle grows with the calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # No broadcast hint: Spark cannot broadcast the row-preserved side
+    # of an outer join, and both inputs here are post-aggregation small
+    # (calendar spine × daily rollup) — the shuffle is bounded by days,
+    # not orders.
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_window_range_frame",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+           COUNT(*) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal
+             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+           ) AS n_within_100
+    FROM customer
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key: peers within ±100 acctbal.
+    RANGE bounds are value-based (unlike ROWS), so ties and gaps in the
+    order column are handled identically by both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.count(F.lit(1)).over(w).alias("n_within_100"),
+    )
+
+
+@register(
+    "q_values_cte",
+    category="scan",
+    oracle="""
+    WITH tier(seg, tier_name, min_bal) AS (
+      VALUES ('AUTOMOBILE', 'gold', 5000.0),
+             ('BUILDING',   'silver', 3000.0),
+             ('MACHINERY',  'bronze', 1000.0)
+    )
+    SELECT c.c_custkey, t.tier_name, ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN tier t ON c.c_mktsegment = t.seg AND c.c_acctbal >= t.min_bal
+    """,
+)
+def q_values_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined to a table — config-style literal
+    data (tier thresholds) entering the plan as a broadcastable local
+    relation, no file needed."""
+    c = load_table(spark, sf_dir, "customer")
+    tier = spark.createDataFrame(
+        [("AUTOMOBILE", "gold", 5000.0), ("BUILDING", "silver", 3000.0),
+         ("MACHINERY", "bronze", 1000.0)],
+        "seg string, tier_name string, min_bal double",
+    )
+    return (
+        c.join(
+            F.broadcast(tier),
+            (c.c_mktsegment == tier.seg) & (c.c_acctbal >= tier.min_bal),
+        )
+        .select("c_custkey", "tier_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
