@@ -38,10 +38,16 @@ class SnapshotPublisher:
 
     def publish(self, df: DataFrame) -> int:
         """Materialize `df` fully (the hidden-buffer draw), then swap
-        the view pointer (the vsync flip). Returns the new version."""
+        the view pointer (the vsync flip). Returns the new version.
+
+        The pointer lives in the GLOBAL temp catalog: a publish from a
+        foreachBatch worker (whose micro-batch runs in a cloned
+        session) must be visible to every reader session — the
+        single-catalog pointer swap the 100 TB variant does against a
+        metastore."""
         staged = df.cache()
         staged.count()  # force full materialization BEFORE any reader can see it
-        staged.createOrReplaceTempView(self.name)  # atomic pointer swap
+        staged.createOrReplaceGlobalTempView(self.name)  # atomic pointer swap
         self._retired, self._live = self._live, staged
         self.version += 1
         if self._retired is not None:
@@ -56,10 +62,10 @@ class SnapshotPublisher:
         to this generation — later publishes do not change it (snapshot
         isolation), matching the display scanning the front buffer while
         the writer fills the back one."""
-        return self.spark.table(self.name)
+        return self.spark.table(f"global_temp.{self.name}")
 
     def drop(self) -> None:
         if self._live is not None:
             self._live.unpersist()
             self._live = None
-        self.spark.catalog.dropTempView(self.name)
+        self.spark.catalog.dropGlobalTempView(self.name)

@@ -216,3 +216,41 @@ def test_observed_metrics(spark):
     assert obs.get["rows"] == n
     line = t.summary(rows=n)
     assert "scan=" in line and "F=" in line
+
+
+def test_incremental_pipeline_end_to_end(spark, tmp_path):
+    """EP3 end-to-end: a 2-batch file stream folded incrementally and
+    snapshot-published per batch must equal one batch aggregate over
+    everything (the glitch-free double-buffer equivalence, C3+C4)."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from presto_cached_examples_spark.streaming.pipeline import run_incremental_pipeline
+
+    ev = load_table(spark, SF_TINY, "events").select("event_id", "event_type", "value")
+    src_dir = tmp_path / "ev_stream"
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src_dir / "b0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    agg = run_incremental_pipeline(
+        spark, stream, keys=["event_type"], value_col="value", name="ev_live"
+    )
+
+    got = {r.event_type: (r.n, r.sum_v) for r in agg.current().collect()}
+    want = {
+        r.event_type: (r.n, r.sum_v)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
