@@ -31,6 +31,8 @@ PYTHON_EVAL_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "ArrowAggregatePython",
 )
 
 
