@@ -1,0 +1,63 @@
+"""Quality checks for the near-dup operators: LSH recall against
+first-principles ground truth, and the semantic split between token-set
+and shingle similarity.
+
+The fixture's high token-Jaccard pairs are mostly word-order scrambles:
+they share vocabulary (q_dedup_ngram's notion) but almost no 3-token
+shingles (q_dedup_near's notion) — the median shingle Jaccard over
+those pairs is 0.0. The two operators are intentionally different
+detectors; this module pins that they agree exactly where they should:
+on genuinely sequence-level near-duplicates.
+
+Everything here is deterministic: fixtures are seed-42 and the minhash
+permutations are fixed xxhash64 seeds, so recall is a fact, not a
+sample."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.llm.dedup import _shingles
+from presto_cached_examples_spark.registry import queries
+from presto_cached_examples_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+
+# Above the LSH curve's steep zone (64 hashes / 16 bands of 4:
+# P(candidate) ≥ 0.98 at j=0.7) every true pair must surface.
+_RECALL_J = 0.7
+
+
+def _true_pairs(spark, threshold):
+    """All doc pairs with true shingle-Jaccard ≥ threshold (brute force
+    over the tiny fixture — the oracle the LSH path approximates)."""
+    d = load_table(spark, SF_TINY, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jacc = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jacc >= threshold)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    )
+
+
+def test_lsh_recall_on_true_near_dups(spark):
+    truth = _true_pairs(spark, _RECALL_J)
+    assert truth, "fixture lost its sequence-level near-dups"
+    cluster = {r.doc_id: r.cluster_id for r in queries()["q_dedup_near"](spark, SF_TINY).collect()}
+    missed = [(p.doc_a, p.doc_b) for p in truth if cluster[p.doc_a] != cluster[p.doc_b]]
+    assert not missed, f"LSH missed true near-dup pairs: {missed}"
+
+
+def test_token_vs_shingle_similarity_are_different_detectors(spark):
+    """Most high token-Jaccard pairs (word scrambles) must NOT be
+    shingle near-dups — if they were, the two operators would be
+    redundant rather than complementary."""
+    token_pairs = queries()["q_dedup_ngram"](spark, SF_TINY).count()
+    shingle_pairs = len(_true_pairs(spark, 0.5))
+    assert token_pairs > 100  # plenty of vocabulary-level matches
+    assert shingle_pairs < token_pairs / 10  # almost none survive in sequence space
