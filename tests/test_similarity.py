@@ -1,0 +1,67 @@
+"""Value-level oracle for the similarity operators. These are rows-only
+in the driver harness (float accumulation order breaks cross-engine
+hashes), so the exact check lives here instead: a NumPy brute-force
+reference computed at full double precision.
+
+Rounding note: cosines are compared after round(4), the same rounding
+the operator itself emits, and ranks are compared on the (probe, k) →
+vec mapping with the operator's own (cosine DESC, vec_id) tie-break."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from presto_cached_examples_spark.registry import queries
+from presto_cached_examples_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+
+N_PROBES, TOP_K = 10, 5
+
+
+def _numpy_topk(spark):
+    rows = load_table(spark, SF_TINY, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for p in range(N_PROBES):
+        pi = int(np.where(ids == p)[0][0])
+        cos = m_n @ m_n[pi]
+        cand = [
+            (round(float(c), 4), int(v)) for c, v in zip(cos, ids) if v != p
+        ]
+        # operator order: cosine DESC, vec_id ASC
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[p] = [(v, c, k + 1) for k, (c, v) in enumerate(cand[:TOP_K])]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    got = {}
+    for r in queries()["q_sim_topk"](spark, SF_TINY).collect():
+        got.setdefault(r.probe_id, []).append((r.vec_id, r.cosine, r.k))
+    want = _numpy_topk(spark)
+    assert set(got) == set(want)
+    for p in want:
+        got[p].sort(key=lambda t: t[2])
+        assert got[p] == want[p], f"probe {p}: {got[p]} != {want[p]}"
+
+
+def test_ann_results_are_exact_cosines(spark):
+    """LSH/IVF may return fewer/other neighbors (pruned candidate sets)
+    but every (probe, vec, cosine) they emit must carry the TRUE cosine
+    — pruning changes recall, never values."""
+    rows = load_table(spark, SF_TINY, "embeddings").select("vec_id", "embedding").collect()
+    ids = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def true_cos(a, b):
+        va, vb = ids[a], ids[b]
+        return round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4)
+
+    for name in ("q_sim_topk_lsh", "q_sim_topk_ivf"):
+        res = queries()[name](spark, SF_TINY).collect()
+        assert res, f"{name} returned nothing"
+        for r in res:
+            assert abs(r.cosine - true_cos(r.probe_id, r.vec_id)) <= 1e-4, (
+                f"{name}: ({r.probe_id},{r.vec_id}) cosine {r.cosine} != true"
+            )
