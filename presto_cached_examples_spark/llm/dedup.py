@@ -148,7 +148,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket self-join and pair-dedup move only (band, bh, doc_id)
     triples, and shingles are fetched by doc_id once per surviving
     candidate pair for the verify stage. Output is one row per doc —
-    stable row count for the driver's check."""
+    stable row count for the driver's check.
+
+    The shingle projection is consumed three times (signatures + both
+    verify fetches) and deliberately NOT persisted: measured locally,
+    cache build + array deserialization costs more than recomputing the
+    map-side shingling. At 100 TB the equivalent decision is to
+    materialize the signature projection at ingest (a write-time
+    artifact), not to runtime-cache it."""
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
