@@ -141,3 +141,105 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub decoder for PIL/ffmpeg changes no Spark-side code."""
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     return m.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+#: Resize output — payload replaced by its downsampled version.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("new_bytes", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_RESIZE_TARGET = 64  # stand-in for (width, height)
+
+#: Frame-sample output — ONE ROW PER SAMPLED FRAME (row-expanding).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+_FRAME_BYTES = 16  # stand-in for one decoded frame
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def resize_payload(payload: bytes, media_type: str, target: int = _RESIZE_TARGET) -> bytes:
+    """STUB resize: real image resize needs PIL; the byte stand-in
+    downsamples by a uniform stride to ≤ `target` bytes — deterministic,
+    size-bounded, same contract (binary in, smaller binary out)."""
+    arr = decode_payload(payload, media_type)
+    if arr.size <= target:
+        return arr.tobytes()
+    stride = -(-arr.size // target)  # ceil div → at most `target` samples
+    return arr[::stride].tobytes()
+
+
+def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 1 row in → 1 row out, payload downsampled."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload, media_type in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            resized = resize_payload(payload, media_type)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "media_type": str(media_type),
+                    "orig_bytes": len(payload),
+                    "new_bytes": len(resized),
+                    "payload": resized,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker in the ROW-EXPANDING shape: each payload is
+    split into fixed-size frames and every `_FRAME_STRIDE`-th frame
+    becomes its own output row (a video → sampled-frames explode)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload, media_type in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            arr = decode_payload(payload, media_type)
+            n_frames = max(arr.size // _FRAME_BYTES, 0)
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                frame = arr[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": int(idx),
+                        "n_frames": int(n_frames),
+                        "frame": frame.tobytes(),
+                    }
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+@register("q_mm_resize", category="llm-multimodal", oracle=None)  # mapInPandas path
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over binary payloads (1→1 mapInPandas). Output payloads
+    are bounded (≤ 64 bytes), so the downstream shuffle is bounded no
+    matter how large the input media — resize-early is the multimodal
+    analog of projection pushdown."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    return m.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA)
+
+
+@register("q_mm_frames", category="llm-multimodal", oracle=None)  # mapInPandas path
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1→N row-expanding
+    mapInPandas): every 4th 16-byte frame becomes a row. The expansion
+    happens inside the Python worker per Arrow batch — no driver
+    involvement, no intermediate giant array column."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    return m.mapInPandas(sample_frames, schema=FRAME_SCHEMA)

@@ -41,3 +41,39 @@ def test_features_match_source_bytes(spark):
 def test_decode_stub_fails_loudly():
     with pytest.raises(NotImplementedError):
         decode_payload(b"\xff\xd8\xff", "image/jpeg")
+
+
+
+def test_resize_payload_bounded_and_deterministic(spark):
+    from presto_cached_examples_spark.llm import multimodal as mm
+    from presto_cached_examples_spark.registry import queries
+
+    out = queries()["q_mm_resize"](spark, SF_TINY).collect()
+    assert out
+    for r in out:
+        assert r.new_bytes <= mm._RESIZE_TARGET
+        assert r.new_bytes == len(r.payload)
+        assert r.orig_bytes >= r.new_bytes
+    # deterministic: python reference agrees on one sample
+    sample = out[0]
+    src = {m.doc_id: bytes(m.payload) for m in mm.media_table(spark, SF_TINY).collect()}
+    assert bytes(sample.payload) == mm.resize_payload(src[sample.doc_id], "bytes")
+
+
+def test_frame_sampling_expands_rows(spark):
+    from presto_cached_examples_spark.llm import multimodal as mm
+    from presto_cached_examples_spark.registry import queries
+
+    rows = queries()["q_mm_frames"](spark, SF_TINY).collect()
+    assert rows
+    docs = {}
+    for r in rows:
+        assert r.frame_idx % mm._FRAME_STRIDE == 0
+        assert len(r.frame) <= mm._FRAME_BYTES
+        docs.setdefault(r.doc_id, []).append(r)
+    # a doc with n frames emits ceil(n/stride) rows
+    for doc_rows in docs.values():
+        n = doc_rows[0].n_frames
+        assert len(doc_rows) == -(-n // mm._FRAME_STRIDE)
+    # expansion really happened: more rows than docs
+    assert len(rows) > len(docs)

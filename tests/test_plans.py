@@ -24,7 +24,13 @@ SPECS = registry.all_specs()
 
 # Queries that intentionally cross the JVM→Python Arrow boundary
 # (declared UDF surface + the multimodal mapInPandas plumbing).
-PANDAS_ALLOWED = {"udf_pack_pen", "udaf_weighted_avg", "q_mm_features"}
+PANDAS_ALLOWED = {
+    "udf_pack_pen",
+    "udaf_weighted_avg",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+}
 
 PYTHON_EVAL_NODES = (
     "BatchEvalPython",
