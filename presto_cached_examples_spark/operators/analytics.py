@@ -628,3 +628,75 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_filtered_revenue",
+    category="aggregation",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting query: pure filter + global aggregate.
+    Every predicate pushes to the parquet scan, the aggregate is a
+    map-side partial into a 1-row final — the cheapest possible shape
+    at any scale (no join, one short shuffle of partial states)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_promo_share",
+    category="join",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-03-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-04-01'
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion share: conditional aggregate over a
+    fact-dimension join. The month filter reduces lineitem before the
+    join; part joins broadcast (bounded dimension)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
