@@ -61,3 +61,25 @@ def test_token_vs_shingle_similarity_are_different_detectors(spark):
     shingle_pairs = len(_true_pairs(spark, 0.5))
     assert token_pairs > 100  # plenty of vocabulary-level matches
     assert shingle_pairs < token_pairs / 10  # almost none survive in sequence space
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """q_agg_approx is rows-only in the driver harness (HLL++ sketches
+    are engine-specific); the accuracy contract lives here: each
+    approximate distinct count must sit within 3x the configured
+    relative standard deviation of the exact count."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in queries()["q_agg_approx"](spark, SF_TINY).collect()
+    }
+    ev = load_table(spark, SF_TINY, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        rel_err = abs(approx[et] - n) / max(n, 1)
+        assert rel_err <= 0.15, f"{et}: approx {approx[et]} vs exact {n}"
