@@ -69,3 +69,42 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> Data
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static join: enrich a live stream with a batch dimension.
+
+    The static side is re-resolved per micro-batch (so a snapshot-swap
+    of the dimension is picked up at the next trigger) and joins as an
+    ordinary broadcast — no state store involved, the streaming analog
+    of the bounded-dimension broadcast rule."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right], "left")
+
+
+def join_stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events from the same user within the preceding `max_delay` — the
+    streaming as-of shape (C5's latest-state lookup, live).
+
+    Both sides carry a watermark plus a time-range join condition, so
+    the state store can evict rows older than watermark + delay — state
+    stays bounded no matter how long the streams run."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark("l_ts", watermark)
+    rw = right.withWatermark("r_ts", watermark)
+    return lw.join(
+        rw,
+        (F.col(f"l_{user_col}") == F.col(f"r_{user_col}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    )

@@ -254,3 +254,76 @@ def test_incremental_pipeline_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from presto_cached_examples_spark.streaming.runner import (
+        enrich_stream_static,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = load_table(spark, SF_TINY, "customer").select(
+        F.col("c_custkey").alias("u_key"), "c_mktsegment"
+    )
+    stream = read_events_stream(spark, SF_TINY).select("event_id", "user_id")
+    enriched = enrich_stream_static(stream, dim, "user_id", "u_key").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    got = sorted(run_to_memory(enriched, "enriched").collect())
+
+    ev = load_table(spark, SF_TINY, "events").select("event_id", "user_id")
+    want = sorted(
+        ev.join(dim, ev.user_id == dim.u_key, "left")
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect()
+    )
+    assert got == want
+
+
+def test_stream_stream_join_equals_batch_twin(spark):
+    """Watermarked stream-stream join (purchases with clicks from the
+    same user in the preceding hour) equals the batch range join."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from presto_cached_examples_spark.streaming.runner import (
+        join_stream_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return p, c
+
+    sp, sc = split(read_events_stream(spark, SF_TINY))
+    joined = join_stream_stream(sp, sc).select("l_event_id", "r_event_id")
+    got = sorted(run_to_memory(joined, "ss_join").collect())
+
+    bp, bc = split(load_table(spark, SF_TINY, "events"))
+    want = sorted(
+        bp.join(
+            bc,
+            (bp.l_user_id == bc.r_user_id)
+            & (bc.r_ts <= bp.l_ts)
+            & (bc.r_ts >= bp.l_ts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("l_event_id", "r_event_id")
+        .collect()
+    )
+    assert want, "fixture has no in-window purchase/click pairs"
+    assert got == want
