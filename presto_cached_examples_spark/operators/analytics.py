@@ -700,3 +700,56 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+@register(
+    "q_agg_stringagg",
+    category="aggregation",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_nationkey::VARCHAR, ',' ORDER BY c_nationkey::VARCHAR) AS nations,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation made deterministic: collect_set → array_sort →
+    array_join fixes the concatenation order that plain listagg leaves
+    partition-dependent — the only way a string agg can be
+    hash-compared across engines (or across two runs of the same
+    engine)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+        ).alias("nations"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
+    "q_window_lead",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(lead(o_totalprice, 1, 0.0) OVER w, 2)  AS next_price,
+           CAST(lead(o_orderdate) OVER w AS TIMESTAMP)   AS next_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() with an explicit default — the forward twin of
+    q_window_lag's dx/dy deltas; the last row per customer takes the
+    default instead of NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+        F.lead("o_orderdate").over(w).cast("timestamp").alias("next_date"),
+    )
