@@ -753,3 +753,32 @@ def q_window_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
         F.lead("o_orderdate").over(w).cast("timestamp").alias("next_date"),
     )
+
+
+@register(
+    "q_agg_decimal",
+    category="aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_exact,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money aggregation: prices accumulate as DECIMAL(12,2), so
+    the sum is identical under ANY summation order or partitioning —
+    no ROUND discipline needed, unlike double sums. This is the money
+    type the engine prescribes for 100 TB financial rollups (SURVEY.md
+    §1.2); the single final cast to double exists only because pandas
+    lowers DuckDB decimals to float on output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("price_dec", F.col("l_extendedprice").cast("decimal(12,2)"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("price_dec").cast("double").alias("total_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
