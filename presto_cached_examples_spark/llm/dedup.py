@@ -205,29 +205,38 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
     )
-    verified = pairs.filter(jacc >= _JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    # The verified edge set is tiny (near-dup pairs only) but its plan
+    # is the whole LSH pipeline; materialize it ONCE — the clustering
+    # below consumes it three times (component count, labels, degrees).
+    verified = (
+        pairs.filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
 
-    # Single-pass min-neighbor clustering (union-find's first round —
-    # enough for pair-shaped duplicate groups; docstring of the round-2
-    # iterative closure lives with the snapshot/incremental pillar).
+    # Transitive clustering: connected components over the verified
+    # pair graph, so chains (A~B, B~C) land in one cluster even when
+    # A and C were never direct candidates. Docs with no near-dup are
+    # their own singleton cluster.
+    from presto_cached_examples_spark.operators.graph import connected_components
+
+    components = connected_components(verified, src="doc_a", dst="doc_b")
     neighbors = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    degree = neighbors.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_near_dups")
+    )
     all_docs = d.select("doc_id")
-    clustered = (
-        all_docs.join(neighbors, all_docs.doc_id == neighbors.doc_a, "left")
-        .groupBy("doc_id")
-        .agg(
-            F.least(F.min("doc_b"), F.first("doc_id")).alias("cluster_id"),
-            F.count("doc_b").alias("n_near_dups"),
-        )
+    return (
+        all_docs.join(components, all_docs.doc_id == components.node, "left")
+        .join(degree, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            "n_near_dups",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            F.coalesce("n_near_dups", F.lit(0).cast("long")).alias("n_near_dups"),
         )
     )
-    return clustered
 
 
 @register("q_dedup_simhash", category="llm-dedup", oracle=None)  # xxhash sigs engine-specific

@@ -1,0 +1,97 @@
+"""Connected components via iterative min-label propagation — the
+clustering closure for near-duplicate groups larger than pairs.
+
+Algorithm (standard large-graph label propagation, expressed purely in
+DataFrame ops): every node starts labeled with its own id; each round,
+a node adopts the minimum label among itself and its neighbors; stop
+when no label changes. Converges in O(graph diameter) rounds — for
+near-dup graphs (small, dense clusters) that is 2-4 rounds.
+
+Scale: each round is one join on node id + one aggregate — both
+shuffle-partitioned by the same key, so AQE reuses the partitioning.
+The driver-side loop holds only a changed-count per round (one scalar
+action), never data. Label state is two columns (node, label) no matter
+how wide the original rows are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+#: Below this edge count the component graph fits trivially on the
+#: driver and a local union-find beats launching iterative Spark jobs
+#: (each distributed round costs several job round-trips). Near-dup
+#: graphs are usually tiny relative to the corpus, so this is the
+#: common case; the distributed loop below is the 100 TB path.
+DRIVER_EDGE_THRESHOLD = 100_000
+
+
+def _driver_union_find(spark, edge_rows):
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the component label is the min node
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Label every node of the undirected graph `edges` with the
+    minimum node id reachable from it. Returns (node, component).
+
+    Hybrid execution: edge sets under DRIVER_EDGE_THRESHOLD are solved
+    with an exact driver-side union-find (one collect of two long
+    columns); larger graphs run the distributed label-propagation loop.
+    `max_iter` bounds that loop; hitting it raises rather than
+    returning a half-converged labeling."""
+    n_edges = edges.limit(DRIVER_EDGE_THRESHOLD + 1).count()
+    if n_edges <= DRIVER_EDGE_THRESHOLD:
+        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        return _driver_union_find(edges.sparkSession, pairs)
+
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        )
+        # One scalar action per round; localCheckpoint truncates the
+        # growing lineage so round N doesn't replay rounds 1..N-1.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
