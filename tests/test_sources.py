@@ -92,3 +92,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar at-rest format; scans carry the same
+    pushdown machinery as parquet."""
+    src = load_table(spark, SF_TINY, "customer")
+    path = str(tmp_path / "customer_orc")
+    formats.write_files(src, path, fmt="orc")
+    back = formats.read_files(spark, path, fmt="orc")
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
+    scan = back.filter(F.col("c_acctbal") > 5000)
+    assert "PushedFilters" in plan_of(scan)
+
+
+def test_zstd_compression_round_trip(spark, tmp_path):
+    src = load_table(spark, SF_TINY, "orders")
+    path = str(tmp_path / "orders_zstd")
+    formats.write_files(src, path, fmt="parquet", compression="zstd")
+    import glob
+
+    assert glob.glob(f"{path}/*.zstd.parquet"), "zstd codec not applied"
+    back = formats.read_files(spark, path)
+    assert back.count() == src.count()

@@ -327,3 +327,50 @@ def test_stream_stream_join_equals_batch_twin(spark):
     )
     assert want, "fixture has no in-window purchase/click pairs"
     assert got == want
+
+
+def test_checkpoint_restart_does_not_reprocess(spark, tmp_path):
+    """Fault-tolerance contract: a restarted query with the SAME
+    checkpoint resumes from committed offsets — file A, processed
+    before the stop, must not be re-emitted after restart (the
+    exactly-once half the reference's polled loop cannot offer)."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").select("event_id", "event_type")
+    src = tmp_path / "restart_src"
+    ckpt = str(tmp_path / "restart_ckpt")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(src / "a"))
+
+    seen_batches: list[set] = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append({r.event_id for r in batch_df.collect()})
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id BIGINT, event_type STRING")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: sees only file A, commits its offsets
+    first_total = set().union(*seen_batches) if seen_batches else set()
+    assert first_total == {r.event_id for r in a.collect()}
+
+    b.coalesce(1).write.parquet(str(src / "b"))
+    seen_batches.clear()
+    drain()  # run 2, same checkpoint: must emit ONLY file B
+
+    second_total = set().union(*seen_batches) if seen_batches else set()
+    assert second_total == {r.event_id for r in b.collect()}, (
+        "restart re-emitted already-committed rows"
+    )
