@@ -102,3 +102,49 @@ def event_deltas_batch(events: DataFrame) -> DataFrame:
         return out
 
     return events.groupBy("user_id").applyInPandas(fn, schema=DELTA_SCHEMA)
+
+
+try:  # Spark 4 arbitrary-state API; absent on older builds
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object
+
+
+class DeltaProcessor(StatefulProcessor):
+    """transformWithStateInPandas variant of the delta operator — the
+    Spark 4 arbitrary-state API (typed state handles, timers, TTL).
+    Same semantics as _stateful_fn; state is a single-row value state
+    (last_us, last_value) per user."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("last", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        prior = self._state.get() if self._state.exists() else None
+        last_us, last_value = (prior[0], prior[1]) if prior is not None else (None, None)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            out, last_us, last_value = _deltas_for_group(pdf, last_us, last_value)
+            yield out
+        if last_us is not None:
+            self._state.update((last_us, last_value))
+
+    def close(self) -> None:
+        pass
+
+
+def event_deltas_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user deltas via transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (the API's backing
+    store): set spark.sql.streaming.stateStore.providerClass to
+    ...state.RocksDBStateStoreProvider before starting the query — and
+    the protobuf python package (the state-server wire protocol), so
+    environments without it use event_deltas_stateful instead."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DeltaProcessor(),
+        outputStructType=DELTA_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -374,3 +374,76 @@ def test_checkpoint_restart_does_not_reprocess(spark, tmp_path):
     assert second_total == {r.event_id for r in b.collect()}, (
         "restart re-emitted already-committed rows"
     )
+
+
+def test_transform_with_state_matches_lag(spark, tmp_path):
+    """The transformWithStateInPandas delta operator must equal the
+    window-lag batch computation (same check the applyInPandasWithState
+    variant passes). Needs the RocksDB state store provider, and the
+    API's state-server protocol needs the protobuf python package —
+    skip (not fail) where the environment lacks it."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    import pyspark.sql.functions as F
+
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from presto_cached_examples_spark.streaming.runner import read_events_stream
+    from presto_cached_examples_spark.streaming.stateful import event_deltas_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF_TINY).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        out = event_deltas_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_deltas")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.event_id): (r.value_delta, r.us_since_prev)
+            for r in spark.table("tws_deltas").collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+
+    ev = load_table(spark, SF_TINY, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        r.event_id: (r.value_delta, r.us_since_prev)
+        for r in ev.select(
+            "event_id",
+            (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "us_since_prev"
+            ),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for eid, (vd, us) in want.items():
+        gvd, gus = got[eid]
+        assert gus == us, f"{eid}: us {gus} != {us}"
+        if vd is None:
+            assert gvd is None or pd_isna(gvd)
+        else:
+            assert abs(gvd - vd) < 1e-9, f"{eid}: delta {gvd} != {vd}"
+
+
+def pd_isna(x):
+    import math
+
+    return x is None or (isinstance(x, float) and math.isnan(x))
