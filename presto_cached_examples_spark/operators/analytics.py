@@ -782,3 +782,64 @@ def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q_exists_agg",
+    category="subquery",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS reduced to a left-semi join feeding an
+    aggregate — the semi join keeps orders unduplicated no matter how
+    many qualifying lineitems each has, so the count is per-order, not
+    per-match."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_null_ordering",
+    category="sort",
+    oracle="""
+    WITH enriched AS (
+      SELECT c.c_custkey,
+             ROUND(SUM(o.o_totalprice), 2) AS spent
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+      GROUP BY c.c_custkey
+    )
+    SELECT c_custkey, spent
+    FROM enriched
+    ORDER BY spent DESC NULLS FIRST, c_custkey
+    LIMIT 50
+    """,
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering — the cross-engine trap this query pins:
+    Spark's default for DESC is NULLS LAST, DuckDB's spec requires an
+    explicit choice too; both sides declare NULLS FIRST so customers
+    with no qualifying orders sort ahead, tie-broken by key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    enriched = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    return enriched.orderBy(
+        F.col("spent").desc_nulls_first(), "c_custkey"
+    ).limit(50)
