@@ -137,6 +137,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     source of truth) so the vectorized reader stays on the fast path."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); set the legacy read
+        # conf defensively (it is runtime-settable) so the engine works
+        # from ANY session, not only ones built by get_session().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), read as int64 ns (session sets
