@@ -843,3 +843,54 @@ def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.orderBy(
         F.col("spent").desc_nulls_first(), "c_custkey"
     ).limit(50)
+
+
+@register(
+    "q_histogram",
+    category="aggregation",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           COUNT(*)                    AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: binning is a pure
+    expression, so the whole histogram is one ordinary grouped
+    aggregate — the constant-memory way to profile a 100 TB column
+    (contrast an exact percentile's per-group sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "q_cond_count",
+    category="aggregation",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
+           bool_and(c_acctbal > -1000)     AS all_above_floor,
+           bool_or(c_acctbal > 9990)       AS any_near_cap
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_cond_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: count_if / bool_and / bool_or — predicate
+    profiling in one grouped pass."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9990).alias("any_near_cap"),
+    )

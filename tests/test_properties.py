@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 PROP = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,  # deterministic examples: a CI run can't trip on a fresh seed
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
