@@ -95,18 +95,41 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", category="aggregation", oracle=None)  # sketches differ per engine
+@register(
+    "q_agg_approx",
+    category="aggregation",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(DISTINCT user_id) AS exact_users,
+      TRUE                    AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per event_type (HLL++).
+    """Approximate distinct users per event_type (HLL++), SQL-oracled.
 
-    Rows-only check: HLL estimates are engine-specific. At 100 TB this
-    is the *only* sane distinct-count: fixed-size sketch, one pass, no
-    expand — mergeable across partitions without a per-value shuffle.
+    HLL estimates are engine-specific, so the raw sketch value can't be
+    hash-compared across engines. Instead the query asserts the accuracy
+    contract in-band: ``within_5pct`` is computed by comparing the HLL++
+    estimate (rsd=0.01, so 5% ≈ 5σ) against the exact distinct count in
+    the same aggregate, and the oracle expects TRUE for every group. The
+    exact count is emitted too, giving the hash a real value column.
+
+    At 100 TB you would drop the exact branch and keep only the sketch:
+    fixed-size, one pass, mergeable across partitions without a
+    per-value shuffle. The exact side here is the verification twin.
     """
+    est = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            exact.alias("exact_users"),
+            (F.abs(est - exact) <= 0.05 * exact).alias("within_5pct"),
+        )
     )
 
 

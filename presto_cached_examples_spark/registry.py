@@ -52,6 +52,64 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
+# Verification rotation (round 2): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them.  Round 1
+# verified registration positions 0-49 (CORRECTNESS_r01.json); the 41
+# queries below had no driver row, so this round they go first, followed by
+# queries newly added in round 2.  Queries not listed keep registration
+# order after the front block.  Rotate per round until every query has a
+# green driver CORRECTNESS row; tests/test_oracle_parity.py enforces that
+# every never-driver-verified query sits inside the current front window.
+_VERIFY_FRONT: tuple[str, ...] = (
+    # round-1 unverified block (registration positions 50-90)
+    "q_promo_share",
+    "q_agg_stringagg",
+    "q_window_lead",
+    "q_agg_decimal",
+    "q_exists_agg",
+    "q_null_ordering",
+    "q_histogram",
+    "q_cond_count",
+    "q_join_salted",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_expr",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_subquery_scalar",
+    "udf_pack_pen",
+    "udaf_weighted_avg",
+    "udtf_explode_props",
+    "q_text_tokens",
+    "q_text_langstats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_sim_topk_lsh",
+    "q_sim_topk_ivf",
+    "q_mm_meta",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup_late",
+    # round-1 red row (err: no_oracle) — re-verified with the new SQL oracle
+    "q_agg_approx",
+    # queries newly registered in round 2 (no driver row yet)
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
 
 def register(name: str, oracle: str | None = None, category: str = "") -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query builder to the engine surface."""
@@ -83,8 +141,16 @@ def _ensure_loaded() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered queries, verification-rotation order.
+
+    Names in ``_VERIFY_FRONT`` come first (in that order) so they fall
+    inside the driver's first-``DRIVER_WINDOW`` correctness check; the
+    rest follow in registration order.
+    """
     _ensure_loaded()
-    return dict(_REGISTRY)
+    front = [n for n in _VERIFY_FRONT if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(front)]
+    return {n: _REGISTRY[n] for n in (*front, *rest)}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -25,3 +25,32 @@ def test_query_matches_oracle(spark, duck, name):
         assert df.count() >= 0
         return
     assert_frames_match(df, duck.sql(spec.oracle), context=name)
+
+
+def test_driver_window_covers_unverified_queries():
+    """Driver-cap guard (VERDICT r1 #8).
+
+    The driver's correctness harness checks only the first
+    ``registry.DRIVER_WINDOW`` queries in ``queries()`` order.  Every
+    registered query must either already have a fully-green row in a past
+    CORRECTNESS_r*.json or sit inside the current front window — otherwise
+    it would never receive a driver correctness row.
+    """
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    green: set[str] = set()
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if row.get("err") is None and row.get("hash_match") is not False:
+                green.add(name)
+    order = list(registry.all_specs())
+    window = set(order[: registry.DRIVER_WINDOW])
+    never_checked = set(order) - green
+    stranded = sorted(never_checked - window)
+    assert not stranded, (
+        f"queries with no driver CORRECTNESS row outside the first "
+        f"{registry.DRIVER_WINDOW}: {stranded} — add them to "
+        f"registry._VERIFY_FRONT"
+    )
