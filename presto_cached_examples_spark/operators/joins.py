@@ -270,9 +270,15 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join: orders whose price falls in a per-customer band.
-    The customer side is filtered to a bounded set (acctbal > 9900) and
-    broadcast, so the physical plan is BroadcastNestedLoopJoin with a
-    single pass over orders — the only range-join shape that scales."""
+
+    Spark can never broadcast the row-preserving side of an outer join
+    (JoinSelection allows BuildRight only for LEFT OUTER and BuildLeft
+    only for RIGHT OUTER), so a direct `customer LEFT JOIN orders` would
+    broadcast the *orders* side — fatal at scale. Instead: INNER
+    BroadcastNestedLoopJoin (bounded customer slice broadcast, single
+    pass over orders) + aggregate, then a tiny left join of the customer
+    slice onto the aggregate to restore zero-match customers. Plan shape
+    is asserted in tests/test_plans.py."""
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9900)
@@ -280,19 +286,21 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     cond = F.col("o_totalprice").between(F.col("c_acctbal") * 20, F.col("c_acctbal") * 40)
-    return (
-        F.broadcast(c)
-        .join(o, cond, "left")
-        .groupBy("c_custkey", "c_acctbal")
+    in_band = (
+        o.join(F.broadcast(c), cond, "inner")
+        .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_in_band"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("band_total"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
         )
+    )
+    return (
+        c.join(in_band, "c_custkey", "left")
         .select(
             "c_custkey",
             F.round("c_acctbal", 2).alias("c_acctbal"),
-            "n_in_band",
-            "band_total",
+            F.coalesce("n_in_band", F.lit(0)).alias("n_in_band"),
+            F.coalesce("band_total", F.lit(0.0)).alias("band_total"),
         )
     )
 

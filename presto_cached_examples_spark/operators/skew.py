@@ -40,7 +40,22 @@ def salted_join(
     big side's own columns (default: its join keys plus all columns) —
     so the operator is replayable and testable; distribution quality
     only needs the hash to spread rows of the SAME key, so `salt_src`
-    should include at least one column that varies within a key."""
+    should include at least one column that varies within a key.
+
+    Supported `how`: inner / left / left_semi / left_anti (the variants
+    where every small-side row either matches or disappears). right and
+    full would emit each unmatched small-side row once per salt replica
+    (n_salts null-padded duplicates), breaking the plain-join contract —
+    for those, salt the other way around or dedup after; we refuse
+    loudly rather than return silently-wrong rows."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    norm = how.replace("_", "").lower()
+    if norm not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched small-side "
+            f"rows would duplicate once per salt; use one of {sorted(allowed)}"
+        )
     salt_cols = salt_src if salt_src is not None else big.columns
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     big_s = big.withColumn(_SALT, salt)

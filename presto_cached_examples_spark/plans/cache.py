@@ -93,8 +93,9 @@ class CacheTiers:
         info = {"partitions": rdd.getNumPartitions(), "memory_bytes": 0}
         jsc = self.spark.sparkContext._jsc.sc()
         for r in jsc.getRDDStorageInfo():
-            if r.id() == rdd.id() or r.name() and str(rdd.id()) in str(r.id()):
+            if r.id() == rdd.id():
                 info["memory_bytes"] = int(r.memSize())
+                break
         return info
 
     def available(self) -> dict[str, int]:

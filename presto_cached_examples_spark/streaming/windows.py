@@ -79,7 +79,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -89,7 +89,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_no
       FROM flagged

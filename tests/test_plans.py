@@ -69,11 +69,15 @@ def test_multiway_broadcasts_dimensions(spark):
 
 
 def test_range_join_is_broadcast_nested_loop(spark):
-    """q_join_range: bounded side broadcast + single pass over orders —
-    never a cartesian shuffle."""
-    p = plan_of(build(spark, "q_join_range"))
-    assert "BroadcastNestedLoopJoin" in p
+    """q_join_range: bounded customer slice broadcast into an INNER
+    BroadcastNestedLoopJoin (BuildRight — the broadcast side really is
+    the bounded one), single pass over orders, never a cartesian
+    shuffle; the zero-fill join is a broadcast hash join."""
+    p = plan_of(build(spark, "q_join_range"), mode="simple")
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in p
     assert "CartesianProduct" not in p
+    # orders scanned exactly once + customer twice (slice + zero-fill)
+    assert p.count("Scan parquet") == 3
 
 
 def test_filter_pushdown_reaches_scan(spark):

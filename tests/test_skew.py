@@ -4,6 +4,8 @@ sub-key."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.operators.skew import salted_join
@@ -41,3 +43,13 @@ def test_salted_outer_join_keeps_unmatched(spark):
     rows = {(r.k, r.w) for r in out.collect()}
     assert rows == {(1, "X"), (2, None), (3, None)}
     assert out.count() == 3
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit each unmatched small-side row once per salt
+    replica — the API must refuse rather than silently duplicate."""
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(9, "X")], "k2 long, w string")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(big, small, keys=[("k", "k2")], n_salts=4, how=how)

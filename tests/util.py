@@ -6,7 +6,11 @@ import pandas as pd
 
 
 def _canon_cell(v) -> str:
-    if v is None or v != v:
+    # containers first: `v != v` on an ndarray returns an array (ambiguous
+    # truth value), so the NaN test must only ever see scalars
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
         return "<null>"
     if isinstance(v, float):
         if v == 0:
