@@ -74,10 +74,10 @@ def test_range_join_is_broadcast_nested_loop(spark):
     the bounded one), single pass over orders, never a cartesian
     shuffle; the zero-fill join is a broadcast hash join."""
     p = plan_of(build(spark, "q_join_range"), mode="simple")
-    assert "BroadcastNestedLoopJoin Inner BuildRight" in p
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in p
     assert "CartesianProduct" not in p
     # orders scanned exactly once + customer twice (slice + zero-fill)
-    assert p.count("Scan parquet") == 3
+    assert p.count("FileScan parquet") == 3
 
 
 def test_filter_pushdown_reaches_scan(spark):
