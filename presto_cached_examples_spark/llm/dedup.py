@@ -5,12 +5,13 @@ Four tiers, each with a different scale/recall trade-off:
 
 - exact       — hash-groupBy on normalized text. One shuffle on a
                 64-bit-ish key; the 100 TB workhorse.
-- ngram       — exact token-set Jaccard within a blocking key (source).
-                Quadratic only inside blocks; SQL-checkable.
+- ngram       — exact token-set Jaccard via lossless prefix filtering
+                (AllPairs/PPJoin candidate keys). SQL-checkable.
 - minhash LSH — shingle → minhash signature → banded LSH bucket join →
                 verify candidates with true Jaccard. Near-linear: the
                 only quadratic work is within LSH buckets.
-- simhash     — 64-bit signature, prefix-blocked Hamming-distance pairs.
+- simhash     — 64-bit signature, 4×16-bit multi-table banding,
+                Hamming ≤ 3 pairs (lossless at that radius).
 
 All signatures use Spark's xxhash64 (engine-specific), so the LSH and
 simhash variants are rows-only checks; the exact and ngram variants are
@@ -33,9 +34,17 @@ _N_HASHES = 64
 _BAND_SIZE = 4
 _JACCARD_THRESHOLD = 0.5
 
-# SimHash: 64-bit signatures, 16-bit prefix blocking, Hamming radius 12.
-_SIMHASH_PREFIX_BITS = 16
-_HAMMING_MAX = 12
+# SimHash: 64-bit signatures, blocked on 4 × 16-bit bands (multi-table
+# scheme, Manku et al., WWW'07), Hamming radius 3 — the radius the
+# original web-dedup deployment used for 64-bit fingerprints. With 4
+# bands, pigeonhole guarantees any pair within Hamming ≤ 3 shares at
+# least one untouched band, so banding recall is exactly 1.0 (pinned
+# against brute force in tests/test_llm_quality.py). A larger radius
+# needs radius+1 tables for the same guarantee, which at 64 bits means
+# tiny band keys and corpus-scale blocks — radius 3 is the sweet spot.
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 64 // _SIMHASH_BANDS
+_HAMMING_MAX = 3
 
 
 @register(
@@ -82,29 +91,68 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard pairs ≥ 0.8 within a blocking
-    key. Blocking on `source` bounds the quadratic term to block size —
-    the standard exact-verify stage after any LSH prefilter. The
-    Jaccard ratio is an integer division computed identically on both
-    sides, so the threshold cut is hash-stable."""
+    """Exact token-set Jaccard pairs ≥ 0.8 (same source), candidates via
+    *prefix filtering* (AllPairs/PPJoin): under any global token order,
+    two sets with J ≥ t must share a token inside their first
+    |x| − ⌈t·|x|⌉ + 1 tokens — so the pair join is keyed on prefix
+    tokens, not on `source` (whose block size grows with the corpus,
+    going quadratic at scale). Prefix filtering is LOSSLESS, so the
+    result set — and the DuckDB oracle, a plain same-source nested
+    loop — is unchanged.
+
+    Block-size bound: a block is one prefix token; expected block size
+    is df(token) × P(token lands in a prefix) ≈ 0.2·df under the
+    hash-random global order used here. At ingest you'd rank tokens by
+    ascending document frequency instead, biasing prefixes to rare
+    tokens (the classic AllPairs ordering) — same plan, smaller blocks.
+    The verify stage (true Jaccard + source equality) touches only
+    candidate pairs."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    # global token order = xxhash64 (deterministic, uniform); prefix
+    # length n - ceil(0.8 n) + 1 computed in exact integer arithmetic
+    n = F.size("toks")
+    plen = n - F.floor((n * 4 + 4) / 5).cast("int") + 1
+    ordered = F.array_sort(
+        F.transform("toks", lambda t: F.struct(F.xxhash64(t).alias("r"), t.alias("tok")))
+    )
+    prefix = F.transform(F.slice(ordered, 1, plen), lambda s: s["tok"])
+    pt = d.select("doc_id", F.explode(prefix).alias("ptok"))
+    cand = (
+        pt.alias("a")
+        .join(
+            pt.alias("b"),
+            (F.col("a.ptok") == F.col("b.ptok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        cand.join(
+            d.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("src_a") == F.col("src_b"))
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
     jacc = inter.cast("double") / union
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jacc >= 0.8)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jacc, 4).alias("jaccard"),
-        )
+        pairs.filter(jacc >= 0.8)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
 
@@ -239,14 +287,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", category="llm-dedup", oracle=None)  # xxhash sigs engine-specific
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per doc (sign of the
-    per-bit weighted sum of token hashes), candidates blocked on the
-    16-bit prefix, kept if Hamming distance ≤ 12.
-
-    Scale: signature build is one scan; the prefix block bounds the
-    pair join. bit_count(xor) is a single JVM intrinsic per pair."""
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig): 64-bit SimHash per document — sign of the per-bit
+    weighted sum of token hashes. One scan, all JVM higher-order funcs."""
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -269,23 +312,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = bit_cols[0]
     for bit in bit_cols[1:]:
         sig = F.shiftleft(sig, 1).bitwiseOR(bit)
-    sigs = hashes.select("doc_id", sig.alias("sig"))
+    return hashes.select("doc_id", sig.alias("sig"))
 
-    prefix = F.shiftrightunsigned("sig", 64 - _SIMHASH_PREFIX_BITS)
-    blocked = sigs.select("doc_id", "sig", prefix.alias("pfx"))
+
+def simhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs via multi-table banding: any of the 4 16-bit
+    bands equal ⇒ candidate. Returns (doc_a, doc_b, sig_a, sig_b)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftrightunsigned("sig", t * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
+                .alias("bv"),
+            )
+            for t in range(_SIMHASH_BANDS)
+        ]
+    )
+    blocked = sigs.select("doc_id", "sig", F.explode(bands).alias("bk")).select(
+        "doc_id", "sig", "bk.band", "bk.bv"
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(
             b,
-            (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= _HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register("q_dedup_simhash", category="llm-dedup", oracle=None)  # xxhash sigs engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature per doc, candidates from
+    4×16-bit multi-table banding (any band equal — no single-prefix
+    blind spot), kept if Hamming distance ≤ 3. Pigeonhole over the 4
+    bands makes the banding lossless at that radius: recall is exactly
+    1.0 vs brute force (pinned in tests/test_llm_quality.py).
+
+    Scale: signature build is one scan; each band value is a 16-bit key
+    whose block size is ~corpus/2^16 per band (uniform: signature bits
+    are hash-sign votes), so the pair join is bounded per bucket and
+    the quadratic term never sees the whole corpus. bit_count(xor) is a
+    single JVM intrinsic per pair."""
+    sigs = simhash_signatures(spark, sf_dir)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        simhash_candidates(sigs)
+        .filter(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
 
 
