@@ -1,0 +1,175 @@
+"""Scale-safe rewrites of the distribution-style window queries.
+
+The exact twins (q_window_dist / q_window_range_frame in analytics.py)
+partition their windows by `c_mktsegment` — 5 values — so one task
+sorts 20% of the table; fine as cross-engine oracles, fatal at 100 TB.
+These variants compute the SAME results (same DuckDB oracles) with no
+window partition proportional to table size:
+
+- q_window_dist_scalable: exact rank via bucket decomposition. Rows
+  get a value bucket (integer cents — injective, monotone); rank =
+  (prefix-summed count of lower buckets) + (row_number inside the
+  bucket). The only window over raw rows is partitioned by
+  (segment, bucket); the prefix-sum window runs over per-bucket count
+  rows, whose cardinality is bounded by the value domain (~1.1M cent
+  values for TPC-H acctbal), not by the data.
+- q_window_range_scalable: the ±100 RANGE frame count becomes
+  C(cents+10000) - C(cents-10001), with C evaluated by a sweep-line
+  running sum over per-cent counts plus zero-weight probe points —
+  two shuffle equi-joins against a domain-bounded helper relation;
+  no row-level pair join at all.
+
+Both decompositions require a value key with bounded domain/ties (true
+for any fixed-precision decimal); for unbounded domains substitute
+approx_percentile cut points as the bucket key at ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+_SEG = "c_mktsegment"
+
+
+def _cents(col):
+    """acctbal is cent-quantized; integer cents are an exact, monotone
+    bucket key (floor(x*100) would float-drift on values like 8280.65)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@register(
+    "q_window_dist_scalable",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_dist_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist per segment WITHOUT a segment-wide
+    sort: exact global rank = bucket offset + intra-bucket row_number,
+    then the three distribution functions are arithmetic on (rank, n).
+
+    Windows in this plan: raw rows are only ever partitioned by
+    (segment, cent-bucket) — tie-group sized; the offset prefix-sum
+    runs over per-bucket counts (domain-bounded, ~1.1M rows max
+    forever). ntile follows Spark/DuckDB semantics: first n%4 buckets
+    take the extra row. The order key (acctbal, custkey) is unique, so
+    cume_dist = rank/n exactly."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _SEG, "c_acctbal", _cents("c_acctbal").alias("bucket")
+    )
+    w_in = Window.partitionBy(_SEG, "bucket").orderBy("c_acctbal", "c_custkey")
+    rows = c.withColumn("r_in", F.row_number().over(w_in))
+
+    counts = c.groupBy(_SEG, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.partitionBy(_SEG).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        _SEG,
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy(_SEG)).alias("n"),
+    )
+
+    j = rows.join(offsets, [_SEG, "bucket"])
+    rank = (F.col("off") + F.col("r_in")).alias("rank")
+    j = j.select("c_custkey", _SEG, "n", rank)
+
+    # ntile(4): base = n//4 rows per bucket, first n%4 buckets get one more
+    base, rem = F.floor(F.col("n") / 4), F.col("n") % 4
+    big = rem * (base + 1)  # rows covered by the larger buckets
+    quartile = (
+        F.when(F.col("rank") <= big, F.floor((F.col("rank") + base) / (base + 1)))
+        .otherwise(rem + F.floor((F.col("rank") - big + base - 1) / base))
+        .cast("int")
+    )
+    pct_rank = F.when(
+        F.col("n") > 1, (F.col("rank") - 1).cast("double") / (F.col("n") - 1)
+    ).otherwise(F.lit(0.0))
+    cume = F.col("rank").cast("double") / F.col("n")
+    return j.select(
+        "c_custkey",
+        _SEG,
+        quartile.alias("quartile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
+    )
+
+
+@register(
+    "q_window_range_scalable",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+           COUNT(*) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal
+             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+           ) AS n_within_100
+    FROM customer
+    """,
+)
+def q_window_range_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peers within ±100.00 acctbal WITHOUT a segment-wide RANGE window:
+    in integer cents the frame is y ∈ [x-10000, x+10000], so the count
+    is C(x+10000) - C(x-10001) for C(k) = # rows with cents ≤ k.
+
+    Sweep-line evaluation of C at exactly the needed points: per
+    distinct cent value, emit its count (weight=cnt) plus two
+    zero-weight probes (one at cents+10000, one at cents-10001); a
+    single running sum ordered by (position, probe-after-value) yields
+    C at every probe. The sweep window holds ≤ 3 × distinct-cents rows
+    per segment — bounded by the fixed cent domain (~3.3M), not by row
+    count — and the base table rejoins its probe results with ordinary
+    uniform-key equi-joins. No pair join, no data-sized partition."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _SEG, "c_acctbal", _cents("c_acctbal").alias("cents")
+    )
+    counts = c.groupBy(_SEG, "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    values = counts.select(
+        _SEG, F.col("cents").alias("pos"), F.col("cnt").alias("w"),
+        F.lit(None).cast("long").alias("base"), F.lit(0).alias("is_probe"),
+    )
+    probe_hi = counts.select(
+        _SEG, (F.col("cents") + 10000).alias("pos"), F.lit(0).cast("long").alias("w"),
+        F.col("cents").alias("base"), F.lit(1).alias("is_probe"),
+    )
+    probe_lo = counts.select(
+        _SEG, (F.col("cents") - 10001).alias("pos"), F.lit(0).cast("long").alias("w"),
+        F.col("cents").alias("base"), F.lit(2).alias("is_probe"),
+    )
+    # probes sort AFTER the value at the same position, so the running
+    # sum at a probe is exactly C(pos)
+    w_sweep = Window.partitionBy(_SEG).orderBy("pos", "is_probe", "base").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = (
+        values.unionByName(probe_hi).unionByName(probe_lo)
+        .select(_SEG, "base", "is_probe", F.sum("w").over(w_sweep).alias("cum"))
+        .filter(F.col("is_probe") > 0)
+    )
+    hi = swept.filter("is_probe = 1").select(
+        _SEG, F.col("base").alias("cents"), F.col("cum").alias("c_hi")
+    )
+    lo = swept.filter("is_probe = 2").select(
+        _SEG, F.col("base").alias("cents"), F.col("cum").alias("c_lo")
+    )
+    return (
+        c.join(hi, [_SEG, "cents"])
+        .join(lo, [_SEG, "cents"])
+        .select(
+            "c_custkey",
+            _SEG,
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            (F.col("c_hi") - F.col("c_lo")).alias("n_within_100"),
+        )
+    )

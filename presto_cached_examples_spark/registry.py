@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.operators.windows",
     "presto_cached_examples_spark.operators.setops",
     "presto_cached_examples_spark.operators.analytics",
+    "presto_cached_examples_spark.operators.distwindows",
     "presto_cached_examples_spark.operators.skew",
     "presto_cached_examples_spark.operators.scalars",
     "presto_cached_examples_spark.functions.udfs",
@@ -106,6 +107,8 @@ _VERIFY_FRONT: tuple[str, ...] = (
     # round-1 red row (err: no_oracle) — re-verified with the new SQL oracle
     "q_agg_approx",
     # queries newly registered in round 2 (no driver row yet)
+    "q_window_dist_scalable",
+    "q_window_range_scalable",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks

@@ -126,3 +126,28 @@ def test_no_python_in_row_path(spark, name):
     p = plan_of(build(spark, name), mode="simple")
     for node in PYTHON_EVAL_NODES:
         assert node not in p, f"{name}: {node} leaked into the row path"
+
+
+def test_window_dist_scalable_has_no_rawrow_segment_window(spark):
+    """q_window_dist_scalable: any window that orders raw rows (by
+    c_acctbal) must be partitioned by (segment, bucket) — never by the
+    5-cardinality segment alone. The segment-only windows in this plan
+    run over per-bucket aggregate rows (domain-bounded)."""
+    import re
+
+    p = plan_of(build(spark, "q_window_dist_scalable"), mode="simple")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    assert specs
+    raw_row_specs = [s for s in specs if "c_acctbal" in s]
+    assert raw_row_specs, "expected an intra-bucket ranking window"
+    for s in raw_row_specs:
+        assert "bucket" in s, f"raw-row window not bucket-scoped: {s}"
+
+
+def test_window_range_scalable_has_no_range_frame(spark):
+    """q_window_range_scalable: the ±100 frame is rewritten into sweep
+    cumulative sums + equi-joins — the plan must contain no RANGE-frame
+    window at all (that was the single-partition scale hazard)."""
+    p = plan_of(build(spark, "q_window_range_scalable"), mode="simple")
+    assert "RangeFrame" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
