@@ -34,13 +34,27 @@ class IncrementalAggregator:
     """Maintains `SELECT <keys>, count(*), sum(v), min(v), max(v)
     GROUP BY <keys>` across arbitrarily many appended batches."""
 
-    def __init__(self, spark: SparkSession, keys: list[str], value_col: str, name: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        value_col: str,
+        name: str,
+        checkpoint_every: int = 8,
+    ):
         self.spark = spark
         self.keys = keys
         self.value_col = value_col
         self.publisher = SnapshotPublisher(spark, name)
+        self.checkpoint_every = checkpoint_every
         self._state: DataFrame | None = None
-        self._all_batches: list[DataFrame] = []  # kept for the "full" strategy
+        # Raw-history store for the "full" strategy: a single running
+        # union, lineage-truncated every `checkpoint_every` updates —
+        # NOT a kept-forever list of batch plans. At cluster scale this
+        # is the append-only ingest table itself; localCheckpoint is
+        # the single-process analog of reading back the durable store.
+        self._seen: DataFrame | None = None
+        self._n_updates = 0
 
     def _partial(self, df: DataFrame) -> DataFrame:
         v = F.col(self.value_col)
@@ -78,20 +92,27 @@ class IncrementalAggregator:
         """Fold one appended batch into the aggregate and publish.
 
         strategy="incremental" — merge the batch's partial agg into
-        state (dirty keys only). strategy="full" — recompute from every
-        batch seen (CLEAR_TYPE 2's memset-everything). Identical
-        results, different cost."""
-        self._all_batches.append(batch)
+        state (dirty keys only). strategy="full" — recompute from the
+        raw-history store (CLEAR_TYPE 2's memset-everything).
+        Identical results, different cost.
+
+        Lineage discipline: both the history store and the merged state
+        are localCheckpoint'ed every `checkpoint_every` updates, so plan
+        depth stays bounded no matter how many batches fold in — a
+        retired generation's recompute replays at most
+        `checkpoint_every` merges, never the whole chain."""
+        self._seen = batch if self._seen is None else self._seen.unionByName(batch)
         if strategy == "full" or self._state is None:
             if strategy == "incremental" and self._state is None:
                 new_state = self._partial(batch)
             else:
-                full = self._all_batches[0]
-                for b in self._all_batches[1:]:
-                    full = full.unionByName(b)
-                new_state = self._partial(full)
+                new_state = self._partial(self._seen)
         else:
             new_state = self._merge(self._state, self._partial(batch), self.keys)
+        self._n_updates += 1
+        if self._n_updates % self.checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+            self._seen = self._seen.localCheckpoint(eager=True)
         self._state = new_state
         return self.publisher.publish(self.result(new_state))
 

@@ -102,3 +102,32 @@ def test_incremental_equals_full_refresh(spark, batches):
     assert sorted(inc.result().collect(), key=key) == sorted(
         full.result().collect(), key=key
     )
+
+
+def test_incremental_lineage_stays_bounded(spark):
+    """50+ folded batches must not deepen the state's plan without
+    bound: localCheckpoint truncation every `checkpoint_every` updates
+    caps the explain-tree size, and results stay correct (sum over all
+    batches). Guards the retired-generation recompute cost (C4)."""
+    from presto_cached_examples_spark.streaming.incremental import IncrementalAggregator
+
+    agg = IncrementalAggregator(
+        spark, keys=["k"], value_col="v", name="prop_bounded", checkpoint_every=8
+    )
+    sizes = []
+    for i in range(52):
+        df = spark.createDataFrame([("a", float(i)), ("b", 1.0)], "k string, v double")
+        agg.update(df, strategy="incremental")
+        sizes.append(len(agg._state._jdf.queryExecution().toString()))
+    # after a checkpoint the plan resets to a scan of the checkpoint RDD;
+    # max plan size across updates must stay near the within-cycle peak,
+    # not grow with total batch count
+    peak_first_cycle = max(sizes[:8])
+    assert max(sizes) <= peak_first_cycle * 2, (
+        f"plan size grew unbounded: first-cycle peak {peak_first_cycle}, "
+        f"overall max {max(sizes)}"
+    )
+    rows = {r.k: (r.n, r.sum_v) for r in agg.result().collect()}
+    assert rows["b"] == (52, 52.0)
+    assert rows["a"] == (52, round(sum(float(i) for i in range(52)), 2))
+    agg.publisher.drop()
