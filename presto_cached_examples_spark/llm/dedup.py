@@ -177,6 +177,27 @@ def _minhash_sigs(shingle_col):
     return [min_hash(k).alias(f"m{k}") for k in range(_N_HASHES)]
 
 
+def _band_structs(shingle_col):
+    """(band, bh) structs computed in ONE projection straight from the
+    shingle array — no intermediate 64-column signature row + restruct
+    layer (measured overhead at sf0.1, VERDICT r1 #7)."""
+
+    def min_hash(k: int):
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k))))
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[min_hash(b * _BAND_SIZE + i) for i in range(_BAND_SIZE)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+
+
 @register("q_dedup_near", category="llm-dedup", oracle=None)  # xxhash sigs are engine-specific
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering via MinHash + banded LSH.
@@ -207,25 +228,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    sigs = d.select("doc_id", *_minhash_sigs(F.col("sh")))
-
-    band_hashes = [
-        F.xxhash64(*[F.col(f"m{b * _BAND_SIZE + i}") for i in range(_BAND_SIZE)]).alias(
-            f"band{b}"
-        )
-        for b in range(_N_HASHES // _BAND_SIZE)
-    ]
-    banded = sigs.select("doc_id", *band_hashes)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                    for b in range(_N_HASHES // _BAND_SIZE)
-                ]
-            )
-        ).alias("bucket"),
+    buckets = d.select(
+        "doc_id", F.explode(_band_structs(F.col("sh"))).alias("bucket")
     ).select("doc_id", "bucket.band", "bucket.bh")
 
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -261,6 +265,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+
+    # Early exit: a clean corpus (no verified near-dup edge) needs no
+    # clustering jobs at all — every doc is its own singleton. The
+    # count is free: `verified` was just materialized.
+    if verified.isEmpty():
+        return d.select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_near_dups"),
+        )
 
     # Transitive clustering: connected components over the verified
     # pair graph, so chains (A~B, B~C) land in one cluster even when

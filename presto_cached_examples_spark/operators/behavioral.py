@@ -1,0 +1,130 @@
+"""Behavioral analytics over the events stream: funnels and cohort
+retention — the product-analytics queries an events table exists for.
+
+Both are pure multi-stage aggregations (no windows over raw rows, no
+pair joins): each stage reduces to per-user scalars before anything is
+joined, so shuffle volume is O(users), not O(events), and every join
+key (user_id) is uniform. At 100 TB these plans hold: the funnel is
+three filtered aggregates chained by broadcast-size per-user rows, and
+retention is two aggregates plus a count-distinct on (cohort, week).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+
+@register(
+    "q_events_funnel",
+    category="behavioral",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_no, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'click' AS stage, 2 AS stage_no, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, 3 AS stage_no, COUNT(*) AS n_users FROM p
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user advances a stage only
+    with an event strictly AFTER their previous stage's first event.
+
+    Each stage is filter → per-user MIN(ts) → join to the prior stage's
+    per-user row. The per-user stage relations shrink monotonically, so
+    the chained joins ride broadcast or small shuffles; raw events are
+    only ever scanned and filtered, never windowed or self-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+
+    def stage(df: DataFrame, name: str, no: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), F.lit(no).alias("stage_no"), "n_users"
+        )
+
+    return stage(v, "view", 1).unionByName(stage(c, "click", 2)).unionByName(
+        stage(p, "purchase", 3)
+    )
+
+
+@register(
+    "q_retention_cohort",
+    category="behavioral",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             DATE_TRUNC('week', e.ts) AS active_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           DATE_DIFF('day', cohort_week, active_week) // 7 AS week_no,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_no
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted once per (cohort, weeks-since-cohort) they were active in.
+
+    Two per-user aggregates and a distinct on (user, week) — shuffle
+    keys are user_id then (cohort, week): uniform, low-cardinality
+    output, no window over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("active_week"),
+        )
+        .distinct()
+    )
+    week_no = F.floor(
+        F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+    ).cast("long")
+    return activity.groupBy("cohort_week", week_no.alias("week_no")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
