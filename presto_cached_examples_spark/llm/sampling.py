@@ -1,0 +1,49 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Language-stratified downsampling is the standard knob for rebalancing
+a multilingual pretraining mix. The selector here is a pure modulo on
+doc_id, which makes the sample (a) exactly reproducible across runs
+and engines — hence SQL-oracle-checkable, (b) a plain pushdown-able
+filter: no shuffle, no sort, no reservoir state, O(rows) at any scale.
+At 100 TB substitute pmod(xxhash64(doc_id), 100) to decorrelate from
+id assignment order — same plan, engine-specific hash, so the oracle
+twin uses the modulo form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+# per-language keep quota out of 10 (en-heavy corpora downsample en last)
+_QUOTAS = {"en": 8, "es": 5, "fr": 5, "de": 5}
+_DEFAULT_QUOTA = 2
+
+
+@register(
+    "q_sample_stratified",
+    category="llm-sampling",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 < CASE lang
+      WHEN 'en' THEN 8 WHEN 'es' THEN 5 WHEN 'fr' THEN 5 WHEN 'de' THEN 5
+      ELSE 2 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample: keep doc when
+    doc_id % 10 falls under the language's quota (en 80%, es/fr/de 50%,
+    rest 20%). A single scan + filter — the cheapest shape a sampler
+    can have; stratum rates are exact in expectation and reproducible
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    quota = F.lit(_DEFAULT_QUOTA)
+    for lang, q in _QUOTAS.items():
+        quota = F.when(F.col("lang") == lang, q).otherwise(quota)
+    return d.filter(F.col("doc_id") % 10 < quota).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

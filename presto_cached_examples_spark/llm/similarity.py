@@ -117,6 +117,114 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+_KMEANS_NPROBE = 2
+
+
+def _dist2_to(cent: list[float]):
+    """Squared L2 distance from column `v` to a centroid literal."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_ranking(cents: list[list[float]]):
+    """Array of cell ids ordered by distance ascending (structs sort
+    field-wise, so (dist, idx) min-sorts correctly)."""
+    return F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_dist2_to(c).alias("d"), F.lit(i).alias("cell"))
+                    for i, c in enumerate(cents)
+                ]
+            )
+        ),
+        lambda s: s["cell"],
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> list[list[float]]:
+    """Lloyd's k-means over the `v` column, expressed as DataFrame jobs.
+
+    Per iteration: assign = nearest-centroid id from broadcast literal
+    centroids (map-side, no shuffle); update = posexplode + per-(cell,
+    dim) mean — one shuffle keyed by (cell, dim), k×dim tiny rows back
+    to the driver. The only collected data is centroid-sized (k×dim
+    floats), never row-sized; init is deterministic (first k vectors by
+    xxhash64(vec_id) — a seeded pseudo-random draw). At 100 TB this
+    runs on an ingest-time sample, and the learned centroids persist as
+    the IVF coarse quantizer."""
+    cents = [
+        [float(x) for x in r.v]
+        for r in corpus.select("v")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_cell_ranking(cents), 1).alias("cell"), "v"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        cents = [
+            [by_cell[c][d] for d in range(len(cents[0]))] if c in by_cell else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
+@register("q_sim_topk_kmeans", category="llm-similarity", oracle=None)
+def q_sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: k-means cells replace
+    q_sim_topk_ivf's label stand-in. Probes search their nprobe=2
+    nearest cells, then exact cosine reranks within them.
+
+    The serving plan is identical to q_sim_topk_ivf — broadcast probes,
+    cell-equality join pruning the corpus, window top-k — so quantizer
+    quality affects only recall (pinned vs brute force in
+    tests/test_similarity.py), never the plan shape."""
+    corpus = _corpus(spark, sf_dir)
+    cents = kmeans_centroids(corpus)
+    cell = F.element_at(_cell_ranking(cents), 1)
+    indexed = corpus.withColumn("cell", cell)
+    probes = (
+        indexed.filter(F.col("vec_id") < _N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+            F.slice(_cell_ranking(cents), 1, _KMEANS_NPROBE).alias("pcells"),
+        )
+        .select("probe_id", "pv", "pnrm", F.explode("pcells").alias("cell"))
+    )
+    cos = _dot(F.col("pv"), F.col("v")) / (F.col("pnrm") * F.col("nrm"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(probes)
+        .join(indexed, ["cell"])
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", F.round(cos, 4).alias("cosine"))
+        .withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= _TOP_K)
+        .select("probe_id", "vec_id", "cosine", "k")
+    )
+
+
 @register("q_sim_topk_ivf", category="llm-similarity", oracle=None)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the coarse quantizer is the `label` column (at

@@ -303,3 +303,32 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias("n_discounted"),
         _r2(F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice")))).alias("avg_price_bulk"),
     )
+
+
+@register(
+    "q_agg_bitwise",
+    category="aggregation",
+    oracle="""
+    SELECT
+      event_type,
+      BIT_AND(user_id) AS all_bits,
+      BIT_OR(user_id)  AS any_bits,
+      BIT_XOR(user_id) AS parity_bits
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold over a key column) — the
+    flag-mask summaries bitmap indexes and feature-flag rollups use.
+    Fully mergeable single-long state per group: map-side partials
+    carry one 8-byte value, the cheapest aggregate state there is."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("all_bits"),
+            F.bit_or("user_id").alias("any_bits"),
+            F.bit_xor("user_id").alias("parity_bits"),
+        )
+    )

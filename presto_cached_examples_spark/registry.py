@@ -30,6 +30,8 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.operators.setops",
     "presto_cached_examples_spark.operators.analytics",
     "presto_cached_examples_spark.operators.distwindows",
+    "presto_cached_examples_spark.operators.behavioral",
+    "presto_cached_examples_spark.llm.sampling",
     "presto_cached_examples_spark.operators.skew",
     "presto_cached_examples_spark.operators.scalars",
     "presto_cached_examples_spark.functions.udfs",
@@ -109,6 +111,11 @@ _VERIFY_FRONT: tuple[str, ...] = (
     # queries newly registered in round 2 (no driver row yet)
     "q_window_dist_scalable",
     "q_window_range_scalable",
+    "q_events_funnel",
+    "q_retention_cohort",
+    "q_sample_stratified",
+    "q_agg_bitwise",
+    "q_sim_topk_kmeans",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
