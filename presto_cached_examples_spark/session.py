@@ -24,6 +24,46 @@ def default_cpus() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def detect_resources() -> dict[str, int]:
+    """C9 analog of the reference's `PicoPlusPsram::Detect()`
+    (/root/reference/src/PicoPlusPsram.cpp:32-105): probe what the
+    runtime actually has — cores and available memory — instead of
+    trusting static defaults. On a cluster the same numbers come from
+    the resource manager; here they size shuffle width and split bytes."""
+    cores = os.cpu_count() or 4
+    mem_bytes = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_bytes = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    return {"cores": cores, "available_mem_bytes": mem_bytes}
+
+
+def derived_conf(cores: int, mem_bytes: int) -> dict[str, int]:
+    """Size the partition knobs from detected resources.
+
+    shuffle_partitions = cores (floor 4): one reducer wave; AQE
+    coalesces small outputs and splits skew, so over-provisioning here
+    only adds scheduling overhead at this scale (at cluster scale use
+    2-3× total cores to hide stragglers). max_partition_bytes targets
+    ≥8 concurrent splits per core staying well under available memory,
+    clamped to [16 MiB, 128 MiB]."""
+    shuffle_partitions = max(cores, 4)
+    if mem_bytes > 0:
+        per_task = mem_bytes // (cores * 8)
+        max_partition_bytes = max(16 << 20, min(128 << 20, per_task))
+    else:
+        max_partition_bytes = 128 << 20
+    return {
+        "shuffle_partitions": shuffle_partitions,
+        "max_partition_bytes": max_partition_bytes,
+    }
+
+
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -42,8 +82,12 @@ def get_session(
     handling, broadcast threshold.
     """
     cpus = str(cpus if cpus is not None else default_cpus())
+    res = detect_resources()
+    sized = derived_conf(
+        res["cores"] if cpus == "*" else max(int(cpus), 1), res["available_mem_bytes"]
+    )
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+        shuffle_partitions = sized["shuffle_partitions"]
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -56,7 +100,7 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(sized["max_partition_bytes"]))
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as int64 ns and convert at the catalog edge
