@@ -388,39 +388,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_embed", category="llm-dedup", oracle=None)  # float accumulation order
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.25), blocked by label.
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.25), blocked by a
+    LEARNED coarse quantizer: k-means cells (llm/similarity.py's Lloyd
+    loop), each vector assigned to its nprobe=2 nearest cells so true
+    near-dup pairs straddling a cell boundary still meet in a block.
 
     The fixture embeddings are near-random (max pairwise cosine ≈ 0.51,
     p99 ≈ 0.3), so the threshold sits at the p99 tail to emit the
     genuinely-closest pairs; with real near-duplicate embeddings the
     knob moves to ~0.95 without any plan change.
 
-    Scale: label (or any coarse quantizer — see q_sim_topk_ivf) bounds
-    the quadratic pair join; dot products are JVM higher-order-function
-    folds over array<float> — no Python, no UDF."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark).select(
+    Scale: the cell id bounds the quadratic pair join (cells trained at
+    ingest, assignment is a map-side broadcast expression); dot
+    products are JVM higher-order-function folds over array<float> —
+    no Python, no UDF. Multi-probe duplicates collapse via
+    dropDuplicates on the id pair before the dot products run."""
+    from presto_cached_examples_spark.llm.similarity import (
+        _KMEANS_NPROBE,
+        _cell_ranking,
+        _corpus,
+        kmeans_centroids,
+    )
+
+    e = _corpus(spark, sf_dir)
+    cents = kmeans_centroids(e)
+    cells = e.select(
         "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "v",
+        "nrm",
+        F.explode(F.slice(_cell_ranking(cents), 1, _KMEANS_NPROBE)).alias("cell"),
     )
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    e = e.select("vec_id", "label", "v", norm.alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    ids = cells.select("vec_id", "cell")
+    a, b = ids.alias("a"), ids.alias("b")
+    # ids-only bucket join + pair dedup (multi-probe collisions), then
+    # fetch vectors once per surviving pair — arrays stay off the
+    # bucket shuffle, as in q_dedup_near
+    pairs = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.25)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
+    vecs = e.select("vec_id", "v", "nrm")
+    pairs = pairs.join(
+        vecs.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ),
+        "vec_a",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        ),
+        "vec_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
+    ).filter(F.col("cosine") >= 0.25)

@@ -258,3 +258,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", toks)).alias("full_fp"),
         F.array_min(win_fps).alias("min_shingle_fp"),
     )
+
+
+@register(
+    "q_text_vocab",
+    category="llm-text",
+    oracle="""
+    SELECT tok,
+           COUNT(*)                AS n_occurrences,
+           COUNT(DISTINCT doc_id)  AS doc_freq
+    FROM (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-20 tokens by total occurrences with their
+    document frequency — the heavy-hitter profile a tokenizer/BPE
+    training pass starts from.
+
+    Scale: explode → two-phase aggregate on the token key → global
+    top-20 via sort+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition top-N, no full sort). Token-frequency skew ("the")
+    is exactly what map-side partial aggregation absorbs. Deterministic
+    tie-break on token keeps the LIMIT hash-stable across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(20)
+    )

@@ -116,6 +116,7 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_sample_stratified",
     "q_agg_bitwise",
     "q_sim_topk_kmeans",
+    "q_text_vocab",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
