@@ -39,7 +39,7 @@ def detect_resources() -> dict[str, int]:
                     mem_bytes = int(line.split()[1]) * 1024
                     break
     except OSError:
-        pass
+        mem_bytes = 0  # non-linux or unreadable /proc — sizes fall back
     return {"cores": cores, "available_mem_bytes": mem_bytes}
 
 
