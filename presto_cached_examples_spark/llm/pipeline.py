@@ -1,0 +1,225 @@
+"""Training-data pipeline operators over `documents` (north-star family;
+extends SURVEY.md §2.C): chunking, sequence packing, decontamination,
+and normalization — the steps between a raw crawl and a tokenizer.
+
+All four are single-scan, JVM-side plans (split/slice/HOF/window — no
+Python in the row path) and each has an exact DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.sources.catalog import load_table
+
+# Chunking: window of 32 tokens advancing by 24 (8-token overlap keeps
+# boundary context for retrieval); fixture docs are 10-99 tokens so most
+# docs produce 1-4 chunks. Real pipelines use ~512-token windows — only
+# the two constants change.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+# Packing: target sequence budget in tokens.
+_PACK_BUDGET = 256
+
+# Decontamination: n-gram size and eval-split modulus (doc_id % 20 == 0
+# → a deterministic 5% holdout standing in for an eval benchmark).
+_DECONTAM_N = 5
+_EVAL_MOD = 20
+
+_SCRUB_STOPWORDS = ("a", "the", "of", "data", "value")
+
+
+@register(
+    "q_chunk_docs",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(
+               0, CAST(FLOOR((LEN(toks) - 1) / {_CHUNK_STRIDE}) AS BIGINT)
+             )) AS chunk_id
+      FROM d
+    )
+    SELECT doc_id,
+           chunk_id,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                  chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' '
+           ) AS chunk_text,
+           LEN(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                    chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}])::BIGINT
+             AS n_tokens
+    FROM c
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (32 tokens,
+    stride 24) for retrieval / context-window ingestion. The window list
+    is built map-side with sequence→transform→slice and exploded — one
+    scan, no shuffle at all; at 100 TB this is a pure bandwidth-bound
+    flatMap whose output feeds the tokenizer shard-local."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    last_chunk = F.floor((F.size(toks) - 1) / _CHUNK_STRIDE).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), last_chunk),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, (i * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS).alias("ctoks"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.concat_ws(" ", "c.ctoks").alias("chunk_text"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' '))::BIGINT AS n_tokens,
+             SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT)        AS pack_offset
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for pretraining: concatenate documents in
+    doc_id order within each source shard and cut every 256 tokens; a
+    document belongs to the pack where it starts (pack_id) at byte-free
+    token offset pack_offset. One running-sum window per shard — the
+    partition key is `source`, so there is NO global sort: at 100 TB each
+    shard packs independently (exactly how real pipelines shard packing)
+    and the only shuffle is the hash partition on source. Cross-pack
+    straddle is intentional (standard causal-LM packing discards nothing;
+    the loader masks attention across the cut)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", ntok.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+@register(
+    "q_decontam",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, GREATEST(LEN(toks) - {_DECONTAM_N - 1}, 1))) AS i
+      FROM d
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + {_DECONTAM_N - 1}], ' ') AS gram
+      FROM pos
+    )
+    SELECT t.doc_id AS train_id,
+           e.doc_id AS eval_id,
+           COUNT(*) AS n_shared
+    FROM g t JOIN g e ON t.gram = e.gram
+    WHERE t.doc_id % {_EVAL_MOD} <> 0 AND e.doc_id % {_EVAL_MOD} = 0
+    GROUP BY t.doc_id, e.doc_id
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: report (train doc, eval doc) pairs
+    sharing at least one 5-token n-gram, with the shared-gram count —
+    the standard benchmark-leakage check run before training. The eval
+    split here is a deterministic 5% holdout (doc_id % 20 == 0).
+
+    Scale: the eval side (a benchmark suite) is tiny relative to the
+    corpus, so its exploded gram set is broadcast — the 100 TB train
+    scan never shuffles; each task probes the in-memory gram table and
+    only (train_id, eval_id) hits reach the aggregation. Grams are
+    joined as strings here for oracle transparency; at ingest you'd key
+    on xxhash64(gram) to shrink the broadcast table."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_DECONTAM_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _DECONTAM_N)),
+        )
+    )
+    docs = d.select("doc_id", grams.alias("grams"))
+    ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("grams").alias("gram")
+    )
+    tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("grams").alias("gram")
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "q_text_normalize",
+    category="llm-pipeline",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(toks, x -> NOT list_contains(
+               ['a', 'the', 'of', 'data', 'value'], x)), ' '
+           ) AS clean_text,
+           (LEN(toks) - LEN(list_filter(toks, x -> NOT list_contains(
+               ['a', 'the', 'of', 'data', 'value'], x))))::BIGINT
+             AS n_removed
+    FROM d
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization scrub: casefold, trim, drop stopword tokens; emit
+    the cleaned text plus how many tokens were removed (the audit
+    column a filtering pipeline logs). Pure map-side HOFs — a 100 TB
+    run is one pass, no shuffle, output written back shard-local."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    keep = F.filter(toks, lambda t: ~t.isin(*_SCRUB_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", keep).alias("clean_text"),
+        (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
+    )

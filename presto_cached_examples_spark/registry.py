@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.llm.dedup",
     "presto_cached_examples_spark.llm.similarity",
     "presto_cached_examples_spark.llm.multimodal",
+    "presto_cached_examples_spark.llm.pipeline",
     "presto_cached_examples_spark.streaming.windows",
 )
 
@@ -120,6 +121,18 @@ _VERIFY_FRONT: tuple[str, ...] = (
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Queries registered AFTER the round-2 front window filled (the window
+# holds exactly DRIVER_WINDOW names).  They are verified locally every
+# round (tools/check_oracles.py + tests/test_oracle_parity.py) and are
+# QUEUED for the round-3 rotation: next round, names below move to the
+# head of _VERIFY_FRONT and round-2-greened names drop out.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_decontam",
+    "q_text_normalize",
+)
 
 
 def register(name: str, oracle: str | None = None, category: str = "") -> Callable[[QueryFn], QueryFn]:

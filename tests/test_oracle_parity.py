@@ -47,10 +47,17 @@ def test_driver_window_covers_unverified_queries():
                 green.add(name)
     order = list(registry.all_specs())
     window = set(order[: registry.DRIVER_WINDOW])
+    queued = set(registry._VERIFY_NEXT)
     never_checked = set(order) - green
-    stranded = sorted(never_checked - window)
+    stranded = sorted(never_checked - window - queued)
     assert not stranded, (
         f"queries with no driver CORRECTNESS row outside the first "
         f"{registry.DRIVER_WINDOW}: {stranded} — add them to "
-        f"registry._VERIFY_FRONT"
+        f"registry._VERIFY_FRONT or queue them in registry._VERIFY_NEXT"
+    )
+    # the queue is only for overflow: it must never hide a query that
+    # would fit in the window, and queued names must exist
+    assert queued <= set(order), f"_VERIFY_NEXT names not registered: {queued - set(order)}"
+    assert len(registry._VERIFY_FRONT) >= registry.DRIVER_WINDOW or not queued, (
+        "_VERIFY_NEXT used while the front window still has free slots"
     )

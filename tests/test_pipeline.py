@@ -1,0 +1,136 @@
+"""Property tests for the training-data pipeline family (llm/pipeline.py):
+chunk reconstruction, pack-budget invariants, decontamination ground
+truth, and normalization scrub completeness.
+
+The SQL-oracle parity of these queries is covered by
+tests/test_oracle_parity.py; these tests pin the SEMANTIC contracts the
+oracle alone can't express (e.g. "chunks tile the document exactly").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.llm.pipeline import (
+    _CHUNK_STRIDE,
+    _CHUNK_TOKENS,
+    _DECONTAM_N,
+    _EVAL_MOD,
+    _PACK_BUDGET,
+    _SCRUB_STOPWORDS,
+    q_chunk_docs,
+    q_decontam,
+    q_pack_sequences,
+    q_text_normalize,
+)
+from presto_cached_examples_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL, SF_TINY
+
+
+def _doc_tokens(spark, sf):
+    rows = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    return {r.doc_id: r.text.split(" ") for r in rows}
+
+
+def test_chunks_tile_documents_exactly(spark):
+    """Every (position, token) of every document appears in the chunk at
+    the stride-derived position — chunking loses and invents nothing."""
+    docs = _doc_tokens(spark, SF_TINY)
+    chunks = q_chunk_docs(spark, SF_TINY).collect()
+    seen: dict[int, dict[int, str]] = {}
+    for r in chunks:
+        toks = r.chunk_text.split(" ")
+        assert r.n_tokens == len(toks)
+        assert r.n_tokens <= _CHUNK_TOKENS
+        for j, tok in enumerate(toks):
+            pos = r.chunk_id * _CHUNK_STRIDE + j
+            prev = seen.setdefault(r.doc_id, {}).setdefault(pos, tok)
+            assert prev == tok, f"doc {r.doc_id} pos {pos}: {prev!r} != {tok!r}"
+    for doc_id, toks in docs.items():
+        got = seen.get(doc_id, {})
+        assert len(got) == len(toks), f"doc {doc_id}: covered {len(got)}/{len(toks)}"
+        assert [got[i] for i in range(len(toks))] == toks
+
+
+def test_pack_sequences_budget_invariants(spark):
+    """Offsets stay inside the budget and packs fill contiguously: each
+    doc starts exactly where the previous doc in its shard ended."""
+    rows = q_pack_sequences(spark, SF_TINY).orderBy("source", "doc_id").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for seq in by_source.values():
+        cum = 0
+        for r in seq:
+            assert 0 <= r.pack_offset < _PACK_BUDGET
+            assert r.pack_id * _PACK_BUDGET + r.pack_offset == cum
+            cum += r.n_tokens
+
+
+def test_decontam_pairs_share_ngrams(spark):
+    """Every reported pair truly shares a 5-gram (no false positives),
+    crosses the split, and the brute-force pair set matches exactly."""
+    docs = _doc_tokens(spark, SF_SMALL)
+
+    def grams(toks):
+        n = _DECONTAM_N
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    g = {d: grams(t) for d, t in docs.items()}
+    expected = {}
+    for t_id, tg in g.items():
+        if t_id % _EVAL_MOD == 0:
+            continue
+        for e_id, eg in g.items():
+            if e_id % _EVAL_MOD != 0:
+                continue
+            shared = len(tg & eg)
+            if shared:
+                expected[(t_id, e_id)] = shared
+
+    got = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in q_decontam(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+    assert got, "fixture corpus should contain cross-split leakage"
+
+
+def test_normalize_scrubs_all_stopwords(spark):
+    docs = _doc_tokens(spark, SF_TINY)
+    out = q_text_normalize(spark, SF_TINY).collect()
+    stop = set(_SCRUB_STOPWORDS)
+    for r in out:
+        kept = [t for t in r.clean_text.split(" ") if t]
+        assert not stop & set(kept), f"doc {r.doc_id} kept stopwords"
+        toks = docs[r.doc_id]
+        assert r.n_removed == sum(1 for t in toks if t in stop)
+        assert kept == [t for t in toks if t not in stop]
+
+
+def test_chunk_plan_is_scan_shaped(spark):
+    """Chunking must not shuffle: the plan is scan → project/explode."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_chunk_docs(spark, SF_TINY).explain("simple")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """The eval gram table must broadcast so the train scan never
+    shuffles (the 100 TB contract in the docstring)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_decontam(spark, SF_TINY).explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
