@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.operators.windows",
     "presto_cached_examples_spark.operators.setops",
     "presto_cached_examples_spark.operators.analytics",
+    "presto_cached_examples_spark.operators.tpch_extra",
     "presto_cached_examples_spark.operators.distwindows",
     "presto_cached_examples_spark.operators.behavioral",
     "presto_cached_examples_spark.llm.sampling",
@@ -132,6 +133,16 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_pack_sequences",
     "q_decontam",
     "q_text_normalize",
+    # round-3 TPC-H-style block (operators/tpch_extra.py)
+    "q_volume_shipping",
+    "q_mkt_share",
+    "q_cust_order_dist",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    "q_disjunctive_revenue",
+    "q_sole_return_supplier",
+    "q_global_sales_opp",
 )
 
 
