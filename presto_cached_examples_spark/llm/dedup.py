@@ -386,7 +386,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_embed", category="llm-dedup", oracle=None)  # float accumulation order
+def _dedup_embed_oracle() -> str:
+    """DuckDB replay of the embedding near-dup pipeline: the learned
+    quantizer is reproducible cross-engine (llm/similarity.py's
+    determinism contract), so the multi-probe candidate set — and
+    therefore the verified pair set — is identical, not just similar."""
+    from presto_cached_examples_spark.llm.similarity import (
+        _KMEANS_NPROBE,
+        _kmeans_cells_sql,
+    )
+
+    return f"""
+WITH {_kmeans_cells_sql()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM rc a JOIN rc b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.r <= {_KMEANS_NPROBE} AND b.r <= {_KMEANS_NPROBE}
+),
+scored AS (
+  SELECT p.vec_a, p.vec_b,
+         ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cosine
+  FROM pairs p
+  JOIN nv na ON na.vec_id = p.vec_a
+  JOIN nv nb ON nb.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.25
+"""
+
+
+@register("q_dedup_embed", category="llm-dedup", oracle=_dedup_embed_oracle())
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.25), blocked by a
     LEARNED coarse quantizer: k-means cells (llm/similarity.py's Lloyd

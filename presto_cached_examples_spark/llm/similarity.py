@@ -9,8 +9,14 @@ Two paths:
   same-bucket candidates are scored. The 100 TB path: bucket join
   replaces the cross join, cost O(probes × bucket_size).
 
-Both rows-only: float accumulation order makes cross-engine hashes
-unstable, and DuckDB 1.0 lacks list_dot_product.
+Oracles (round 3): DuckDB 1.0 evaluates `list_dot_product`, so the
+exact and IVF variants carry ROUND(cos, 4) hash-checked SQL oracles;
+the learned-k-means variant's oracle replays the SAME deterministic
+Lloyd loop in SQL (md5-ordered init, per-dim means rounded to 6 dp —
+the rounding is what makes the learned centroids reproducible across
+engines despite summation-order drift). Only the LSH variant stays
+rows-only: its hyperplanes are Spark `xxhash64` draws, which DuckDB
+cannot recompute.
 """
 
 from __future__ import annotations
@@ -45,7 +51,43 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
 
 
-@register("q_sim_topk", category="llm-similarity", oracle=None)
+#: Shared oracle prelude: corpus vectors as doubles with their norms.
+_SQL_CORPUS = """
+e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+"""
+
+#: Top-k rerank tail shared by every oracle: rounded cosine, then
+#: row_number ordered by (cosine DESC, vec_id) — the identical
+#: deterministic tie-break the Spark queries use.
+_SQL_TOPK_TAIL = f"""
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS k
+  FROM scored
+)
+SELECT probe_id, vec_id, cosine, k FROM ranked WHERE k <= {_TOP_K}
+"""
+
+_SIM_TOPK_ORACLE = f"""
+WITH {_SQL_CORPUS},
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM nv p JOIN nv c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+{_SQL_TOPK_TAIL}
+"""
+
+
+@register("q_sim_topk", category="llm-similarity", oracle=_SIM_TOPK_ORACLE)
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors.
 
@@ -160,11 +202,17 @@ def kmeans_centroids(
     floats), never row-sized; init is deterministic (first k vectors by
     xxhash64(vec_id) — a seeded pseudo-random draw). At 100 TB this
     runs on an ingest-time sample, and the learned centroids persist as
-    the IVF coarse quantizer."""
+    the IVF coarse quantizer.
+
+    Determinism contract (round 3): init order is md5(vec_id) — a
+    seeded pseudo-random draw BOTH engines can evaluate — and each
+    per-dim mean is rounded to 6 dp, which absorbs summation-order
+    drift, so the learned centroids are bit-reproducible and the SQL
+    oracle (`_kmeans_cells_sql`) replays the identical loop."""
     cents = [
         [float(x) for x in r.v]
-        for r in corpus.select("v")
-        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        for r in corpus.select("vec_id", "v")
+        .orderBy(F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), F.col("vec_id"))
         .limit(k)
         .collect()
     ]
@@ -175,7 +223,7 @@ def kmeans_centroids(
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -188,7 +236,85 @@ def kmeans_centroids(
     return cents
 
 
-@register("q_sim_topk_kmeans", category="llm-similarity", oracle=None)
+def _kmeans_cells_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """SQL CTE chain replaying `kmeans_centroids` + cell ranking in
+    DuckDB: md5-ordered init, `iters` unrolled Lloyd stages (assign =
+    argmin distance with cell-id tie-break; update = per-dim AVG
+    rounded to 6 dp, empty cells keeping their old centroid), ending in
+    `rc(vec_id, v, nrm, cell, r)` — every vector's cells ranked by
+    distance. Distance uses |a|² − 2a·b + |b|²; a flip vs Spark's
+    Σ(aᵢ−bᵢ)² fold would need two centroids equidistant to ~1 ulp.
+
+    Generated (not hand-written) so k/iters stay in lockstep with the
+    Spark constants — this is what makes the learned quantizer
+    hash-checkable instead of rows-only."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c})"
+        )
+
+    parts = [
+        _SQL_CORPUS,
+        f"""
+c0 AS (
+  SELECT rn - 1 AS cell, v AS c FROM (
+    SELECT ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, v
+    FROM e) t
+  WHERE rn <= {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist('e.v', 'c.c')}, c.cell) AS r
+    FROM e CROSS JOIN c{i - 1} c) t
+  WHERE r = 1
+),
+m{i} AS (
+  SELECT cell, dim, ROUND(AVG(v[dim]), 6) AS mval
+  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS dim FROM a{i}) t
+  GROUP BY cell, dim
+),
+c{i} AS (
+  SELECT cell, list(mval ORDER BY dim) AS c FROM m{i} GROUP BY cell
+  UNION ALL
+  SELECT p.cell, p.c FROM c{i - 1} p
+  WHERE p.cell NOT IN (SELECT cell FROM m{i})
+)"""
+        )
+    parts.append(
+        f"""
+rc AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           ORDER BY {dist('n.v', 'c.c')}, c.cell) AS r
+  FROM nv n CROSS JOIN c{iters} c
+)"""
+    )
+    return ",".join(parts)
+
+
+_SIM_TOPK_KMEANS_ORACLE = f"""
+WITH {_kmeans_cells_sql()},
+scored AS (
+  SELECT p.vec_id AS probe_id, a.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, a.v) / (p.nrm * a.nrm), 4) AS cosine
+  FROM (SELECT * FROM rc WHERE vec_id < {_N_PROBES} AND r <= {_KMEANS_NPROBE}) p
+  JOIN (SELECT * FROM rc WHERE r = 1) a
+    ON a.cell = p.cell AND a.vec_id <> p.vec_id
+),
+{_SQL_TOPK_TAIL}
+"""
+
+
+@register("q_sim_topk_kmeans", category="llm-similarity", oracle=_SIM_TOPK_KMEANS_ORACLE)
 def q_sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer: k-means cells replace
     q_sim_topk_ivf's label stand-in. Probes search their nprobe=2
@@ -225,7 +351,19 @@ def q_sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_topk_ivf", category="llm-similarity", oracle=None)
+_SIM_TOPK_IVF_ORACLE = f"""
+WITH {_SQL_CORPUS},
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM nv p JOIN nv c ON c.label = p.label AND c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+{_SQL_TOPK_TAIL}
+"""
+
+
+@register("q_sim_topk_ivf", category="llm-similarity", oracle=_SIM_TOPK_IVF_ORACLE)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the coarse quantizer is the `label` column (at
     100 TB: k-means centroid ids materialized at ingest). Probes search
