@@ -30,6 +30,10 @@ from presto_cached_examples_spark.registry import register
 from presto_cached_examples_spark.sources.catalog import load_table
 
 #: Output schema of the feature extractor — fixed, declared, never inferred.
+#: The 8-bin histogram is emitted as SCALAR columns hist_0..hist_7 (not
+#: array<long>): list-valued cells crash pandas-side canonicalizers
+#: (sort_values → "unhashable type: list", CORRECTNESS_r02), and scalar
+#: bins are also directly SQL-comparable.
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -37,7 +41,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("max_byte", T.IntegerType()),
-        T.StructField("byte_hist", T.ArrayType(T.LongType())),
+        *[T.StructField(f"hist_{b}", T.LongType()) for b in range(8)],
     ]
 )
 
@@ -78,7 +82,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "n_bytes": int(arr.size),
                     "mean_byte": float(arr.mean()) if arr.size else 0.0,
                     "max_byte": int(arr.max()) if arr.size else 0,
-                    "byte_hist": hist.astype("int64").tolist(),
+                    **{f"hist_{b}": int(hist[b]) for b in range(8)},
                 }
             )
         yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -131,7 +135,29 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_mm_features", category="llm-multimodal", oracle=None)  # mapInPandas path
+#: The fixture carrier is UTF-8 text verified pure-ASCII at every SF
+#: (max codepoint 121), so byte value == codepoint and the oracle can
+#: explode characters; a non-ASCII regeneration would fail the check
+#: loudly, not silently.
+_MM_FEATURES_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unicode(unnest(string_split(text, ''))) AS b
+  FROM documents
+)
+SELECT doc_id,
+       'bytes'                  AS media_type,
+       CAST(COUNT(*) AS INT)    AS n_bytes,
+       AVG(b)                   AS mean_byte,
+       CAST(MAX(b) AS INT)      AS max_byte,
+""" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN b // 32 = {b} THEN 1 ELSE 0 END) AS BIGINT) AS hist_{b}"
+    for b in range(8)
+) + """
+FROM ch GROUP BY doc_id
+"""
+
+
+@register("q_mm_features", category="llm-multimodal", oracle=_MM_FEATURES_ORACLE)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 
@@ -225,21 +251,72 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
 
-@register("q_mm_resize", category="llm-multimodal", oracle=None)  # mapInPandas path
+#: The oracle replays the stride-downsample on the hex expansion of the
+#: payload: byte i of blob b == hex pair substr(hex(b), 2i+1, 2), so
+#: arr[::stride] is a strided hex-pair string_agg. Registered output
+#: carries payload_hex (not raw binary): bytes cells are a driver-
+#: canonicalizer hazard and hex is engine-neutral.
+_MM_RESIZE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, upper(hex(ENCODE(text))) AS hx,
+         CAST(octet_length(ENCODE(text)) AS INT) AS n
+  FROM documents
+),
+s AS (SELECT doc_id, hx, n, (n + {_RESIZE_TARGET - 1}) // {_RESIZE_TARGET} AS stride FROM b),
+idx AS (
+  SELECT doc_id, hx, n, stride, unnest(range(0, n, stride)) AS i FROM s
+)
+SELECT doc_id,
+       'bytes'                AS media_type,
+       n                      AS orig_bytes,
+       CAST(COUNT(*) AS INT)  AS new_bytes,
+       string_agg(substr(hx, i * 2 + 1, 2), '' ORDER BY i) AS payload_hex
+FROM idx
+GROUP BY doc_id, n
+"""
+
+
+@register("q_mm_resize", category="llm-multimodal", oracle=_MM_RESIZE_ORACLE)
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize over binary payloads (1→1 mapInPandas). Output payloads
     are bounded (≤ 64 bytes), so the downstream shuffle is bounded no
     matter how large the input media — resize-early is the multimodal
     analog of projection pushdown."""
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
-    return m.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA)
+    return m.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "orig_bytes",
+        "new_bytes",
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
-@register("q_mm_frames", category="llm-multimodal", oracle=None)  # mapInPandas path
+_MM_FRAMES_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, upper(hex(ENCODE(text))) AS hx,
+         octet_length(ENCODE(text)) AS n
+  FROM documents
+),
+f AS (SELECT doc_id, hx, CAST(n // {_FRAME_BYTES} AS INT) AS n_frames FROM b),
+idx AS (
+  SELECT doc_id, hx, n_frames,
+         CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INT) AS frame_idx
+  FROM f
+)
+SELECT doc_id, frame_idx, n_frames,
+       substr(hx, frame_idx * {2 * _FRAME_BYTES} + 1, {2 * _FRAME_BYTES}) AS frame_hex
+FROM idx
+"""
+
+
+@register("q_mm_frames", category="llm-multimodal", oracle=_MM_FRAMES_ORACLE)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1→N row-expanding
     mapInPandas): every 4th 16-byte frame becomes a row. The expansion
     happens inside the Python worker per Arrow batch — no driver
     involvement, no intermediate giant array column."""
     m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
-    return m.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return m.mapInPandas(sample_frames, schema=FRAME_SCHEMA).select(
+        "doc_id", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
+    )

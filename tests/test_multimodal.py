@@ -21,7 +21,8 @@ def test_features_schema_and_rows(spark):
     assert len(rows) == 500  # documents fixture is 500 rows at every sf
     r = {row.doc_id: row for row in rows}[0]
     assert r.n_bytes > 0 and 0 <= r.mean_byte <= 255
-    assert len(r.byte_hist) == 8 and sum(r.byte_hist) == r.n_bytes
+    hist = [r[f"hist_{b}"] for b in range(8)]
+    assert sum(hist) == r.n_bytes and all(h >= 0 for h in hist)
 
 
 def test_features_deterministic(spark):
@@ -52,12 +53,12 @@ def test_resize_payload_bounded_and_deterministic(spark):
     assert out
     for r in out:
         assert r.new_bytes <= mm._RESIZE_TARGET
-        assert r.new_bytes == len(r.payload)
+        assert r.new_bytes * 2 == len(r.payload_hex)  # hex pair per byte
         assert r.orig_bytes >= r.new_bytes
     # deterministic: python reference agrees on one sample
     sample = out[0]
     src = {m.doc_id: bytes(m.payload) for m in mm.media_table(spark, SF_TINY).collect()}
-    assert bytes(sample.payload) == mm.resize_payload(src[sample.doc_id], "bytes")
+    assert bytes.fromhex(sample.payload_hex) == mm.resize_payload(src[sample.doc_id], "bytes")
 
 
 def test_frame_sampling_expands_rows(spark):
@@ -69,7 +70,7 @@ def test_frame_sampling_expands_rows(spark):
     docs = {}
     for r in rows:
         assert r.frame_idx % mm._FRAME_STRIDE == 0
-        assert len(r.frame) <= mm._FRAME_BYTES
+        assert len(r.frame_hex) <= 2 * mm._FRAME_BYTES
         docs.setdefault(r.doc_id, []).append(r)
     # a doc with n frames emits ceil(n/stride) rows
     for doc_rows in docs.values():
