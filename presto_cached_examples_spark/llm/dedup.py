@@ -13,9 +13,16 @@ Four tiers, each with a different scale/recall trade-off:
 - simhash     — 64-bit signature, 4×16-bit multi-table banding,
                 Hamming ≤ 3 pairs (lossless at that radius).
 
-All signatures use Spark's xxhash64 (engine-specific), so the LSH and
-simhash variants are rows-only checks; the exact and ngram variants are
-hash-checked against DuckDB.
+Oracle status (round 3): exact, ngram, minhash-LSH, and embed are all
+hash-checked against DuckDB — minhash via the brute-force ground truth
+(its verify stage filters on TRUE Jaccard, which DuckDB can recompute;
+the xxhash64 candidate stage only decides which pairs get verified,
+and is exhaustive on the fixtures — see _DEDUP_NEAR_ORACLE), embed via
+the reproducible learned quantizer. Only simhash stays rows-only: its
+output filter is Hamming distance over the xxhash64 signatures
+THEMSELVES, so no engine-independent ground truth exists; its banding
+recall (1.0 at radius 3 by pigeonhole) is pinned vs brute force in
+tests/test_llm_quality.py instead.
 """
 
 from __future__ import annotations
@@ -198,7 +205,51 @@ def _band_structs(shingle_col):
     )
 
 
-@register("q_dedup_near", category="llm-dedup", oracle=None)  # xxhash sigs are engine-specific
+#: Brute-force oracle: DuckDB cannot replay the xxhash64 minhash
+#: signatures, but it CAN compute the ground truth the LSH pipeline
+#: approximates — all-pairs shingle Jaccard ≥ 0.5, connected components
+#: via a recursive reachability CTE. Banding at 16×4 misses a pair with
+#: P=(1−j⁴)¹⁶; every fixture near-dup pair has j ≥ 0.889 (measured at
+#: all SFs), so the miss probability is ~1e-7 per pair AND the minhash
+#: draw is deterministic (fixed xxhash64 seeds) — the verified edge set
+#: equals ground truth on these fixtures, making the driver hash check
+#: exact, not probabilistic.
+_DEDUP_NEAR_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+  FROM documents
+),
+verified AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(m) AS cluster_id FROM reach GROUP BY node),
+degree AS (SELECT a AS doc_id, COUNT(*) AS n FROM edges GROUP BY a)
+SELECT d.doc_id,
+       l.cluster_id,
+       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_near_dups
+FROM d
+JOIN labels l ON l.node = d.doc_id
+LEFT JOIN degree g ON g.doc_id = d.doc_id
+"""
+
+
+@register("q_dedup_near", category="llm-dedup", oracle=_DEDUP_NEAR_ORACLE)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering via MinHash + banded LSH.
 
@@ -364,7 +415,12 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", category="llm-dedup", oracle=None)  # xxhash sigs engine-specific
+# Rows-only BY NECESSITY (final): the emitted pairs are filtered on
+# Hamming distance over the xxhash64 signatures themselves — unlike
+# q_dedup_near there is no engine-independent quantity to recompute,
+# and DuckDB has no xxhash64. Correctness is pinned the other way:
+# recall 1.0 vs brute-force Hamming (tests/test_llm_quality.py).
+@register("q_dedup_simhash", category="llm-dedup", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature per doc, candidates from
     4×16-bit multi-table banding (any band equal — no single-prefix

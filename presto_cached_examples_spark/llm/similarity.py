@@ -131,6 +131,11 @@ def _bucket(v_col):
     return bucket
 
 
+# Rows-only BY NECESSITY (final): the candidate set is defined by
+# xxhash64-derived hyperplane buckets, which DuckDB cannot recompute;
+# unlike the k-means quantizer there is no trained state to replay —
+# the hash IS the index. Recall vs exact top-k is pinned in
+# tests/test_similarity.py.
 @register("q_sim_topk_lsh", category="llm-similarity", oracle=None)
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: candidates share the probe's
