@@ -47,9 +47,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style volume shipping: bilateral trade revenue between
     one nation pair per ship year. Supplier and customer sides each
     pre-join their nation dimension (broadcast) so the disjunctive
-    nation-pair predicate becomes a plain filter BEFORE the fact joins;
-    at 100 TB the lineitem scan is the only big input and both
-    dimension joins stay map-side."""
+    nation-pair predicate becomes a plain filter BEFORE the fact joins.
+    The nation dim is a forced broadcast; the supplier/customer slices
+    grow with SF, so they carry no forced hint — AQE broadcasts them
+    while they fit and falls back to shuffle join beyond that."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
@@ -73,9 +74,9 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -91,8 +92,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND(ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END), 2)
+                 / ROUND(SUM(volume), 2), 4) AS mkt_share
     FROM (
       SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -115,10 +116,13 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style national market share: one nation's fraction of
     regional revenue for one part type, per order year. Every dimension
-    (part slice, supplier+nation, customer+nation+region slice) is a
-    broadcast; lineitem and orders are the only shuffled inputs, and
-    the p_type / region filters shrink the probe tables before the fact
-    scan is touched — the 100 TB plan is fact-scan-bound."""
+    slice (part slice, supplier+nation, customer+nation+region slice)
+    shrinks before the fact scan is touched; the bounded dims (nation,
+    region) are forced broadcasts, while the SF-proportional slices are
+    left to AQE, which promotes them to broadcast exactly while they
+    fit (at fixture scale: always) instead of OOMing the driver at
+    100 TB. Both revenue sums round to cents BEFORE the division so
+    summation-order drift cannot flip the 4th decimal of the share."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -143,16 +147,18 @@ def q_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     v = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_asia, o.o_custkey == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
         .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
     )
     return v.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0.0)), 2
+            )
+            / F.round(F.sum("volume"), 2),
             4,
         ).alias("mkt_share")
     )
@@ -225,9 +231,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
+    # mx is a 1-row aggregate — forced broadcast; supplier grows with
+    # SF, so no hint (AQE promotes it while it fits)
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -250,17 +258,18 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity revenue: lineitems of one brand
     whose quantity is below half the part's average order quantity.
     The correlated AVG decorrelates into one per-part aggregate joined
-    back on partkey; restricting to the brand's parts FIRST (broadcast
-    semi) means the threshold aggregate only shuffles the brand slice,
-    not all 100 TB of lineitem."""
+    back on partkey; restricting to the brand's parts FIRST means the
+    threshold aggregate only shuffles the brand slice, not all 100 TB
+    of lineitem. The brand slice and per-part thresholds grow with SF,
+    so neither carries a forced broadcast hint — AQE decides."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf_dir, "lineitem")
-    brand_items = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    brand_items = li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     thresh = brand_items.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("qty_thresh")
     )
     return (
-        brand_items.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        brand_items.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -291,16 +300,18 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style large-volume orders: top-100 orders whose total
     quantity exceeds a threshold, with their customer. The HAVING
     subquery is the same fact aggregation the outer query needs, so it
-    is computed ONCE and semi-joined (the >250 key set is tiny →
-    broadcast); no second lineitem scan. The LIMIT is
-    TakeOrderedAndProject with an explicit orderkey tie-break."""
+    is computed ONCE and joined back; no second lineitem scan. The
+    filtered key set is selective but still SF-proportional, so it
+    carries no forced broadcast hint (AQE promotes it while it fits).
+    The LIMIT is TakeOrderedAndProject with an explicit orderkey
+    tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_order = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty"))
     big = per_order.filter(F.col("total_qty") > 250)
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -328,8 +339,9 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand/size/quantity clauses spanning both join sides. The
     join-independent parts of the disjunction (brand ∈ {1,2,3}, the
     quantity hull 1-30) are factored out and pushed to each scan so
-    the broadcast hash join probes only candidate rows; the full
-    disjunction applies post-join."""
+    the hash join probes only candidate rows; the full disjunction
+    applies post-join. The brand slice of part is SF-proportional, so
+    no forced broadcast — AQE decides per run."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
     cond = (
@@ -338,7 +350,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -391,7 +403,7 @@ def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -411,21 +423,32 @@ def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(p.c_acctbal), 2) AS totacctbal
     FROM pool p
     WHERE p.c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY p.c_nationkey
     """,
 )
 def q_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style sales opportunity: well-funded customers in
-    selected nations who never ordered. The scalar average is one tiny
+    selected nations with no URGENT order. (The classic "never ordered"
+    predicate is vacuous on the driver fixtures — every customer has
+    orders at every SF — so the anti-join target is the urgent-order
+    slice, which keeps the result non-empty at sf0.001/0.01/0.1 and the
+    parity check meaningful; ADVICE r2.) The scalar average is one tiny
     aggregate broadcast back; the NOT EXISTS is a left-anti join
-    against the orders key projection — both scale-safe (the anti join
-    shuffles only custkeys). Customer pool filter reaches the scan."""
+    against the filtered orders key projection — both scale-safe (the
+    anti join shuffles only custkeys). Customer pool filter reaches the
+    scan."""
     pool = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 7, 12, 18)
     )
     avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
-    o_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         pool.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
