@@ -138,18 +138,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); set the legacy read
-        # conf defensively (it is runtime-settable) so the engine works
-        # from ANY session, not only ones built by get_session().
+        # Fixture generations have stored ts as TIMESTAMP(NANOS) or
+        # TIMESTAMP(MICROS); set the legacy read conf defensively (it is
+        # runtime-settable) so a NANOS file reads as int64 ns from ANY
+        # session, not only ones built by get_session().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as int64 ns (session sets
-        # spark.sql.legacy.parquet.nanosAsLong). Integer-divide to µs —
-        # identical truncation to DuckDB's ns→µs read — then to timestamp.
+        # Normalize ts to session-tz TimestampType whatever the footer
+        # says: int64 ns (NANOS + nanosAsLong) integer-divides to µs —
+        # identical truncation to DuckDB's ns→µs read; MICROS arrives as
+        # timestamp/timestamp_ntz and only needs the type unified (the
+        # session runs UTC, so the cast is wall-clock-identity).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     expected = [f.name for f in SCHEMAS[name].fields]
     if list(df.columns) != expected:

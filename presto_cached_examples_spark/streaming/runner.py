@@ -17,24 +17,31 @@ from pyspark.sql import functions as F
 from presto_cached_examples_spark.sources.catalog import SCHEMAS, table_path
 
 # Streaming reads declare the schema explicitly (no inference in the
-# engine core) — but events.parquet physically stores ts as
-# TIMESTAMP(NANOS), which the session reads as long (nanosAsLong).
-_EVENTS_PHYSICAL = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+# engine core) — but fixture generations have stored ts as either
+# TIMESTAMP(NANOS) (reads as long under nanosAsLong) or
+# TIMESTAMP(MICROS); a cheap batch footer read picks the right one.
+_EVENTS_PHYSICAL_NS = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+_EVENTS_PHYSICAL_US = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (file source; one file = one
-    initial micro-batch under AvailableNow). ts converted ns→µs exactly
-    as the batch catalog does."""
+    initial micro-batch under AvailableNow). ts normalized to
+    TimestampType exactly as the batch catalog does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # driver-only footer peek to learn this generation's physical type
+    ts_is_long = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"] == "bigint"
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(_EVENTS_PHYSICAL_NS if ts_is_long else _EVENTS_PHYSICAL_US)
         # the fixture is a single parquet *file* and the file stream
         # source requires a directory path — so stream the directory
         # with a glob filter selecting only the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
