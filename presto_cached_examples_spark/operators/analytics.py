@@ -148,22 +148,17 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "metric", F.round("v", 2).alias("val"))
 
 
-@register(
-    "q_window_dist",
-    category="window",
-    oracle="""
-    SELECT c_custkey, c_mktsegment,
-           ntile(4)       OVER w AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist()    OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-    """,
-)
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window distribution functions (ntile / percent_rank / cume_dist)
     per market segment. The order key is (acctbal, custkey) — unique —
-    so every rank is deterministic across engines and partitionings."""
+    so every rank is deterministic across engines and partitionings.
+
+    NOT registered (round 3): the plan windows over partitionBy(
+    c_mktsegment) — 5 values — so one task sorts 20% of the table, a
+    scale-killer at 100 TB. Kept as the straight-line oracle twin that
+    tests/test_plans.py::test_window_dist_exact_equals_scalable checks
+    the registered scale-safe rewrite (distwindows.py:q_window_dist_
+    scalable) against row-for-row."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -476,22 +471,15 @@ def q_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_window_range_frame",
-    category="window",
-    oracle="""
-    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
-           COUNT(*) OVER (
-             PARTITION BY c_mktsegment ORDER BY c_acctbal
-             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
-           ) AS n_within_100
-    FROM customer
-    """,
-)
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric order key: peers within ±100 acctbal.
     RANGE bounds are value-based (unlike ROWS), so ties and gaps in the
-    order column are handled identically by both engines."""
+    order column are handled identically by both engines.
+
+    NOT registered (round 3): same data-proportional window partition
+    as q_window_dist above. Oracle twin for the registered scale-safe
+    sweep-line rewrite (distwindows.py:q_window_range_scalable),
+    cross-checked in tests/test_plans.py."""
     c = load_table(spark, sf_dir, "customer")
     w = (
         Window.partitionBy("c_mktsegment")

@@ -151,3 +151,28 @@ def test_window_range_scalable_has_no_range_frame(spark):
     p = plan_of(build(spark, "q_window_range_scalable"), mode="simple")
     assert "RangeFrame" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_window_dist_exact_equals_scalable(spark):
+    """The demoted exact twin (straight window over segment — the
+    readable formulation) and the registered bucket-decomposed rewrite
+    must agree row-for-row; this is the twin's remaining job now that
+    it is off the registered surface."""
+    from presto_cached_examples_spark.operators.analytics import q_window_dist
+
+    exact = q_window_dist(spark, SF_TINY)
+    scalable = build(spark, "q_window_dist_scalable")
+    assert _rows(exact) == _rows(scalable)
+
+
+def test_window_range_exact_equals_scalable(spark):
+    """Same cross-validation for the RANGE-frame pair."""
+    from presto_cached_examples_spark.operators.analytics import q_window_range_frame
+
+    exact = q_window_range_frame(spark, SF_TINY)
+    scalable = build(spark, "q_window_range_scalable")
+    assert _rows(exact) == _rows(scalable)
