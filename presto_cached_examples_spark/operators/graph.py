@@ -46,7 +46,16 @@ def _driver_union_find(spark, edge_rows):
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node long, component long")
+    # Ship the labels as Arrow batches → a JVM LocalTableScan. The
+    # pickle path (createDataFrame on a list) plans a ParallelCollection
+    # + PythonRDD, and every downstream stage that scans it round-trips
+    # through Python workers — profiled at sf0.1, that stall (43 s task
+    # run time vs 1.3 s CPU) dominated q_dedup_near's clustering jobs.
+    import pandas as pd
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pdf = pd.DataFrame(rows, columns=["node", "component"]).astype("int64")
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(
