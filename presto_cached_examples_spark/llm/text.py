@@ -299,3 +299,126 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "tok")
         .limit(20)
     )
+
+
+@register(
+    "q_token_freq_cms",
+    category="llm-text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS exact_n FROM t WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, exact_n, TRUE AS within_band
+    FROM counts
+    ORDER BY exact_n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts cross-checked against a Count-Min
+    sketch, q_agg_approx's accuracy-band pattern: emit the exact top-20
+    (hash-stable on both engines) plus a flag asserting the CMS
+    estimate respects its guarantee, exact <= est <= exact + eps*N.
+    The oracle pins the flag to TRUE — the sketch is seeded, so the
+    estimate is deterministic per fixture and a guarantee violation
+    (or a broken sketch merge) flips the hash.
+
+    Scale: the sketch is the point — F.count_min_sketch is a mergeable
+    aggregate (each partition sketches locally, partials merge in one
+    reduce), so a 100 TB token stream folds into a fixed 7x27k counter
+    grid with no token-key shuffle at all; only the exact top-20 side
+    shuffles (two-phase agg + TakeOrderedAndProject). The 20 driver-side
+    probe lookups replace a second full scan. Driver materializes 20
+    rows + one ~1.5 MB sketch - bounded regardless of corpus size."""
+    import pandas as pd
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    eps, conf, seed = 0.0001, 0.999, 42
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+        .collect()
+    )
+    agg = toks.agg(
+        F.count_min_sketch("tok", F.lit(eps), F.lit(conf), F.lit(seed)).alias("cms"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).head()
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["cms"])
+    )
+    slack = int(eps * agg["n_total"]) + 1
+    rows = [
+        (
+            r["tok"],
+            r["exact_n"],
+            r["exact_n"] <= sketch.estimateCount(r["tok"]) <= r["exact_n"] + slack,
+        )
+        for r in top
+    ]
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pdf = pd.DataFrame(rows, columns=["tok", "exact_n", "within_band"])
+    return spark.createDataFrame(pdf.astype({"exact_n": "int64"}))
+
+
+@register(
+    "q_text_tfidf",
+    category="llm-text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t WHERE tok <> '' GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           ROUND(tf.tf * LN(n.n_docs::DOUBLE / df.df), 2) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    WHERE tf.tf >= 2
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token) for tokens appearing >= 2x in a doc —
+    the keyword-extraction / quality-feature score a filtering pipeline
+    attaches before sampling.
+
+    Scale: two two-phase aggregates (term freq keyed by (doc, tok),
+    doc freq keyed by tok) and one equi-join on the token key; the
+    1-row corpus count joins as a literal broadcast. Token-key skew
+    ("the") is absorbed by map-side partial aggregation before either
+    shuffle; the tf >= 2 filter prunes the long unigram tail before
+    the join. ROUND(x, 2) keeps the double hash-stable cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).filter(
+        F.col("tf") >= 2
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 2
+            ).alias("tfidf"),
+        )
+    )

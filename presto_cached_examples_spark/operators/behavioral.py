@@ -128,3 +128,54 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", week_no.alias("week_no")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_events_rollup",
+    category="behavioral",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             SUM(CAST(ROUND(sum_value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS res, bucket, event_type, n, sum_value FROM hourly
+    UNION ALL
+    SELECT 'day' AS res, bucket, event_type, n, sum_value FROM daily
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the continuous-aggregate /
+    hypertable pattern): hourly partials per event type, then a daily
+    tier derived FROM the hourly partials — never from raw events.
+
+    Scale: this is the materialized-rollup discipline at 100 TB — the
+    raw stream is aggregated once into hour grain (two-phase agg,
+    shuffle keyed on (hour, type)); every coarser tier re-aggregates
+    the previous tier, whose row count is bounded by the time/type
+    domain (24x|types| rows per day), not by event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    # The daily tier re-aggregates in integer cent space: the hourly
+    # sum_value is already cent-quantized, so summing exact longs and
+    # dividing once is drift-free on both engines (a double re-sum +
+    # re-round can flip the 2nd decimal on .005 boundaries).
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        (
+            F.sum(F.round(F.col("sum_value") * 100, 0).cast("long")) / 100.0
+        ).alias("sum_value"),
+    )
+    return hourly.select(F.lit("hour").alias("res"), "bucket", "event_type", "n", "sum_value").unionByName(
+        daily.select(F.lit("day").alias("res"), "bucket", "event_type", "n", "sum_value")
+    )

@@ -110,7 +110,11 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_retention_cohort",
     "q_json_funcs",
     "udtf_explode_props",
-    # (d) new round-3 queries go here (insert above the backfill)
+    # (d) queries newly added in round 3
+    "q_decontam_hashed",
+    "q_token_freq_cms",
+    "q_text_tfidf",
+    "q_events_rollup",
     # backfill: oldest r1-green rows, re-confirmation
     "q_agg_pricing",
     "q_scan_project",
@@ -120,11 +124,7 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_topk_group",
     "q_agg_percentiles",
     "q_pivot",
-    "q_unpivot",
     "q_subquery_corr",
-    "q_top_unshipped",
-    "q_returned_revenue",
-    "q_agg_rollup",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
