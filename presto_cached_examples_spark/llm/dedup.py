@@ -329,27 +329,19 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The verified edge set is tiny (near-dup pairs only) but its plan
     # is the whole LSH pipeline; materialize it ONCE — the clustering
-    # below consumes it three times (component count, labels, degrees).
+    # below consumes it twice (labels, degrees).
     verified = (
         pairs.filter(jacc >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
 
-    # Early exit: a clean corpus (no verified near-dup edge) needs no
-    # clustering jobs at all — every doc is its own singleton. The
-    # count is free: `verified` was just materialized.
-    if verified.isEmpty():
-        return docs.select(
-            "doc_id",
-            F.col("doc_id").alias("cluster_id"),
-            F.lit(0).cast("long").alias("n_near_dups"),
-        )
-
     # Transitive clustering: connected components over the verified
     # pair graph, so chains (A~B, B~C) land in one cluster even when
     # A and C were never direct candidates. Docs with no near-dup are
-    # their own singleton cluster.
+    # their own singleton cluster (a clean corpus yields an empty label
+    # relation and the left joins below coalesce every doc to itself —
+    # no special-case branch, one fewer driver job per run).
     from presto_cached_examples_spark.operators.graph import connected_components
 
     components = connected_components(verified, src="doc_a", dst="doc_b")

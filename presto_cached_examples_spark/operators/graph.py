@@ -55,7 +55,9 @@ def _driver_union_find(spark, edge_rows):
 
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     pdf = pd.DataFrame(rows, columns=["node", "component"]).astype("int64")
-    return spark.createDataFrame(pdf)
+    # schema passed explicitly so the zero-edge case (empty frame)
+    # still yields long columns
+    return spark.createDataFrame(pdf, schema="node long, component long")
 
 
 def connected_components(
@@ -65,14 +67,15 @@ def connected_components(
     minimum node id reachable from it. Returns (node, component).
 
     Hybrid execution: edge sets under DRIVER_EDGE_THRESHOLD are solved
-    with an exact driver-side union-find (one collect of two long
-    columns); larger graphs run the distributed label-propagation loop.
+    with an exact driver-side union-find (ONE collect of two long
+    columns, limit-capped at threshold+1 so an oversized graph ships
+    at most one extra row batch before falling to the distributed
+    loop); larger graphs run the distributed label-propagation loop.
     `max_iter` bounds that loop; hitting it raises rather than
     returning a half-converged labeling."""
-    n_edges = edges.limit(DRIVER_EDGE_THRESHOLD + 1).count()
-    if n_edges <= DRIVER_EDGE_THRESHOLD:
-        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
-        return _driver_union_find(edges.sparkSession, pairs)
+    probe = edges.select(src, dst).limit(DRIVER_EDGE_THRESHOLD + 1).collect()
+    if len(probe) <= DRIVER_EDGE_THRESHOLD:
+        return _driver_union_find(edges.sparkSession, [(r[0], r[1]) for r in probe])
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
