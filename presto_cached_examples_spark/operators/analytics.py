@@ -882,3 +882,50 @@ def q_cond_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
         F.bool_or(F.col("c_acctbal") > 9990).alias("any_near_cap"),
     )
+
+
+@register(
+    "q_agg_percentiles_approx",
+    category="aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(ROUND(l_extendedprice * 100, 0), 0.50), 2) / 100
+             AS exact_p50,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path q_agg_percentiles' docstring promises,
+    proven with q_agg_approx's accuracy-band pattern: compute the exact
+    interpolated median AND approx_percentile's mergeable-sketch median
+    in one aggregate, emit the exact value (hash-checkable cross-engine)
+    plus a flag asserting the sketch answer lands inside its rank-error
+    guarantee. approx_percentile(acc=10000) returns an element whose
+    rank is within n/10000 of the target; the flag brackets it between
+    the exact interpolated quantiles at 0.5 ∓ 0.01 — a 100× slack, so
+    the flag is deterministically TRUE whatever partition order the
+    sketch merges in (GK merge is order-sensitive; the GUARANTEE is
+    not). The oracle pins TRUE: a broken sketch merge flips the hash.
+
+    Scale: approx_percentile is the point — its state is a fixed-size
+    quantile summary that merges associatively, so a 100 TB column
+    folds map-side with no per-group sort; the exact percentile rides
+    along here only to power the band check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
+    exact = F.percentile(cents, F.array(F.lit(0.49), F.lit(0.50), F.lit(0.51)))
+    approx = F.percentile_approx(cents, F.lit(0.50), F.lit(10000))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(exact.alias("ex"), approx.alias("ap"))
+        .select(
+            "l_returnflag",
+            (F.round(F.element_at("ex", 2), 2) / 100).alias("exact_p50"),
+            (
+                (F.col("ap") >= F.element_at("ex", 1))
+                & (F.col("ap") <= F.element_at("ex", 3))
+            ).alias("within_band"),
+        )
+    )

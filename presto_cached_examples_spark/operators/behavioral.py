@@ -179,3 +179,45 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(F.lit("hour").alias("res"), "bucket", "event_type", "n", "sum_value").unionByName(
         daily.select(F.lit("day").alias("res"), "bucket", "event_type", "n", "sum_value")
     )
+
+
+@register(
+    "q_rolling_wau",
+    category="behavioral",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           COUNT(DISTINCT du.user_id) AS wau
+    FROM days JOIN du
+      ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+    GROUP BY days.d
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed COUNT DISTINCT
+    a growth dashboard runs, which no window frame can express (DISTINCT
+    doesn't decompose over sliding frames).
+
+    Scale: raw events first collapse to distinct (day, user) pairs —
+    two-phase agg, output bounded by users x days, orders of magnitude
+    below event volume. The 7-day window is then a range join between
+    that pair relation and the tiny distinct-days spine (domain-bounded,
+    broadcast), re-aggregated with a count-distinct keyed on day. At
+    100 TB the pair relation is the only big operand and it shuffles
+    once; nothing ever windows raw events. (An HLL-sketch-per-day merge
+    is the approximate variant when exact WAU isn't required.)"""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("day"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -115,6 +115,8 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_token_freq_cms",
     "q_text_tfidf",
     "q_events_rollup",
+    "q_agg_percentiles_approx",
+    "q_rolling_wau",
     # backfill: oldest r1-green rows, re-confirmation
     "q_agg_pricing",
     "q_scan_project",
@@ -123,8 +125,6 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_window_rank",
     "q_topk_group",
     "q_agg_percentiles",
-    "q_pivot",
-    "q_subquery_corr",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
