@@ -47,3 +47,40 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") % 10 < quota).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "q_sample_hash_topk",
+    category="llm-sampling",
+    oracle="""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def q_sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-stratum sample selected by hash order: rank docs per
+    language by md5(doc_id) and keep the first 5 — a uniform sample
+    that is identical on every engine and every run (md5 is bit-stable
+    everywhere, unlike xxhash64 which DuckDB lacks).
+
+    Scale: the rank<=k filter plans as WindowGroupLimit — each map task
+    keeps only its local top-5 per language before the shuffle, so the
+    exchange carries k x tasks rows per stratum, never the corpus. The
+    same shape implements deterministic eval-set carving at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
+    )

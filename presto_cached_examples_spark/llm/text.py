@@ -422,3 +422,83 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "q_text_repetition",
+    category="llm-text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tok_stats AS (
+      SELECT doc_id,
+             SUM(cnt)  AS n_toks,
+             COUNT(*)  AS n_distinct,
+             MAX(cnt)  AS top_cnt
+      FROM (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, list_transform(
+               range(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1) + 1),
+               i -> array_to_string(STRING_SPLIT(text, ' ')[i:i+1], ' ')
+             ) AS grams
+      FROM documents
+    ),
+    gram_stats AS (
+      SELECT doc_id, LEN(grams) AS n_grams,
+             LEN(list_distinct(grams)) AS n_distinct_grams
+      FROM g
+    )
+    SELECT s.doc_id,
+           ROUND(1.0 - s.n_distinct::DOUBLE / s.n_toks, 4)            AS dup_token_frac,
+           ROUND(s.top_cnt::DOUBLE / s.n_toks, 4)                      AS top_token_frac,
+           ROUND(1.0 - gs.n_distinct_grams::DOUBLE / gs.n_grams, 4)    AS dup_2gram_frac
+    FROM tok_stats s JOIN gram_stats gs ON s.doc_id = gs.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter family):
+    duplicate-token fraction, top-token mass, duplicate-2-gram fraction
+    per document. Documents dominated by repeated tokens or phrases are
+    the classic low-quality slice a pretraining filter drops.
+
+    Scale: token stats are a two-level aggregate keyed by (doc, tok)
+    then doc — both uniform keys, map-side partials absorb the skew;
+    the 2-gram side is map-only HOFs (build grams, count distinct in
+    the array) with no explode at all. One join on doc_id at the end.
+    Fractions are int/int ratios rounded at 4dp on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    tk = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+    )
+    gram_stats = d.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_toks"), 4
+            ).alias("dup_token_frac"),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_toks"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_2gram_frac"),
+        )
+    )

@@ -117,14 +117,14 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_events_rollup",
     "q_agg_percentiles_approx",
     "q_rolling_wau",
+    "q_sample_hash_topk",
+    "q_text_repetition",
+    "q_stream_enrich",
     # backfill: oldest r1-green rows, re-confirmation
     "q_agg_pricing",
     "q_scan_project",
     "q_join_inner",
     "q_join_asof",
-    "q_window_rank",
-    "q_topk_group",
-    "q_agg_percentiles",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks

@@ -153,3 +153,34 @@ def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@register(
+    "q_stream_enrich",
+    category="streaming",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)             AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment rolled up per market segment — the
+    batch twin of runner.enrich_stream_static (events stream joined to
+    a broadcast dimension; the static side re-resolves per micro-batch,
+    so a snapshot swap of the dimension lands at the next trigger —
+    C3's double-buffer flip, live). tests/test_streaming.py asserts the
+    genuinely-streaming execution equals this plan.
+
+    Scale: the dimension is bounded (customers), the stream side never
+    shuffles before the broadcast hash join, and the rollup is a tiny
+    keyed aggregate — the canonical streaming-enrichment plan."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
