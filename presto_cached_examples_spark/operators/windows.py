@@ -97,7 +97,14 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row centered moving average of daily revenue (C4's sliding
     dirty-region analog). Inner daily sums are rounded before the
-    moving average so both engines average identical inputs."""
+    moving average so both engines average identical inputs.
+
+    The unpartitioned window (Spark warns "No Partition Defined") is
+    deliberate and safe: it runs over the DAILY aggregate, whose row
+    count is bounded by the date domain (~2.4k rows for 7 years),
+    never by order volume — the same domain-bounded argument as the
+    distwindows sweep relations. The raw scan reduces via a two-phase
+    aggregate first."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").cast("timestamp").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
