@@ -285,6 +285,34 @@ def test_stream_static_enrich_equals_batch_join(spark):
     assert got == want
 
 
+def test_stream_enrich_rollup_equals_registered_twin(spark):
+    """The streaming execution of q_stream_enrich's plan (stream →
+    broadcast dim join → per-segment rollup in complete mode) must
+    equal the registered batch twin the driver hash-checks."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.registry import all_specs
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from presto_cached_examples_spark.streaming.runner import (
+        enrich_stream_static,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = load_table(spark, SF_TINY, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, SF_TINY).select("user_id", "value")
+    rolled = (
+        enrich_stream_static(stream, dim, "user_id", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    got = sorted(
+        run_to_memory(rolled, "enrich_rollup", output_mode="complete").collect()
+    )
+    want = sorted(all_specs()["q_stream_enrich"].fn(spark, SF_TINY).collect())
+    assert got == want
+
+
 def test_stream_stream_join_equals_batch_twin(spark):
     """Watermarked stream-stream join (purchases with clicks from the
     same user in the preceding hour) equals the batch range join."""
