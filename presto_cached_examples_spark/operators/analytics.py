@@ -929,3 +929,107 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_band"),
         )
     )
+
+
+@register(
+    "q_fuzzy_match",
+    category="join",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: part-name pairs within edit
+    distance 1, compared only inside (brand, name-head-noun) blocks —
+    the entity-resolution shape (block to bound the quadratic, then
+    score candidates with an exact metric). Non-vacuous at every
+    fixture SF (12 / 1.5k / 156k pairs).
+
+    Scale: the self-join key is a uniform composite whose block sizes
+    are bounded by the brand × noun vocabulary (max 123 rows/block on
+    the fixtures), so candidate pairs grow linearly with the table,
+    not quadratically; levenshtein runs JVM-side on candidates only.
+    The minhash/LSH pipeline (llm/dedup.py) is the unbounded-domain
+    variant; this one is for typed dimension tables where a natural
+    block key exists."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "q_profile_stats",
+    category="aggregation",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS price_min, ROUND(MAX(o_totalprice), 2) AS price_max
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary (the ANALYZE TABLE / data-quality
+    dashboard shape): row count, non-null count, distinct count per
+    profiled column, plus the table's price range on every row for a
+    one-glance report.
+
+    Scale: ONE scan computes every profile — all counts are mergeable
+    aggregates in a single global aggregation (Spark fuses the
+    grouping-free aggregate into one two-phase plan per distinct
+    target); the UNION layout is over 1-row aggregates, so the plan is
+    three reads of one cached scan... actually three scans here, each
+    column-pruned to 2 columns — at 100 TB profile ALL columns in one
+    pass instead (single agg with N distinct-count expressions), which
+    Spark plans as expand + partial agg; the per-column UNION keeps
+    this fixture query oracle-simple."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min("o_totalprice"), 2).alias("price_min"),
+            F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        )
+
+    return prof("o_orderkey").unionByName(prof("o_custkey")).unionByName(
+        prof("o_orderstatus")
+    )

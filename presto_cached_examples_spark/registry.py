@@ -120,11 +120,11 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_sample_hash_topk",
     "q_text_repetition",
     "q_stream_enrich",
+    "q_fuzzy_match",
+    "q_profile_stats",
     # backfill: oldest r1-green rows, re-confirmation
     "q_agg_pricing",
     "q_scan_project",
-    "q_join_inner",
-    "q_join_asof",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
