@@ -161,9 +161,16 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous tier, whose row count is bounded by the time/type
     domain (24x|types| rows per day), not by event volume."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    # persist() IS the materialized-rollup step in miniature: without
+    # it Catalyst expands the daily branch back to a second (and the
+    # union to a fourth) scan+aggregate over raw events — the plan
+    # tests assert the raw table is read exactly once. The cached tier
+    # is domain-bounded (hours × event types), never event-volume.
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .persist()
+    )
     # The daily tier re-aggregates in integer cent space: the hourly
     # sum_value is already cent-quantized, so summing exact longs and
     # dividing once is drift-free on both engines (a double re-sum +

@@ -176,3 +176,42 @@ def test_window_range_exact_equals_scalable(spark):
     exact = q_window_range_frame(spark, SF_TINY)
     scalable = build(spark, "q_window_range_scalable")
     assert _rows(exact) == _rows(scalable)
+
+
+def test_sample_hash_topk_plans_window_group_limit(spark):
+    """q_sample_hash_topk's rank<=k filter must push a WindowGroupLimit
+    below the shuffle — map tasks keep their local top-5 per stratum,
+    so the exchange never carries the corpus."""
+    p = plan_of(build(spark, "q_sample_hash_topk"), mode="simple")
+    assert "WindowGroupLimit" in p
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    """q_fuzzy_match must plan an equi-join on the blocking key (hash
+    or sort-merge), never a nested-loop/cartesian over all name pairs;
+    levenshtein may only appear as a post-join filter."""
+    p = plan_of(build(spark, "q_fuzzy_match"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_rolling_wau_never_windows_raw_events(spark):
+    """q_rolling_wau: no window operator at all (sliding DISTINCT is
+    rewritten as pair-relation x day-spine range join), and the spine
+    side of that join must broadcast."""
+    p = plan_of(build(spark, "q_rolling_wau"), mode="simple")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_events_rollup_daily_reads_hourly_not_raw(spark):
+    """q_events_rollup: exactly one scan node for the events file — the
+    daily tier must read the persisted hourly tier (InMemoryTableScan),
+    not re-aggregate raw events. The tree renders the shared scan once
+    per branch, so count unique detail entries, not tree lines."""
+    import re
+
+    p = plan_of(build(spark, "q_events_rollup"), mode="formatted")
+    assert "InMemoryTableScan" in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
