@@ -228,3 +228,66 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "q_rolling_wau_approx",
+    category="behavioral",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           COUNT(DISTINCT du.user_id) AS exact_wau,
+           TRUE AS within_5pct
+    FROM days JOIN du
+      ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+    GROUP BY days.d
+    """,
+)
+def q_rolling_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_rolling_wau's sketch path: one HLL sketch per day, 7-day WAU
+    by MERGING the daily sketches — never re-touching raw events — with
+    the estimate asserted within 5% of exact (q_agg_approx's
+    accuracy-band pattern; HLL at default lgK has ~0.8% relative
+    error, so the pinned-TRUE flag is deterministic per fixture).
+
+    Scale: this is the production rolling-distinct design — daily
+    sketches are a write-time artifact (one fixed-size blob per day),
+    and any window [d-6, d] is answered by unioning 7 blobs; the exact
+    side here exists only to power the band check. hll_sketch_agg /
+    hll_union_agg are mergeable aggregates, so the daily tier builds
+    map-side like any partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    days = daily.select(F.col("d").alias("day"))
+    est = (
+        daily.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_wau"))
+    )
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    exact = (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_wau",
+        (
+            F.abs(F.col("est_wau") - F.col("exact_wau"))
+            <= F.col("exact_wau") * 0.05
+        ).alias("within_5pct"),
+    )

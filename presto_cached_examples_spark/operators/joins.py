@@ -362,3 +362,83 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("click_value", 2).alias("click_value"),
         )
     )
+
+
+@register(
+    "q_join_asof_tol",
+    category="join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    paired AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.value AS click_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC
+             ) AS rn
+      FROM purchases p
+      JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT pp.event_id, pp.user_id, pp.ts AS purchase_ts,
+           m.click_ts, ROUND(m.click_value, 2) AS click_value,
+           m.click_ts IS NOT NULL AS attributed
+    FROM purchases pp
+    LEFT JOIN (SELECT * FROM paired WHERE rn = 1) m
+      ON pp.event_id = m.event_id
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance and left semantics: each
+    purchase pairs with the latest same-user click at most 1 hour old;
+    purchases with no in-window click survive with nulls (attributed =
+    false) — the attribution-window variant of q_join_asof (pandas
+    merge_asof's `tolerance`).
+
+    Scale: same co-located shape as q_join_asof — equi-join on user_id
+    with BOTH time bounds as join predicates, so the matcher prunes to
+    a bounded interval per probe (state the tolerance caps, exactly
+    like the watermarked stream-stream join); the left join back is
+    keyed on event_id (uniform, unique)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("click_ts").desc())
+    matched = (
+        p.join(
+            cl,
+            (p.user_id == cl.c_user_id)
+            & (cl.click_ts <= p.purchase_ts)
+            & (cl.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("m_event_id"),
+            "click_ts",
+            F.round("click_value", 2).alias("click_value"),
+        )
+    )
+    return (
+        p.join(matched, p.event_id == matched.m_event_id, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            "click_ts",
+            "click_value",
+            F.col("click_ts").isNotNull().alias("attributed"),
+        )
+    )

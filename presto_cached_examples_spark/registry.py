@@ -122,9 +122,10 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_stream_enrich",
     "q_fuzzy_match",
     "q_profile_stats",
+    "q_join_asof_tol",
+    "q_rolling_wau_approx",
     # backfill: oldest r1-green rows, re-confirmation
     "q_agg_pricing",
-    "q_scan_project",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
