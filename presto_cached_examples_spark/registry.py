@@ -65,8 +65,8 @@ _LOADED = False
 # schema fixes this round, (c) queries whose code or input path changed
 # since their last green row (multimodal/dedup module edits, the r2
 # q_join_range restructure, and every events reader — the round-3 fixtures
-# switched ts from TIMESTAMP(NANOS) to MICROS), (d) new round-3 queries,
-# then backfill re-confirmation of the oldest r1-green rows.
+# switched ts from TIMESTAMP(NANOS) to MICROS), (d) the 13 new round-3
+# queries — which fill the window exactly (13+10+14+13 = 50).
 # tests/test_oracle_parity.py enforces that every never-driver-verified
 # query sits inside the current front window.
 _VERIFY_FRONT: tuple[str, ...] = (
@@ -124,14 +124,12 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_profile_stats",
     "q_join_asof_tol",
     "q_rolling_wau_approx",
-    # backfill: oldest r1-green rows, re-confirmation
-    "q_agg_pricing",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
 
 # Overflow queue for queries registered after the front window filled
-# (empty this round — all 110 registered queries either have a green
+# (empty this round — all 123 registered queries either have a green
 # driver row or sit inside the front window).
 _VERIFY_NEXT: tuple[str, ...] = ()
 
