@@ -1033,3 +1033,40 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_orderkey").unionByName(prof("o_custkey")).unionByName(
         prof("o_orderstatus")
     )
+
+
+@register(
+    "q_lateral_topk",
+    category="subquery",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, the top-2 customers by
+    balance — the dependent-join SQL surface (Spark 4 LATERAL), built
+    through the SQL entry point to exercise parser → decorrelation.
+    Catalyst rewrites the dependent join into the same window/top-k
+    shape as q_topk_group, so no per-outer-row re-execution survives
+    into the physical plan; the unique (acctbal DESC, custkey) order
+    keeps the LIMIT deterministic on both engines."""
+    from presto_cached_examples_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

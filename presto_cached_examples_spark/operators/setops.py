@@ -108,3 +108,43 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.subtract(o)  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "q_intersect_all",
+    category="setop",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each customer key appears
+    min(count_left, count_right) times. Spark compiles intersectAll to
+    a count-stamped join (two partial aggregates + one equi-join), so
+    multiplicities never require a row-by-row pairing — the same
+    two-phase-aggregate scale shape as any keyed count."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    right = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return left.intersectAll(right)
+
+
+@register(
+    "q_except_all",
+    category="setop",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each key survives
+    max(count_left - count_right, 0) times. Same count-stamped join
+    compilation as INTERSECT ALL; no pairwise matching at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    right = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return left.exceptAll(right)

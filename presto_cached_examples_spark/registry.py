@@ -128,10 +128,14 @@ _VERIFY_FRONT: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
 
-# Overflow queue for queries registered after the front window filled
-# (empty this round — all 123 registered queries either have a green
-# driver row or sit inside the front window).
-_VERIFY_NEXT: tuple[str, ...] = ()
+# Overflow queue for queries registered after the front window filled.
+# Verified locally every round (tools/check_oracles.py +
+# tests/test_oracle_parity.py); QUEUED to the head of round 4's front.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q_intersect_all",
+    "q_except_all",
+    "q_lateral_topk",
+)
 
 
 def register(name: str, oracle: str | None = None, category: str = "") -> Callable[[QueryFn], QueryFn]:
