@@ -215,3 +215,22 @@ def test_events_rollup_daily_reads_hourly_not_raw(spark):
     p = plan_of(build(spark, "q_events_rollup"), mode="formatted")
     assert "InMemoryTableScan" in p
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark):
+    """q_lateral_topk: Catalyst must decorrelate the LATERAL subquery
+    into an equi-join + WindowGroupLimit — no per-outer-row
+    re-execution (cartesian) survives into the physical plan."""
+    p = plan_of(build(spark, "q_lateral_topk"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_asof_tol_is_equi_join_on_user(spark):
+    """q_join_asof_tol: the matcher joins on user_id as an EQUI join
+    (hash/sort-merge) with both time bounds as residual predicates —
+    never a nested-loop pairing of all purchases x clicks."""
+    p = plan_of(build(spark, "q_join_asof_tol"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
