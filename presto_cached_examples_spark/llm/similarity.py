@@ -181,14 +181,31 @@ def _dist2_to(cent: list[float]):
 
 def _cell_ranking(cents: list[list[float]]):
     """Array of cell ids ordered by distance ascending (structs sort
-    field-wise, so (dist, idx) min-sorts correctly)."""
+    field-wise, so (dist, idx) min-sorts correctly).
+
+    The centroids enter as ONE array<array<double>> constant and the
+    distance fold is written once inside a transform lambda — the
+    generated code contains a single distance loop executed k times,
+    not k inlined copies of it (the per-centroid-literal formulation
+    compiled 8 separate zip_with/aggregate chains; at a production
+    k=4096 it would not compile at all). Same per-element math in the
+    same order, so results are bit-identical and the DuckDB oracle
+    replay is unaffected; still a pure map-side expression — no join,
+    no shuffle, exactly like the literal form."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     return F.transform(
         F.array_sort(
-            F.array(
-                *[
-                    F.struct(_dist2_to(c).alias("d"), F.lit(i).alias("cell"))
-                    for i, c in enumerate(cents)
-                ]
+            F.transform(
+                carr,
+                lambda c, i: F.struct(d2(c).alias("d"), i.cast("int").alias("cell")),
             )
         ),
         lambda s: s["cell"],
