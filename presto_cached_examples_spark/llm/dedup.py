@@ -13,16 +13,17 @@ Four tiers, each with a different scale/recall trade-off:
 - simhash     — 64-bit signature, 4×16-bit multi-table banding,
                 Hamming ≤ 3 pairs (lossless at that radius).
 
-Oracle status (round 3): exact, ngram, minhash-LSH, and embed are all
-hash-checked against DuckDB — minhash via the brute-force ground truth
-(its verify stage filters on TRUE Jaccard, which DuckDB can recompute;
-the xxhash64 candidate stage only decides which pairs get verified,
-and is exhaustive on the fixtures — see _DEDUP_NEAR_ORACLE), embed via
-the reproducible learned quantizer. Only simhash stays rows-only: its
-output filter is Hamming distance over the xxhash64 signatures
-THEMSELVES, so no engine-independent ground truth exists; its banding
-recall (1.0 at radius 3 by pigeonhole) is pinned vs brute force in
-tests/test_llm_quality.py instead.
+Oracle status (round 4): ALL five tiers are hash-checked against
+DuckDB — minhash via the brute-force ground truth (its verify stage
+filters on TRUE Jaccard, which DuckDB can recompute; the xxhash64
+candidate stage only decides which pairs get verified, and is
+exhaustive on the fixtures — see _DEDUP_NEAR_ORACLE), embed via the
+reproducible learned quantizer, and simhash (rows-only through round
+3) by re-deriving its per-token bits from md5 — a hash BOTH engines
+evaluate bit-identically — so DuckDB replays the exact vote/band/
+Hamming pipeline (_simhash_oracle). xxhash64 remains the right
+production key where no oracle replays it (minhash permutations);
+everywhere an output VALUE depends on hash bits, the engine uses md5.
 """
 
 from __future__ import annotations
@@ -363,13 +364,27 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_long(col):
+    """First 64 bits of md5(col) as a signed long, assembled from two
+    32-bit hex halves (conv of 16 hex chars overflows long through the
+    decimal-string path; two 8-char halves are exact). md5 — not
+    xxhash64 — because DuckDB evaluates it bit-identically, which is
+    what makes the SimHash pipeline SQL-oracle-checkable."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig): 64-bit SimHash per document — sign of the per-bit
-    weighted sum of token hashes. One scan, all JVM higher-order funcs."""
+    weighted sum of token hashes. One scan, all JVM higher-order funcs.
+    Token hash = first 64 bits of md5 (cross-engine stable; xxhash64
+    would be marginally cheaper but unverifiable — see _md5_long)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    hashes = d.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"))
+    hashes = d.select("doc_id", F.transform("toks", lambda t: _md5_long(t)).alias("hs"))
 
     # bit j of the signature = (sum over token-hashes of ±1 by bit j) > 0
     def bit_vote(j: int):
@@ -426,18 +441,62 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-# Rows-only BY NECESSITY (final): the emitted pairs are filtered on
-# Hamming distance over the xxhash64 signatures themselves — unlike
-# q_dedup_near there is no engine-independent quantity to recompute,
-# and DuckDB has no xxhash64. Correctness is pinned the other way:
-# recall 1.0 vs brute-force Hamming (tests/test_llm_quality.py).
-@register("q_dedup_simhash", category="llm-dedup", oracle=None)
+def _simhash_oracle() -> str:
+    """DuckDB replay of the full SimHash pipeline, bit for bit: per-token
+    bit j = bit (j%4) of hex nibble 16-(j//4) of md5(token) — exactly the
+    bits of _md5_long's 64-bit value; votes sum ±1 per bit; signature
+    serialized as a 64-char bit string (char i ⇔ Spark sig bit 64-i, so
+    Spark band t = substr(49-16t, 16)); candidates = any band equal;
+    Hamming via bit_count(xor) over BITSTRINGs. Generated so the bit
+    layout cannot drift from the Spark constants."""
+    nib = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ((({nib}) >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            nib=nib.format(pos=16 - j // 4), sh=j % 4, j=j
+        )
+        for j in range(64)
+    )
+    sig = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(64))
+    bands = " OR ".join(
+        f"substr(a.s, {49 - _SIMHASH_BAND_BITS * t}, {_SIMHASH_BAND_BITS})"
+        f" = substr(b.s, {49 - _SIMHASH_BAND_BITS * t}, {_SIMHASH_BAND_BITS})"
+        for t in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+hx AS (SELECT doc_id, md5(t) AS h FROM toks),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hx GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {sig} AS s FROM votes),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({bands})
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) <= {_HAMMING_MAX}
+"""
+
+
+@register("q_dedup_simhash", category="llm-dedup", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature per doc, candidates from
     4×16-bit multi-table banding (any band equal — no single-prefix
     blind spot), kept if Hamming distance ≤ 3. Pigeonhole over the 4
     bands makes the banding lossless at that radius: recall is exactly
     1.0 vs brute force (pinned in tests/test_llm_quality.py).
+
+    SQL-oracled since round 4: token bits derive from md5 (cross-engine
+    stable) instead of xxhash64, so DuckDB replays the identical
+    vote → band → Hamming pipeline (_simhash_oracle) and the driver
+    hash-checks the output — closing the last dedup verification gap.
 
     Scale: signature build is one scan; each band value is a 16-bit key
     whose block size is ~corpus/2^16 per band (uniform: signature bits

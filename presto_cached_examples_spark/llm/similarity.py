@@ -9,14 +9,15 @@ Two paths:
   same-bucket candidates are scored. The 100 TB path: bucket join
   replaces the cross join, cost O(probes × bucket_size).
 
-Oracles (round 3): DuckDB 1.0 evaluates `list_dot_product`, so the
-exact and IVF variants carry ROUND(cos, 4) hash-checked SQL oracles;
-the learned-k-means variant's oracle replays the SAME deterministic
-Lloyd loop in SQL (md5-ordered init, per-dim means rounded to 6 dp —
-the rounding is what makes the learned centroids reproducible across
-engines despite summation-order drift). Only the LSH variant stays
-rows-only: its hyperplanes are Spark `xxhash64` draws, which DuckDB
-cannot recompute.
+Oracles (round 4): every variant is hash-checked. DuckDB 1.0
+evaluates `list_dot_product`, so the exact and IVF variants carry
+ROUND(cos, 4) SQL oracles; the learned-k-means variant's oracle
+replays the SAME deterministic Lloyd loop in SQL (md5-ordered init,
+per-dim means rounded to 6 dp — the rounding is what makes the learned
+centroids reproducible across engines despite summation-order drift);
+and the LSH variant's hyperplanes derive from md5 (round 4 — formerly
+xxhash64, which DuckDB cannot evaluate), so its bucket assignment is
+replayed bit-for-bit too (_lsh_oracle).
 """
 
 from __future__ import annotations
@@ -110,19 +111,32 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sign(p: int, i):
+    """Hyperplane component sign ±1 for plane p, dimension i: the low
+    bit of the first hex nibble of md5(f"{p}:{i}"). md5 — not xxhash64 —
+    so DuckDB derives the IDENTICAL hyperplanes and the bucket
+    assignment (hence the candidate set) is SQL-replayable."""
+    nib = F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1), 16, 10)
+    return (nib.cast("int") % 2).cast("double") * 2.0 - 1.0
+
+
 def _bucket(v_col):
     """Sign-bit LSH bucket: bit p = sign of <v, h_p> where hyperplane
-    h_p's i-th component is ±1 derived from xxhash64(p, i). Deterministic,
-    data-independent, and computable on both the index and query side
-    without any trained state."""
+    h_p's i-th component is ±1 derived from md5(p, i) (_plane_sign).
+    Deterministic, data-independent, and computable on both the index
+    and query side without any trained state."""
+    def scaled(p: int):
+        # closure (not a default arg): Spark counts lambda params to
+        # type the HOF, so the plane index can't ride as a kwarg
+        return lambda x, i: x * _plane_sign(p, i)
+
     bucket = F.lit(0).cast("long")
     for p in range(_N_PLANES):
         comp = F.aggregate(
             F.zip_with(
                 v_col,
                 F.sequence(F.lit(0), F.size(v_col) - 1),
-                lambda x, i: x
-                * (F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)).cast("double") * 2.0 - 1.0),
+                scaled(p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -131,15 +145,49 @@ def _bucket(v_col):
     return bucket
 
 
-# Rows-only BY NECESSITY (final): the candidate set is defined by
-# xxhash64-derived hyperplane buckets, which DuckDB cannot recompute;
-# unlike the k-means quantizer there is no trained state to replay —
-# the hash IS the index. Recall vs exact top-k is pinned in
-# tests/test_similarity.py.
-@register("q_sim_topk_lsh", category="llm-similarity", oracle=None)
+def _lsh_oracle() -> str:
+    """DuckDB replay of the md5-hyperplane LSH: per plane p the
+    projection is Σᵢ v[i]·sign(p,i) with sign = ±1 from the low bit of
+    md5('p:i')'s first nibble — the identical draw _plane_sign makes —
+    and the bucket packs sign bits MSB-first exactly like _bucket.
+    Bucket equality then prunes candidates; exact rounded cosine
+    reranks. Generated so planes/bit layout track the Spark constants."""
+
+    def comp(p: int) -> str:
+        return (
+            "list_sum(list_transform(range(0, len(v)), i -> v[i + 1] * "
+            f"(CASE WHEN (strpos('0123456789abcdef', substr(md5('{p}:' || i), 1, 1)) - 1) % 2 = 1"
+            " THEN 1.0 ELSE -1.0 END)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {comp(p)} > 0 THEN {1 << (_N_PLANES - 1 - p)} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH {_SQL_CORPUS},
+b AS (
+  SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM nv
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM b p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+{_SQL_TOPK_TAIL}
+"""
+
+
+@register("q_sim_topk_lsh", category="llm-similarity", oracle=_lsh_oracle())
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: candidates share the probe's
     8-bit bucket; exact cosine reranks within the bucket.
+
+    SQL-oracled since round 4: hyperplane signs derive from md5 instead
+    of xxhash64, so DuckDB recomputes the same buckets and the driver
+    hash-checks the emitted neighbors (_lsh_oracle) — the last
+    similarity-family query to gain a hard oracle.
 
     Scale: the corpus is bucketed once (a write-time projection at
     100 TB); queries shuffle only to their bucket — a 2^8-way partition
