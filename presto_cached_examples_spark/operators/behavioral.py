@@ -130,6 +130,15 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One materialized hourly tier per (session, fixture): the persist()
+#: below IS the materialized-rollup semantics, so re-invoking the
+#: builder must return the SAME cached relation — without this memo
+#: every call pinned a fresh InMemoryRelation into the shared session
+#: for the process lifetime (a leak under harnesses that rebuild
+#: queries repeatedly). Keyed by session id: one tier per live session.
+_HOURLY_TIER: dict[tuple[int, str], DataFrame] = {}
+
+
 @register(
     "q_events_rollup",
     category="behavioral",
@@ -160,17 +169,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on (hour, type)); every coarser tier re-aggregates
     the previous tier, whose row count is bounded by the time/type
     domain (24x|types| rows per day), not by event volume."""
-    ev = load_table(spark, sf_dir, "events")
     # persist() IS the materialized-rollup step in miniature: without
     # it Catalyst expands the daily branch back to a second (and the
     # union to a fourth) scan+aggregate over raw events — the plan
     # tests assert the raw table is read exactly once. The cached tier
-    # is domain-bounded (hours × event types), never event-volume.
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .persist()
-    )
+    # is domain-bounded (hours × event types), never event-volume;
+    # _HOURLY_TIER memoizes it so repeat builds share one relation.
+    key = (id(spark), sf_dir)
+    hourly = _HOURLY_TIER.get(key)
+    if hourly is None:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .persist()
+        )
+        _HOURLY_TIER[key] = hourly
     # The daily tier re-aggregates in integer cent space: the hourly
     # sum_value is already cent-quantized, so summing exact longs and
     # dividing once is drift-free on both engines (a double re-sum +
@@ -210,23 +224,31 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: raw events first collapse to distinct (day, user) pairs —
     two-phase agg, output bounded by users x days, orders of magnitude
-    below event volume. The 7-day window is then a range join between
-    that pair relation and the tiny distinct-days spine (domain-bounded,
-    broadcast), re-aggregated with a count-distinct keyed on day. At
-    100 TB the pair relation is the only big operand and it shuffles
-    once; nothing ever windows raw events. (An HLL-sketch-per-day merge
-    is the approximate variant when exact WAU isn't required.)"""
+    below event volume. Each pair then map-side-expands to the ≤7
+    window days it covers (explode(sequence(d, d+6)) — O(7·pairs), no
+    join at all; the round-3 range-join-against-a-day-spine formulation
+    planned a BroadcastNestedLoopJoin that evaluated every pair against
+    every spine day, O(pairs × days) compute at multi-year retention),
+    and a plain hash count-distinct keyed on window day finishes. The
+    tiny equi-join at the end only drops expansion days that don't
+    exist in the data, matching the observed-days spine the dashboard
+    (and the oracle) defines. Nothing ever windows raw events."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
-    days = du.select("d").distinct().select(F.col("d").alias("day"))
+    cover = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select(F.col("d").alias("day")).distinct()
     return (
-        du.join(
-            F.broadcast(days),
-            (F.col("d") <= F.col("day"))
-            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
-        )
-        .groupBy("day")
+        cover.groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
+        .join(days, "day")
+        .select("day", "wau")
     )
 
 
@@ -255,39 +277,47 @@ def q_rolling_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the production rolling-distinct design — daily
     sketches are a write-time artifact (one fixed-size blob per day),
-    and any window [d-6, d] is answered by unioning 7 blobs; the exact
-    side here exists only to power the band check. hll_sketch_agg /
+    and any window [d-6, d] is answered by merging 7 blobs; the exact
+    side here exists only to power the band check. Both tiers map-side
+    expand each daily row to its ≤7 covering window days
+    (explode(sequence)) and finish with a plain mergeable hash
+    aggregate — no spine join (the round-3 range-join shape planned a
+    BroadcastNestedLoopJoin, O(rows × days) compute). hll_sketch_agg /
     hll_union_agg are mergeable aggregates, so the daily tier builds
     map-side like any partial aggregation."""
     ev = load_table(spark, sf_dir, "events")
+
+    def window_days(col: str):
+        return F.explode(
+            F.sequence(
+                F.col(col), F.col(col) + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     days = daily.select(F.col("d").alias("day"))
     est = (
-        daily.join(
-            F.broadcast(days),
-            (F.col("d") <= F.col("day"))
-            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
-        )
+        daily.select(window_days("d"), "sk")
         .groupBy("day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_wau"))
     )
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
     exact = (
-        du.join(
-            F.broadcast(days),
-            (F.col("d") <= F.col("day"))
-            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
-        )
+        du.select(window_days("d"), "user_id")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("exact_wau"))
     )
-    return exact.join(est, "day").select(
-        "day",
-        "exact_wau",
-        (
-            F.abs(F.col("est_wau") - F.col("exact_wau"))
-            <= F.col("exact_wau") * 0.05
-        ).alias("within_5pct"),
+    return (
+        exact.join(est, "day")
+        .join(days, "day")
+        .select(
+            "day",
+            "exact_wau",
+            (
+                F.abs(F.col("est_wau") - F.col("exact_wau"))
+                <= F.col("exact_wau") * 0.05
+            ).alias("within_5pct"),
+        )
     )

@@ -196,13 +196,17 @@ def test_fuzzy_match_is_blocked_equi_join(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
-def test_rolling_wau_never_windows_raw_events(spark):
-    """q_rolling_wau: no window operator at all (sliding DISTINCT is
-    rewritten as pair-relation x day-spine range join), and the spine
-    side of that join must broadcast."""
-    p = plan_of(build(spark, "q_rolling_wau"), mode="simple")
+@pytest.mark.parametrize("name", ["q_rolling_wau", "q_rolling_wau_approx"])
+def test_rolling_wau_never_windows_raw_events(spark, name):
+    """Rolling WAU: no window operator at all (sliding DISTINCT is
+    rewritten as map-side expansion of each (day,user) pair / daily
+    sketch to its ≤7 covering window days + hash aggregate), and no
+    BroadcastNestedLoopJoin — the round-3 day-spine range join
+    evaluated every pair against every spine day, O(pairs × days)."""
+    p = plan_of(build(spark, name), mode="simple")
     assert "Window" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p  # the map-side window expansion
 
 
 def test_events_rollup_daily_reads_hourly_not_raw(spark):
