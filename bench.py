@@ -20,7 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from presto_cached_examples_spark import get_session, registry
 from presto_cached_examples_spark.session import default_sf_dir
 
-# Headline set: one per operator family (kept in sync as families land).
+# v2 set: the heavy operators added after round 1. Kept OUT of the
+# frozen headline (whose total is the cross-round comparability metric)
+# and reported under a separate JSON key so regressions in the newer
+# surface get their own trend line without rebasing the r1 series.
+HEADLINE_V2 = [
+    "q_dedup_ngram",
+    "q_sim_topk_kmeans",
+    "q_rolling_wau",
+    "q_fuzzy_match",
+    "q_text_repetition",
+    "q_decontam_hashed",
+    "q_events_rollup",
+]
+
+# Headline set: one per operator family (frozen at the round-1 set for
+# cross-round comparability — new families report under HEADLINE_V2).
 HEADLINE = [
     # scan / filter / scalar
     "q_scan_project",
@@ -68,29 +83,34 @@ def main() -> None:
     # Warm up the JVM + parquet footer cache with the flagship query once.
     qs["q_agg_pricing"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # Best of two runs: the first run of a query can absorb GC and
-        # shuffle-service warm-up left by its neighbors; the min is the
-        # stable engine cost. The noop sink executes the complete
-        # physical plan (every scan, shuffle, and operator) but skips
-        # driver-side row serialization, so the number measures the
-        # engine, not Py4J transfer.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            # Best of two runs: the first run of a query can absorb GC
+            # and shuffle-service warm-up left by its neighbors; the min
+            # is the stable engine cost. The noop sink executes the
+            # complete physical plan (every scan, shuffle, and operator)
+            # but skips driver-side row serialization, so the number
+            # measures the engine, not Py4J transfer.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        return timings
 
-    total = round(sum(timings.values()), 3)
+    timings = run_set([n for n in HEADLINE if n in qs])
+    timings_v2 = run_set([n for n in HEADLINE_V2 if n in qs])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "headline_v2_total_sec": round(sum(timings_v2.values()), 3),
+                "queries_v2": timings_v2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

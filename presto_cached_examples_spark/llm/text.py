@@ -301,6 +301,11 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Relational Count-Min sketch shape: depth x width counter grid.
+_CMS_DEPTH = 5
+_CMS_WIDTH = 8192
+
+
 @register(
     "q_token_freq_cms",
     category="llm-text",
@@ -321,52 +326,62 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter token counts cross-checked against a Count-Min
     sketch, q_agg_approx's accuracy-band pattern: emit the exact top-20
     (hash-stable on both engines) plus a flag asserting the CMS
-    estimate respects its guarantee, exact <= est <= exact + eps*N.
-    The oracle pins the flag to TRUE — the sketch is seeded, so the
-    estimate is deterministic per fixture and a guarantee violation
-    (or a broken sketch merge) flips the hash.
+    estimate respects its guarantee, exact <= est <= exact + 2N/width.
+    The oracle pins the flag to TRUE — the sketch hashes are seeded
+    xxhash64 draws, so the estimate is deterministic per fixture and a
+    guarantee violation (or a broken grid merge) flips the hash.
 
-    Scale: the sketch is the point — F.count_min_sketch is a mergeable
-    aggregate (each partition sketches locally, partials merge in one
-    reduce), so a 100 TB token stream folds into a fixed 7x27k counter
-    grid with no token-key shuffle at all; only the exact top-20 side
-    shuffles (two-phase agg + TakeOrderedAndProject). The 20 driver-side
-    probe lookups replace a second full scan. Driver materializes 20
-    rows + one ~1.5 MB sketch - bounded regardless of corpus size."""
-    import pandas as pd
+    The sketch here is RELATIONAL: the counter grid is a (depth, col)
+    → count aggregate — bounded at depth x width rows regardless of
+    corpus size — and probing is an equi-join of the top-20 tokens
+    against that grid with min-over-depth. Everything stays in ONE lazy
+    plan: no driver-side sketch object, no eager jobs at build time, no
+    private JVM API, no session conf mutation (a round-3 version did
+    all three through spark._jvm CountMinSketch probes).
 
+    Scale: the grid build is a mergeable two-phase aggregate over
+    map-side-computed (depth, col) keys — partials merge like any CMS;
+    the exact top-20 side is the only token-key shuffle (two-phase agg
+    + TakeOrderedAndProject). The probe join broadcasts 20x depth rows.
+    At 100 TB the grid relation IS the materialized sketch artifact —
+    queryable by any engine, no binary blob format to decode."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    eps, conf, seed = 0.0001, 0.999, 42
+    depths = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    col = F.pmod(F.xxhash64("d", "tok"), F.lit(_CMS_WIDTH)).alias("c")
+    grid = (
+        toks.select(F.explode(depths).alias("d"), "tok")
+        .select("d", col)
+        .groupBy("d", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), "tok")
         .limit(20)
-        .collect()
     )
-    agg = toks.agg(
-        F.count_min_sketch("tok", F.lit(eps), F.lit(conf), F.lit(seed)).alias("cms"),
-        F.count(F.lit(1)).alias("n_total"),
-    ).head()
-    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(agg["cms"])
+    probes = top.select("tok", "exact_n", F.explode(depths).alias("d")).select(
+        "tok", "exact_n", "d", col
     )
-    slack = int(eps * agg["n_total"]) + 1
-    rows = [
+    est = (
+        probes.join(grid, ["d", "c"], "left")
+        .groupBy("tok", "exact_n")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+    )
+    slack = (F.lit(2.0) * F.col("n_total") / _CMS_WIDTH).cast("long") + 1
+    return est.crossJoin(F.broadcast(n_total)).select(
+        "tok",
+        "exact_n",
         (
-            r["tok"],
-            r["exact_n"],
-            r["exact_n"] <= sketch.estimateCount(r["tok"]) <= r["exact_n"] + slack,
-        )
-        for r in top
-    ]
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = pd.DataFrame(rows, columns=["tok", "exact_n", "within_band"])
-    return spark.createDataFrame(pdf.astype({"exact_n": "int64"}))
+            (F.col("est_n") >= F.col("exact_n"))
+            & (F.col("est_n") <= F.col("exact_n") + slack)
+        ).alias("within_band"),
+    )
 
 
 @register(

@@ -1009,29 +1009,36 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled column, plus the table's price range on every row for a
     one-glance report.
 
-    Scale: ONE scan computes every profile — all counts are mergeable
-    aggregates in a single global aggregation (Spark fuses the
-    grouping-free aggregate into one two-phase plan per distinct
-    target); the UNION layout is over 1-row aggregates, so the plan is
-    three reads of one cached scan... actually three scans here, each
-    column-pruned to 2 columns — at 100 TB profile ALL columns in one
-    pass instead (single agg with N distinct-count expressions), which
-    Spark plans as expand + partial agg; the per-column UNION keeps
-    this fixture query oracle-simple."""
+    Scale: ONE scan computes every profile — a single grouping-free
+    aggregate carries all per-column count/countDistinct expressions
+    (Spark plans the multi-distinct via Expand + two-phase partial
+    aggregation), and a map-side explode unpivots the 1-row result to
+    the per-column report layout. Profiling N columns adds expressions
+    to the same aggregate, never another pass over the table; the plan
+    test pins exactly one parquet scan node."""
     o = load_table(spark, sf_dir, "orders")
-
-    def prof(col: str) -> DataFrame:
-        return o.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(col).alias("n_nonnull"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.round(F.min("o_totalprice"), 2).alias("price_min"),
-            F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    profiles = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(f"nn_{c}").alias("n_nonnull"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ]
         )
-
-    return prof("o_orderkey").unionByName(prof("o_custkey")).unionByName(
-        prof("o_orderstatus")
+    ).alias("p")
+    return agg.select("n", "price_min", "price_max", profiles).select(
+        "p.col", "n", "p.n_nonnull", "p.n_distinct", "price_min", "price_max"
     )
 
 

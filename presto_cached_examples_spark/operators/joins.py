@@ -313,13 +313,13 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
     ),
     paired AS (
       SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
              c.ts AS click_ts, c.value AS click_value,
              ROW_NUMBER() OVER (
-               PARTITION BY p.event_id ORDER BY c.ts DESC
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id
              ) AS rn
       FROM purchases p
       JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -345,11 +345,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
     cl = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
         F.col("value").alias("click_value"),
     )
-    w = Window.partitionBy("event_id").orderBy(F.col("click_ts").desc())
+    # click event_id as the final ORDER BY key: the fixture keeps ts
+    # unique per user, but determinism must not hinge on a fixture
+    # invariant — a duplicate (user, ts) click pair would otherwise
+    # make both engines' rn=1 pick (hence the driver hash) arbitrary.
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("c_event_id")
+    )
     return (
         p.join(cl, (p.user_id == cl.c_user_id) & (cl.click_ts <= p.purchase_ts))
         .withColumn("rn", F.row_number().over(w))
@@ -372,13 +379,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
     ),
     paired AS (
       SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
              c.ts AS click_ts, c.value AS click_value,
              ROW_NUMBER() OVER (
-               PARTITION BY p.event_id ORDER BY c.ts DESC
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id
              ) AS rn
       FROM purchases p
       JOIN clicks c
@@ -411,11 +418,18 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
     cl = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
         F.col("value").alias("click_value"),
     )
-    w = Window.partitionBy("event_id").orderBy(F.col("click_ts").desc())
+    # click event_id as the final ORDER BY key: the fixture keeps ts
+    # unique per user, but determinism must not hinge on a fixture
+    # invariant — a duplicate (user, ts) click pair would otherwise
+    # make both engines' rn=1 pick (hence the driver hash) arbitrary.
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("c_event_id")
+    )
     matched = (
         p.join(
             cl,

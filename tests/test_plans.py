@@ -221,6 +221,17 @@ def test_events_rollup_daily_reads_hourly_not_raw(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
 
 
+def test_profile_stats_is_single_pass(spark):
+    """q_profile_stats: every per-column profile must come out of ONE
+    aggregate over ONE parquet scan (multi-distinct plans as Expand +
+    partial agg) — profiling more columns may never add table passes."""
+    import re
+
+    p = plan_of(build(spark, "q_profile_stats"), mode="formatted")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Expand" in p  # the multi-distinct rewrite
+
+
 def test_lateral_topk_decorrelates_to_window_limit(spark):
     """q_lateral_topk: Catalyst must decorrelate the LATERAL subquery
     into an equi-join + WindowGroupLimit — no per-outer-row
