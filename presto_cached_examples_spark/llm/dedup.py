@@ -605,3 +605,57 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     ).filter(F.col("cosine") >= 0.25)
+
+
+# Incremental (cross-snapshot) dedup: the new-crawl batch is the 20%
+# doc_id % 10 >= 8 slice; the standing corpus is the other 80%. The
+# fingerprint is the sorted distinct-token VOCABULARY (not raw text):
+# the production knob for catching re-crawled pages whose word order
+# jitters — and the fixture's near-dups are exactly word-order
+# scrambles, so the anti-join is non-vacuous at every SF (15/9/270
+# drops at sf0.001/0.01/0.1).
+_SNAP_MOD = 10
+_SNAP_NEW = 8
+
+
+@register(
+    "q_dedup_incremental",
+    category="llm-dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT n.doc_id, n.source, n.fp
+    FROM fp n
+    WHERE n.doc_id % {_SNAP_MOD} >= {_SNAP_NEW}
+      AND NOT EXISTS (
+        SELECT 1 FROM fp o
+        WHERE o.doc_id % {_SNAP_MOD} < {_SNAP_NEW} AND o.fp = n.fp
+      )
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the production re-crawl shape:
+    only documents from the NEW batch whose vocabulary fingerprint has
+    never been seen in the standing corpus survive (left anti join);
+    everything already known is dropped without touching its text
+    again. Composes q_dedup_exact's fingerprint discipline with the
+    incremental-refresh pillar (streaming/incremental.py): each crawl
+    appends its surviving fingerprints to the corpus index, so work per
+    snapshot is proportional to the BATCH, not the corpus.
+
+    Scale: the anti-join shuffles (16-byte fp, doc_id) pairs only —
+    never text. At 100 TB the corpus-side fingerprint index is a
+    bucketed-by-fp table maintained across snapshots, making the new
+    batch's probe a zero-shuffle bucket-local lookup; AQE handles the
+    batch side's size skew. The md5 vocabulary key is engine-neutral,
+    so the index is shareable with any SQL engine."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    docs = d.select("doc_id", "source", fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % _SNAP_MOD >= _SNAP_NEW)
+    old = docs.filter(F.col("doc_id") % _SNAP_MOD < _SNAP_NEW)
+    return new.join(old, "fp", "left_anti").select("doc_id", "source", "fp")

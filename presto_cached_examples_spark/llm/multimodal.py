@@ -310,6 +310,95 @@ FROM idx
 """
 
 
+#: dHash sampling: every 4th byte of the ≤64-byte resized payload (≤16
+#: gray samples → ≤15 difference bits), coarse enough that perceptually
+#: identical payloads collide while the corpus stays well spread (461
+#: distinct hashes / 500 docs at sf0.001).
+_PHASH_STRIDE = 4
+
+_MM_PHASH_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, upper(hex(ENCODE(text))) AS hx,
+         CAST(octet_length(ENCODE(text)) AS INT) AS n
+  FROM documents
+),
+s AS (SELECT doc_id, hx, n, (n + {_RESIZE_TARGET - 1}) // {_RESIZE_TARGET} AS stride FROM b),
+rb AS (
+  SELECT doc_id,
+         list(strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 17 ORDER BY i)
+           AS bytes
+  FROM (SELECT doc_id, hx, unnest(range(0, n, stride)) AS i FROM s)
+  GROUP BY doc_id
+),
+samp AS (
+  SELECT doc_id, list_filter(bytes, (x, i) -> (i - 1) % {_PHASH_STRIDE} = 0) AS sb
+  FROM rb
+),
+dh AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(0, list_transform(range(1, len(sb)),
+             j -> CASE WHEN sb[j] > sb[j + 1] THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x) AS BIGINT) AS dhash
+  FROM samp
+)
+SELECT doc_id, dhash,
+       MIN(doc_id) OVER (PARTITION BY dhash)  AS canonical_id,
+       COUNT(*)   OVER (PARTITION BY dhash)   AS n_same,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY dhash) AS is_dup
+FROM dh
+"""
+
+
+@register("q_mm_phash", category="llm-multimodal", oracle=_MM_PHASH_ORACLE)
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) dedup over media payloads: decode+resize
+    runs through the SAME mapInPandas path as q_mm_resize (with a real
+    decoder these are gray8 thumbnails), then the dHash — adjacent-
+    sample brightness comparisons packed into a long — is computed
+    JVM-side from the resized bytes, and payloads sharing a hash group
+    into duplicate clusters under a canonical (min) doc id.
+
+    Scale: the Python stage emits bounded ≤64-byte thumbnails, so the
+    only shuffle after it carries (dhash, doc_id) — the grouping is
+    exact-dedup's plan with a perceptual key. The hash math is integer
+    byte comparisons (hex-nibble decode + HOF fold, no Python), which
+    is what lets DuckDB replay it bit-for-bit from the stride-resample
+    contract already proven by q_mm_resize's oracle. Radius>0 matching
+    would reuse q_dedup_simhash's banding over these same hashes."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    resized = m.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA)
+    hx = F.hex("payload")
+    byte_at = lambda i: F.conv(F.substring(hx, i * 2 + 1, 2), 16, 10).cast("int")  # noqa: E731
+    samples = F.transform(
+        F.filter(
+            F.sequence(F.lit(0), F.col("new_bytes") - 1),
+            lambda i: i % _PHASH_STRIDE == 0,
+        ),
+        byte_at,
+    )
+    bits = F.zip_with(
+        F.slice(samples, 1, F.size(samples) - 1),
+        F.slice(samples, 2, F.size(samples) - 1),
+        lambda a, b: F.when(a > b, 1).otherwise(0),
+    )
+    dhash = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    h = resized.select("doc_id", dhash.alias("dhash"))
+    g = h.groupBy("dhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_same")
+    )
+    return h.join(g, "dhash").select(
+        "doc_id",
+        "dhash",
+        "canonical_id",
+        "n_same",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 @register("q_mm_frames", category="llm-multimodal", oracle=_MM_FRAMES_ORACLE)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1→N row-expanding

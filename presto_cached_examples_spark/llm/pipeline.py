@@ -31,6 +31,12 @@ _EVAL_MOD = 20
 
 _SCRUB_STOPWORDS = ("a", "the", "of", "data", "value")
 
+# Boilerplate scrub: "line" = consecutive 8-token span (the fixture has
+# no newlines; on a real crawl split on '\n' instead — one constant),
+# boilerplate = a line occurring in >= 2 distinct documents corpus-wide.
+_BP_LINE_TOKENS = 8
+_BP_MIN_DOCS = 2
+
 
 @register(
     "q_chunk_docs",
@@ -256,6 +262,82 @@ def q_decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.join(F.broadcast(ev), "gh")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "q_boilerplate_scrub",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, CAST(CEIL(LEN(toks) / {_BP_LINE_TOKENS}.0) AS BIGINT))) AS li
+      FROM d
+    ),
+    lines AS (
+      SELECT doc_id, li,
+             array_to_string(
+               toks[li * {_BP_LINE_TOKENS} + 1 : li * {_BP_LINE_TOKENS} + {_BP_LINE_TOKENS}],
+               ' ') AS line
+      FROM pos
+    ),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           COALESCE(
+             string_agg(CASE WHEN f.nd < {_BP_MIN_DOCS} THEN l.line END, ' ' ORDER BY l.li),
+             '') AS clean_text,
+           CAST(SUM(CASE WHEN f.nd >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_removed
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+    """,
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: split every document
+    into 8-token lines, count each distinct line's document frequency
+    across the WHOLE corpus, and rebuild each document keeping only
+    lines seen in fewer than 2 documents (the nav-bar / cookie-banner /
+    license-header scrub every web-crawl pipeline runs), plus an audit
+    count of removed lines.
+
+    Scale: the line explode is map-side; the document-frequency
+    aggregate is two-phase keyed on the line text (at ingest you'd key
+    on xxhash64(line) — q_decontam_hashed's trick); the flag join is a
+    plain equi-join on that key; reassembly groups by doc_id collecting
+    only the doc's OWN lines (bounded by document length, never corpus-
+    sized). Every shuffle carries (line-key, ids) — raw text crosses
+    the wire once, partitioned by doc for the rebuild."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(_BP_LINE_TOKENS))).cast("long")
+    linearr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.struct(
+            i.alias("li"),
+            F.concat_ws(
+                " ", F.slice(toks, (i * _BP_LINE_TOKENS + 1).cast("int"), _BP_LINE_TOKENS)
+            ).alias("line"),
+        ),
+    )
+    lines = d.select("doc_id", F.explode(linearr).alias("l")).select(
+        "doc_id", F.col("l.li").alias("li"), F.col("l.line").alias("line")
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("nd"))
+    flagged = lines.join(freq, "line").select(
+        "doc_id", "li", "line", (F.col("nd") >= _BP_MIN_DOCS).alias("bp")
+    )
+    ls = F.array_sort(F.collect_list(F.struct("li", "line", "bp")))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.filter(ls, lambda s: ~s["bp"]), lambda s: s["line"]),
+        ).alias("clean_text"),
+        F.size(F.filter(ls, lambda s: s["bp"])).cast("long").alias("n_lines_removed"),
     )
 
 

@@ -227,9 +227,10 @@ def _dist2_to(cent: list[float]):
     )
 
 
-def _cell_ranking(cents: list[list[float]]):
-    """Array of cell ids ordered by distance ascending (structs sort
-    field-wise, so (dist, idx) min-sorts correctly).
+def _cell_sorted(cents: list[list[float]], v=None):
+    """Array of (d, cell) structs ordered by distance ascending
+    (structs sort field-wise, so (dist, idx) min-sorts correctly) from
+    vector expression `v` (default: column `v`) to each centroid.
 
     The centroids enter as ONE array<array<double>> constant and the
     distance fold is written once inside a transform lambda — the
@@ -240,24 +241,28 @@ def _cell_ranking(cents: list[list[float]]):
     same order, so results are bit-identical and the DuckDB oracle
     replay is unaffected; still a pure map-side expression — no join,
     no shuffle, exactly like the literal form."""
+    v = F.col("v") if v is None else v
     carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
     def d2(c):
         return F.aggregate(
-            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    return F.transform(
-        F.array_sort(
-            F.transform(
-                carr,
-                lambda c, i: F.struct(d2(c).alias("d"), i.cast("int").alias("cell")),
-            )
-        ),
-        lambda s: s["cell"],
+    return F.array_sort(
+        F.transform(
+            carr,
+            lambda c, i: F.struct(d2(c).alias("d"), i.cast("int").alias("cell")),
+        )
     )
+
+
+def _cell_ranking(cents: list[list[float]], v=None):
+    """Array of cell ids ordered by distance ascending (_cell_sorted
+    stripped to ids — the IVF probe order)."""
+    return F.transform(_cell_sorted(cents, v), lambda s: s["cell"])
 
 
 def kmeans_centroids(
@@ -306,69 +311,79 @@ def kmeans_centroids(
     return cents
 
 
-def _kmeans_cells_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """SQL CTE chain replaying `kmeans_centroids` + cell ranking in
-    DuckDB: md5-ordered init, `iters` unrolled Lloyd stages (assign =
-    argmin distance with cell-id tie-break; update = per-dim AVG
-    rounded to 6 dp, empty cells keeping their old centroid), ending in
-    `rc(vec_id, v, nrm, cell, r)` — every vector's cells ranked by
-    distance. Distance uses |a|² − 2a·b + |b|²; a flip vs Spark's
-    Σ(aᵢ−bᵢ)² fold would need two centroids equidistant to ~1 ulp.
+def _dist_sql(v: str, c: str) -> str:
+    """Squared-L2 distance for argmin ORDER BYs: |a|² − 2a·b + |b|².
+    A ranking flip vs Spark's Σ(aᵢ−bᵢ)² fold would need two centroids
+    equidistant to ~1 ulp."""
+    return (
+        f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c})"
+    )
 
-    Generated (not hand-written) so k/iters stay in lockstep with the
-    Spark constants — this is what makes the learned quantizer
-    hash-checkable instead of rows-only."""
 
-    def dist(v: str, c: str) -> str:
-        return (
-            f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
-            f" + list_dot_product({c}, {c})"
-        )
-
+def _lloyd_sql(src: str, tag: str, k: int, iters: int) -> str:
+    """CTE chain `c0{tag}`..`c{iters}{tag}` replaying kmeans_centroids
+    over base CTE `src` (vec_id, v): md5-ordered init, `iters` unrolled
+    Lloyd stages (assign = argmin distance with cell-id tie-break;
+    update = per-dim AVG rounded to 6 dp, empty cells keeping their old
+    centroid). Generated (not hand-written) so k/iters stay in lockstep
+    with the Spark constants — this is what makes every learned
+    quantizer in this module hash-checkable instead of rows-only; the
+    `tag` suffix lets q_sim_pq instantiate one loop per subspace."""
     parts = [
-        _SQL_CORPUS,
         f"""
-c0 AS (
+c0{tag} AS (
   SELECT rn - 1 AS cell, v AS c FROM (
     SELECT ROW_NUMBER() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, v
-    FROM e) t
+    FROM {src}) t
   WHERE rn <= {k}
-)""",
+)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""
-a{i} AS (
+a{i}{tag} AS (
   SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {dist('e.v', 'c.c')}, c.cell) AS r
-    FROM e CROSS JOIN c{i - 1} c) t
+    SELECT s.vec_id, s.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {_dist_sql('s.v', 'c.c')}, c.cell) AS r
+    FROM {src} s CROSS JOIN c{i - 1}{tag} c) t
   WHERE r = 1
 ),
-m{i} AS (
+m{i}{tag} AS (
   SELECT cell, dim, ROUND(AVG(v[dim]), 6) AS mval
-  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS dim FROM a{i}) t
+  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS dim FROM a{i}{tag}) t
   GROUP BY cell, dim
 ),
-c{i} AS (
-  SELECT cell, list(mval ORDER BY dim) AS c FROM m{i} GROUP BY cell
+c{i}{tag} AS (
+  SELECT cell, list(mval ORDER BY dim) AS c FROM m{i}{tag} GROUP BY cell
   UNION ALL
-  SELECT p.cell, p.c FROM c{i - 1} p
-  WHERE p.cell NOT IN (SELECT cell FROM m{i})
+  SELECT p.cell, p.c FROM c{i - 1}{tag} p
+  WHERE p.cell NOT IN (SELECT cell FROM m{i}{tag})
 )"""
         )
-    parts.append(
-        f"""
+    return ",".join(parts)
+
+
+def _kmeans_cells_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """SQL CTE chain replaying `kmeans_centroids` + cell ranking in
+    DuckDB (_lloyd_sql over the full-vector corpus), ending in
+    `rc(vec_id, v, nrm, cell, r)` — every vector's cells ranked by
+    distance."""
+    return ",".join(
+        [
+            _SQL_CORPUS,
+            _lloyd_sql("e", "", k, iters),
+            f"""
 rc AS (
   SELECT n.vec_id, n.v, n.nrm, c.cell,
          ROW_NUMBER() OVER (PARTITION BY n.vec_id
-           ORDER BY {dist('n.v', 'c.c')}, c.cell) AS r
+           ORDER BY {_dist_sql('n.v', 'c.c')}, c.cell) AS r
   FROM nv n CROSS JOIN c{iters} c
-)"""
+)""",
+        ]
     )
-    return ",".join(parts)
 
 
 _SIM_TOPK_KMEANS_ORACLE = f"""
@@ -419,6 +434,82 @@ def q_sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") <= _TOP_K)
         .select("probe_id", "vec_id", "cosine", "k")
     )
+
+
+# Product quantization: 4 subspaces x 16 dims, 4-entry codebook per
+# subspace, 2 Lloyd iterations (tiny on fixtures; production uses
+# M=8-16, k=256 — same plan, bigger constants).
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the PQ encoder: per subspace, slice the vector,
+    rerun the identical Lloyd loop (_lloyd_sql, tagged CTEs), assign by
+    argmin of the SAME Σ(xᵢ−cᵢ)² fold Spark evaluates (so the rounded
+    reconstruction error is bit-comparable, not just close), then join
+    the M code columns back to one row per vector."""
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        err = (
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+            " j -> (s.v[j] - c.c[j]) * (s.v[j] - c.c[j])))"
+        )
+        subs.append(f"e_{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        subs.append(_lloyd_sql(f"e_{m}", f"_{m}", _PQ_K, _PQ_ITERS))
+        subs.append(
+            f"""
+asg_{m} AS (
+  SELECT vec_id, cell, err FROM (
+    SELECT s.vec_id, c.cell, {err} AS err,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {err}, c.cell) AS r
+    FROM e_{m} s CROSS JOIN c{_PQ_ITERS}_{m} c) t
+  WHERE r = 1
+)"""
+        )
+    codes = ", ".join(f"CAST(asg_{m}.cell AS INT) AS code_{m}" for m in range(_PQ_M))
+    joins = " ".join(f"JOIN asg_{m} ON asg_{m}.vec_id = e.vec_id" for m in range(_PQ_M))
+    errsum = " + ".join(f"asg_{m}.err" for m in range(_PQ_M))
+    return f"""
+WITH {_SQL_CORPUS},
+{",".join(subs)}
+SELECT e.vec_id, {codes}, ROUND({errsum}, 4) AS recon_err
+FROM e {joins}
+"""
+
+
+@register("q_sim_pq", category="llm-similarity", oracle=_pq_oracle())
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoder: each embedding is split into 4
+    sub-vectors, each sub-vector quantized by its own learned k-means
+    codebook (the deterministic md5-init Lloyd loop), and the vector is
+    stored as 4 small code ids plus the total squared reconstruction
+    error — the compressed representation an ANN index keeps in memory
+    when the raw vectors don't fit (IVF-PQ's fine quantizer).
+
+    Scale: codebooks train on an ingest-time sample (per-subspace
+    k-means over 16-dim slices — centroid-sized collects only); the
+    encode pass is pure map-side expression work (slice + the single
+    HOF distance loop per subspace), so encoding 100 TB of vectors is
+    one scan with no shuffle at all. Memory math: 64 floats → 4 bytes
+    per vector at production k=256. The learned state is deterministic,
+    so DuckDB replays the entire encoder (_pq_oracle) and the driver
+    hash-checks codes AND reconstruction error."""
+    corpus = _corpus(spark, sf_dir)
+    sel = [F.col("vec_id")]
+    err = F.lit(0.0)
+    for m in range(_PQ_M):
+        sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        cents = kmeans_centroids(
+            corpus.select("vec_id", sub.alias("v")), k=_PQ_K, iters=_PQ_ITERS
+        )
+        best = F.element_at(_cell_sorted(cents, v=sub), 1)
+        sel.append(best["cell"].alias(f"code_{m}"))
+        err = err + best["d"]
+    return corpus.select(*sel, F.round(err, 4).alias("recon_err"))
 
 
 _SIM_TOPK_IVF_ORACLE = f"""

@@ -30,6 +30,7 @@ PANDAS_ALLOWED = {
     "q_mm_features",
     "q_mm_resize",
     "q_mm_frames",
+    "q_mm_phash",
 }
 
 PYTHON_EVAL_NODES = (

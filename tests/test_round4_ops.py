@@ -1,0 +1,110 @@
+"""Semantic and plan-shape checks for the round-4 operators:
+boilerplate scrub, incremental dedup, product quantization, and
+perceptual-hash dedup. Value-level oracle parity is covered for all of
+them by tests/test_oracle_parity.py; these pin the properties the
+oracle can't see (plan shapes, invariants, determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_cached_examples_spark.registry import queries
+from presto_cached_examples_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+from tests.test_plans import build, plan_of
+
+
+def test_boilerplate_scrub_removes_all_shared_lines(spark):
+    """No line that occurs in >= 2 documents may survive in any
+    clean_text, and untouched documents must round-trip verbatim."""
+    from presto_cached_examples_spark.llm.pipeline import _BP_LINE_TOKENS
+
+    out = {r.doc_id: r for r in queries()["q_boilerplate_scrub"](spark, SF_TINY).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_TINY, "documents").collect()}
+
+    def lines(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + _BP_LINE_TOKENS])
+            for i in range(0, len(toks), _BP_LINE_TOKENS)
+        ]
+
+    from collections import Counter
+
+    freq = Counter()
+    for text in docs.values():
+        for line in set(lines(text)):
+            freq[line] += 1
+    boilerplate = {line for line, n in freq.items() if n >= 2}
+    assert boilerplate, "fixture lost its shared lines — test is vacuous"
+
+    touched = 0
+    for doc_id, text in docs.items():
+        row = out[doc_id]
+        kept = [ln for ln in lines(text) if ln not in boilerplate]
+        assert row.clean_text == " ".join(kept), f"doc {doc_id}"
+        assert row.n_lines_removed == len(lines(text)) - len(kept)
+        touched += row.n_lines_removed > 0
+    assert touched > 0
+
+
+def test_dedup_incremental_is_new_batch_minus_known_vocab(spark):
+    """Survivors are exactly the new-batch docs whose vocabulary
+    fingerprint is absent from the standing corpus."""
+    from presto_cached_examples_spark.llm.dedup import _SNAP_MOD, _SNAP_NEW
+
+    d = load_table(spark, SF_TINY, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fp"),
+    )
+    rows = d.collect()
+    old = {r.fp for r in rows if r.doc_id % _SNAP_MOD < _SNAP_NEW}
+    want = {r.doc_id for r in rows if r.doc_id % _SNAP_MOD >= _SNAP_NEW and r.fp not in old}
+    got = {r.doc_id for r in queries()["q_dedup_incremental"](spark, SF_TINY).collect()}
+    assert got == want
+    n_new = sum(1 for r in rows if r.doc_id % _SNAP_MOD >= _SNAP_NEW)
+    assert len(got) < n_new, "anti-join dropped nothing — vacuous fixture"
+
+
+def test_sim_pq_codes_are_valid_and_deterministic(spark):
+    """Every code id lies in [0, k); reconstruction error is
+    non-negative; and a rebuild yields identical codes (no RNG)."""
+    from presto_cached_examples_spark.llm.similarity import _PQ_K, _PQ_M
+
+    rows = queries()["q_sim_pq"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        for m in range(_PQ_M):
+            assert 0 <= r[f"code_{m}"] < _PQ_K
+        assert r.recon_err >= 0.0
+    again = queries()["q_sim_pq"](spark, SF_TINY).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sim_pq_encode_is_map_side(spark):
+    """The PQ encode pass must be pure projection — no hash shuffle, no
+    join: the codebooks enter as literals, so a 100 TB encode is one
+    scan."""
+    p = plan_of(build(spark, "q_sim_pq"), mode="simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_mm_phash_clusters_are_consistent(spark):
+    """canonical_id is the min doc of its hash group, is_dup marks
+    non-canonical members, and collision groups exist (the perceptual
+    key is intentionally coarse)."""
+    rows = queries()["q_mm_phash"](spark, SF_TINY).collect()
+    by_hash: dict[int, list] = {}
+    for r in rows:
+        by_hash.setdefault(r.dhash, []).append(r)
+    assert any(len(g) > 1 for g in by_hash.values()), "no collisions — vacuous"
+    for g in by_hash.values():
+        canon = min(r.doc_id for r in g)
+        for r in g:
+            assert r.canonical_id == canon
+            assert r.n_same == len(g)
+            assert r.is_dup == (r.doc_id != canon)
