@@ -131,10 +131,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Analyzed-relation cache — one schema-resolved DataFrame per (session,
+#: parquet path), the engine analog of a metastore's table-descriptor
+#: cache. Without it every query BUILD re-reads parquet footers on the
+#: driver (spark.read.parquet infers the schema eagerly) and, for
+#: events, re-runs the ts-physical-type detection round trips — ~0.15 s
+#: of pure driver latency per build that round 3's bench misread as
+#: q_window_lag execution drift. DataFrames are immutable, so reusing
+#: the analyzed relation changes no plan, only skips re-analysis.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Column names are asserted against the
-    declared schema; types are left to the parquet footer (the physical
-    source of truth) so the vectorized reader stays on the fast path."""
+    """Scan one fixture table (cached analyzed relation — see
+    _TABLE_CACHE). Column names are asserted against the declared
+    schema; types are left to the parquet footer (the physical source
+    of truth) so the vectorized reader stays on the fast path."""
+    key = (id(spark), table_path(sf_dir, name))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
