@@ -512,6 +512,131 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select(*sel, F.round(err, 4).alias("recon_err"))
 
 
+def _adc_oracle() -> str:
+    """DuckDB replay of ADC search: per subspace, rerun the Lloyd loop,
+    re-derive every corpus vector's code (the same argmin fold q_sim_pq
+    uses), then score each (probe, vector) pair as the sum over
+    subspaces of the EXACT fold distance between the probe's raw
+    sub-vector and the centroid the vector's code points at — the same
+    numbers Spark's probe-side lookup tables contain."""
+    parts, folds, joins = [], [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        err = (
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+            " j -> (s.v[j] - c.c[j]) * (s.v[j] - c.c[j])))"
+        )
+        parts.append(f"e_{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(_lloyd_sql(f"e_{m}", f"_{m}", _PQ_K, _PQ_ITERS))
+        parts.append(
+            f"""
+asg_{m} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {err}, c.cell) AS r
+    FROM e_{m} s CROSS JOIN c{_PQ_ITERS}_{m} c) t
+  WHERE r = 1
+),
+cc_{m} AS (
+  SELECT a.vec_id, c.c FROM asg_{m} a JOIN c{_PQ_ITERS}_{m} c ON c.cell = a.cell
+)"""
+        )
+        folds.append(
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+            f" j -> (p{m}.v[j] - c{m}.c[j]) * (p{m}.v[j] - c{m}.c[j])))"
+        )
+        if m:
+            joins.append(f"JOIN e_{m} p{m} ON p{m}.vec_id = p0.vec_id")
+            joins.append(f"JOIN cc_{m} c{m} ON c{m}.vec_id = c0.vec_id")
+    adc = " + ".join(folds)
+    return f"""
+WITH {_SQL_CORPUS},
+{",".join(parts)},
+scored AS (
+  SELECT p0.vec_id AS probe_id, c0.vec_id AS vec_id,
+         ROUND({adc}, 4) AS adc_dist
+  FROM e_0 p0 {" ".join(joins[::2])}
+  CROSS JOIN cc_0 c0 {" ".join(joins[1::2])}
+  WHERE p0.vec_id < {_N_PROBES} AND c0.vec_id <> p0.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS INT) AS k
+  FROM scored
+)
+SELECT probe_id, vec_id, adc_dist, k FROM ranked WHERE k <= {_TOP_K}
+"""
+
+
+@register("q_sim_adc", category="llm-similarity", oracle=_adc_oracle())
+def q_sim_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query-time
+    half of IVF-PQ that q_sim_pq's encoder feeds: the corpus is
+    represented ONLY by its 4 sub-codes; each probe precomputes a
+    k-entry distance table per subspace (raw sub-vector → every
+    codebook centroid), and a candidate's approximate distance is 4
+    table lookups summed. Exact distances never touch the corpus side.
+
+    Scale: the probe side carries its tables as small array columns and
+    broadcasts; the corpus side streams CODES ONLY (4 small ints per
+    vector — the whole point of PQ: the scan reads ~4 B/vector instead
+    of 256 B of floats), and the per-pair work is element_at lookups,
+    no fold. Top-k via the same WindowGroupLimit tail as every ANN
+    query here.
+
+    Contract: every emitted adc_dist is EXACTLY ‖probe − decode(codes)‖²
+    (the ADC identity — pinned in tests/test_round4_ops.py and
+    hash-checked cross-engine by the oracle). On these near-random
+    fixtures the RANKING it induces is noise — 64-dim random vectors
+    are nearly equidistant, so quantization error swamps neighbor
+    order at any fixture-sized k; with real clustered embeddings (and
+    production k=256) recall comes from codebook quality, while the
+    plan shape shown here is already the production one."""
+    corpus = _corpus(spark, sf_dir)
+    codebooks = []
+    code_cols = []
+    for m in range(_PQ_M):
+        sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        cents = kmeans_centroids(
+            corpus.select("vec_id", sub.alias("v")), k=_PQ_K, iters=_PQ_ITERS
+        )
+        codebooks.append(cents)
+        code_cols.append(
+            F.element_at(_cell_sorted(cents, v=sub), 1)["cell"].alias(f"code_{m}")
+        )
+    codes = corpus.select("vec_id", *code_cols)
+
+    def dist_table(m: int):
+        carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[m]])
+        sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        return F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    probes = corpus.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        *[dist_table(m).alias(f"t_{m}") for m in range(_PQ_M)],
+    )
+    adc = F.lit(0.0)
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(f"t_{m}", F.col(f"code_{m}") + 1)
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        F.broadcast(probes)
+        .join(codes, F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", F.round(adc, 4).alias("adc_dist"))
+        .withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= _TOP_K)
+        .select("probe_id", "vec_id", "adc_dist", "k")
+    )
+
+
 _SIM_TOPK_IVF_ORACLE = f"""
 WITH {_SQL_CORPUS},
 scored AS (

@@ -16,13 +16,15 @@ SQL oracle, which is the *unsalted* join)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
 from presto_cached_examples_spark.sources.catalog import load_table
 
 _SALT = "__salt"
+_TOPK_SKEW_K = 5
+_TOPK_SKEW_SALTS = 8
 
 
 def salted_join(
@@ -87,3 +89,54 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         o, c, keys=[("o_custkey", "c_custkey")], n_salts=8, salt_src=["o_orderkey"]
     ).select("o_orderkey", "c_custkey", "c_nationkey", "o_totalprice")
+
+
+@register(
+    "q_topk_skewed",
+    category="window",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS INT) AS rk
+      FROM orders
+    ) WHERE rk <= {_TOPK_SKEW_K}
+    """,
+)
+def q_topk_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k under extreme key skew — q_topk_group's answer when
+    a partition key has corpus-scale groups (o_orderstatus has THREE
+    values, so a plain per-key window sorts a third of the table on one
+    reducer). Two-level decomposition: rank within (key, salt) and keep
+    each salt's local top-k, then re-rank the surviving ≤ salts×k rows
+    per key. Exact by a pigeonhole argument: every global top-k row is
+    in its own salt's top-k, so level 1 never discards a winner — the
+    oracle is the PLAIN windowed top-k, like q_join_salted's is the
+    plain join.
+
+    Scale: level 1 plans a WindowGroupLimit over (key, salt) — each map
+    task keeps k rows per (key, salt) before any shuffle, and the hot
+    key's rows spread over `salts` reducers; level 2's partitions are
+    domain-bounded (salts × k rows per key). No data-proportional
+    window partition anywhere — the property the demoted exact twins
+    violated."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(_TOPK_SKEW_SALTS))
+    w_local = Window.partitionBy("o_orderstatus", _SALT).orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    w_global = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn(_SALT, salt)
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= _TOPK_SKEW_K)
+        .withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= _TOPK_SKEW_K)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rk")
+    )

@@ -93,6 +93,77 @@ def test_sim_pq_encode_is_map_side(spark):
     assert "Join" not in p
 
 
+def test_sim_adc_distance_is_exact_to_reconstruction(spark):
+    """The ADC identity: every emitted adc_dist must equal the exact
+    squared L2 distance between the probe's raw vector and the decoded
+    (codebook-reconstructed) candidate — table lookups may approximate
+    the true neighbor, never the distance-to-reconstruction."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.similarity import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _corpus,
+        kmeans_centroids,
+    )
+
+    corpus = _corpus(spark, SF_TINY)
+    books = []
+    for m in range(_PQ_M):
+        sub = corpus.select(
+            "vec_id", F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+        )
+        books.append(np.array(kmeans_centroids(sub, k=_PQ_K, iters=_PQ_ITERS)))
+    codes = {
+        r.vec_id: [r[f"code_{m}"] for m in range(_PQ_M)]
+        for r in queries()["q_sim_pq"](spark, SF_TINY).collect()
+    }
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_TINY, "embeddings").collect()
+    }
+    for r in queries()["q_sim_adc"](spark, SF_TINY).collect():
+        recon = np.concatenate([books[m][codes[r.vec_id][m]] for m in range(_PQ_M)])
+        want = round(float(((vecs[r.probe_id] - recon) ** 2).sum()), 4)
+        assert abs(r.adc_dist - want) <= 1e-4, (r.probe_id, r.vec_id)
+
+
+def test_topk_skewed_equals_plain_topk(spark):
+    """The two-level salted decomposition must reproduce the plain
+    windowed top-k row-for-row (salting is shuffle layout, not
+    semantics)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF_TINY, "orders").select(
+        "o_orderstatus", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    plain = (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    got = queries()["q_topk_skewed"](spark, SF_TINY).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+
+
+def test_topk_skewed_plans_salted_window_group_limit(spark):
+    """Level 1 must rank within (key, salt) — the raw-row window spec
+    carries the salt column and plans a WindowGroupLimit, so no reducer
+    ever sorts a whole hot key."""
+    import re
+
+    p = plan_of(build(spark, "q_topk_skewed"), mode="simple")
+    assert "WindowGroupLimit" in p
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    raw = [s for s in specs if "__salt" in s]
+    assert raw, f"no salt-scoped window spec in: {specs}"
+
+
 def test_mm_phash_clusters_are_consistent(spark):
     """canonical_id is the min doc of its hash group, is_dup marks
     non-canonical members, and collision groups exist (the perceptual
