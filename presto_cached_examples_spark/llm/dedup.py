@@ -562,11 +562,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KMEANS_NPROBE,
         _cell_ranking,
         _corpus,
-        kmeans_centroids,
+        _corpus_centroids,
     )
 
     e = _corpus(spark, sf_dir)
-    cents = kmeans_centroids(e)
+    cents = _corpus_centroids(spark, sf_dir)
     cells = e.select(
         "vec_id",
         "v",

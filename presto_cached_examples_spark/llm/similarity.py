@@ -311,6 +311,37 @@ def kmeans_centroids(
     return cents
 
 
+#: Learned codebooks memoized per (session, fixture, subspace, k,
+#: iters). The quantizer is an ingest-time artifact: train once per
+#: corpus, reuse across queries and rebuilds — q_sim_pq and q_sim_adc
+#: share sub-codebooks, q_sim_topk_kmeans and q_dedup_embed the
+#: full-vector one. Same lifetime discipline as catalog._TABLE_CACHE.
+_CODEBOOK_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _corpus_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    sub: int | None = None,
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+) -> list[list[float]]:
+    """kmeans_centroids over the fixture corpus (or one PQ subspace
+    slice when `sub` is given), cached — see _CODEBOOK_CACHE."""
+    key = (id(spark), sf_dir, sub, k, iters)
+    got = _CODEBOOK_CACHE.get(key)
+    if got is None:
+        corpus = _corpus(spark, sf_dir)
+        if sub is not None:
+            corpus = corpus.select(
+                "vec_id",
+                F.slice(F.col("v"), sub * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v"),
+            )
+        got = kmeans_centroids(corpus, k=k, iters=iters)
+        _CODEBOOK_CACHE[key] = got
+    return got
+
+
 def _dist_sql(v: str, c: str) -> str:
     """Squared-L2 distance for argmin ORDER BYs: |a|² − 2a·b + |b|².
     A ranking flip vs Spark's Σ(aᵢ−bᵢ)² fold would need two centroids
@@ -410,7 +441,7 @@ def q_sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality affects only recall (pinned vs brute force in
     tests/test_similarity.py), never the plan shape."""
     corpus = _corpus(spark, sf_dir)
-    cents = kmeans_centroids(corpus)
+    cents = _corpus_centroids(spark, sf_dir)
     cell = F.element_at(_cell_ranking(cents), 1)
     indexed = corpus.withColumn("cell", cell)
     probes = (
@@ -503,9 +534,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.lit(0.0)
     for m in range(_PQ_M):
         sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        cents = kmeans_centroids(
-            corpus.select("vec_id", sub.alias("v")), k=_PQ_K, iters=_PQ_ITERS
-        )
+        cents = _corpus_centroids(spark, sf_dir, sub=m, k=_PQ_K, iters=_PQ_ITERS)
         best = F.element_at(_cell_sorted(cents, v=sub), 1)
         sel.append(best["cell"].alias(f"code_{m}"))
         err = err + best["d"]
@@ -598,9 +627,7 @@ def q_sim_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_cols = []
     for m in range(_PQ_M):
         sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        cents = kmeans_centroids(
-            corpus.select("vec_id", sub.alias("v")), k=_PQ_K, iters=_PQ_ITERS
-        )
+        cents = _corpus_centroids(spark, sf_dir, sub=m, k=_PQ_K, iters=_PQ_ITERS)
         codebooks.append(cents)
         code_cols.append(
             F.element_at(_cell_sorted(cents, v=sub), 1)["cell"].alias(f"code_{m}")

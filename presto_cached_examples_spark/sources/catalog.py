@@ -185,6 +185,14 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
+#: spread() decision memo, weakly keyed on the input DataFrame (the
+#: _TABLE_CACHE makes those stable objects): the split-count probe
+#: converts the plan to an RDD on the driver — tens of ms per query
+#: build that repeat invocations shouldn't re-pay. Weak keys mean a
+#: dropped DataFrame drops its entry; no stale-identity hazard.
+_SPREAD_CACHE: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = None  # type: ignore[assignment]
+
+
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread a narrow scan across the cluster for CPU-heavy per-row work.
 
@@ -196,10 +204,18 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     exceeds the core count and this is a no-op — no shuffle is added on
     the 100 TB path.
     """
+    global _SPREAD_CACHE
+    if _SPREAD_CACHE is None:
+        import weakref
+
+        _SPREAD_CACHE = weakref.WeakKeyDictionary()
+    got = _SPREAD_CACHE.get(df)
+    if got is not None:
+        return got
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    out = df.repartition(cores) if df.rdd.getNumPartitions() < cores else df
+    _SPREAD_CACHE[df] = out
+    return out
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
