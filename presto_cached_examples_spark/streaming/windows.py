@@ -156,6 +156,62 @@ def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_interval_join",
+    category="streaming",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join — ALL same-user clicks within the hour before each
+    purchase, with the click→purchase lag. The batch twin of
+    runner.join_stream_stream (the watermarked stream-stream join);
+    tests/test_streaming.py pins that the genuinely-streaming execution
+    over the same events produces exactly these pairs. Differs from
+    q_join_asof_tol by emitting EVERY in-window pair, not the latest —
+    the attribution-path analysis shape.
+
+    Scale: equi-join on user_id with both time bounds as join
+    predicates — the matcher state per key is capped by the interval,
+    which is precisely what lets the streaming form evict state at
+    watermark + delay. No window, no skew beyond the user key itself."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.c_ts <= p.p_ts)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
+
+
+@register(
     "q_stream_enrich",
     category="streaming",
     oracle="""

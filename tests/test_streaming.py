@@ -340,18 +340,15 @@ def test_stream_stream_join_equals_batch_twin(spark):
 
     sp, sc = split(read_events_stream(spark, SF_TINY))
     joined = join_stream_stream(sp, sc).select("l_event_id", "r_event_id")
-    got = sorted(run_to_memory(joined, "ss_join").collect())
+    got = sorted(tuple(r) for r in run_to_memory(joined, "ss_join").collect())
 
-    bp, bc = split(load_table(spark, SF_TINY, "events"))
+    # the registered batch twin IS the ground truth (and carries the
+    # driver-facing SQL oracle for the same pair set)
+    from presto_cached_examples_spark.registry import all_specs
+
     want = sorted(
-        bp.join(
-            bc,
-            (bp.l_user_id == bc.r_user_id)
-            & (bc.r_ts <= bp.l_ts)
-            & (bc.r_ts >= bp.l_ts - F.expr("INTERVAL 1 HOUR")),
-        )
-        .select("l_event_id", "r_event_id")
-        .collect()
+        (r.purchase_id, r.click_id)
+        for r in all_specs()["q_stream_interval_join"].fn(spark, SF_TINY).collect()
     )
     assert want, "fixture has no in-window purchase/click pairs"
     assert got == want
