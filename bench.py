@@ -32,6 +32,15 @@ HEADLINE_V2 = [
     "q_text_repetition",
     "q_decontam_hashed",
     "q_events_rollup",
+    # round-4 additions (q_sim_pq before q_sim_adc: the encoder trains
+    # the shared sub-codebooks, ADC reuses them — serving order)
+    "q_boilerplate_scrub",
+    "q_dedup_incremental",
+    "q_sim_pq",
+    "q_sim_adc",
+    "q_mm_phash",
+    "q_topk_skewed",
+    "q_stream_interval_join",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -108,13 +108,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     result set — and the DuckDB oracle, a plain same-source nested
     loop — is unchanged.
 
-    Block-size bound: a block is one prefix token; expected block size
-    is df(token) × P(token lands in a prefix) ≈ 0.2·df under the
-    hash-random global order used here. At ingest you'd rank tokens by
-    ascending document frequency instead, biasing prefixes to rare
-    tokens (the classic AllPairs ordering) — same plan, smaller blocks.
-    The verify stage (true Jaccard + source equality) touches only
-    candidate pairs."""
+    Block-size bound: a block is one (source, prefix-token) pair — the
+    result set REQUIRES src_a = src_b, so generating cross-source
+    candidates is pure waste (the round-4 bench canary caught exactly
+    that: the fixture's 31-token vocabulary makes prefix tokens
+    non-selective, and source-free blocking emitted 12.2M candidates at
+    sf0.1 where source+length blocking emits 322k — 19.3 s → ~2.5 s).
+    Two further lossless prunes ride the same join: the AllPairs length
+    filter (J ≥ 0.8 forces 0.8·|b| ≤ |a| ≤ 1.25·|b|) and prefix
+    selectivity ≈ 0.2·df under the hash-random order (at ingest, rank
+    tokens by ascending df — classic AllPairs — for rarer prefixes).
+    At 100 TB `source` is the shard/domain key, so blocks stay bounded
+    by shard vocabulary, never corpus vocabulary. The verify stage
+    (true Jaccard) touches only candidate pairs."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -126,12 +132,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("toks", lambda t: F.struct(F.xxhash64(t).alias("r"), t.alias("tok")))
     )
     prefix = F.transform(F.slice(ordered, 1, plen), lambda s: s["tok"])
-    pt = d.select("doc_id", F.explode(prefix).alias("ptok"))
+    pt = d.select("doc_id", "source", n.alias("n"), F.explode(prefix).alias("ptok"))
     cand = (
         pt.alias("a")
         .join(
             pt.alias("b"),
-            (F.col("a.ptok") == F.col("b.ptok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: |a| and |b| within 0.8 ratio both ways
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
