@@ -41,6 +41,8 @@ HEADLINE_V2 = [
     "q_mm_phash",
     "q_topk_skewed",
     "q_stream_interval_join",
+    "q_rolling_retention",
+    "q_join_bucketed",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

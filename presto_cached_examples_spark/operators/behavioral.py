@@ -253,6 +253,68 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_retention",
+    category="behavioral",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    act AS (SELECT d, COUNT(*) AS n_active FROM du GROUP BY d),
+    ret AS (
+      SELECT a.d, COUNT(DISTINCT a.user_id) AS n_retained
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.d < a.d AND b.d >= a.d - INTERVAL 7 DAY
+      GROUP BY a.d
+    )
+    SELECT act.d AS day,
+           act.n_active,
+           COALESCE(ret.n_retained, 0) AS n_retained,
+           ROUND(COALESCE(ret.n_retained, 0) * 1.0 / act.n_active, 4) AS retention
+    FROM act LEFT JOIN ret ON ret.d = act.d
+    """,
+)
+def q_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day retention per day: of the users active on day d,
+    the fraction also active in [d-7, d-1] — the growth dashboard's
+    companion to q_rolling_wau.
+
+    Scale: same map-side-expansion discipline as the WAU rewrite — each
+    distinct (day, user) pair explodes to the 7 FOLLOWING days it
+    counts as "previously active" for (O(7·pairs), no range join, no
+    BNLJ); a distinct collapses multi-day coverage, and a plain
+    equi-join against the same-day active pairs + two hash aggregates
+    finish. The oracle states the same set as a range self-join, which
+    is fine at DuckDB's gate scale and wrong at 100 TB — the docstring
+    IS the design note on why the shapes differ."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    cover = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d") + F.expr("INTERVAL 1 DAY"),
+                F.col("d") + F.expr("INTERVAL 7 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    same_day = du.select(F.col("d").alias("day"), "user_id")
+    ret = (
+        cover.join(same_day, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    act = du.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("n_active"))
+    n_ret = F.coalesce("n_retained", F.lit(0).cast("long"))
+    return act.join(ret, "day", "left").select(
+        "day",
+        "n_active",
+        n_ret.alias("n_retained"),
+        F.round(n_ret * 1.0 / F.col("n_active"), 4).alias("retention"),
+    )
+
+
+@register(
     "q_rolling_wau_approx",
     category="behavioral",
     oracle="""

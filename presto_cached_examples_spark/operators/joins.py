@@ -456,3 +456,88 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_ts").isNotNull().alias("attributed"),
         )
     )
+
+
+# Bucketed fact-fact join: bucket count must match on both sides for
+# Spark to elide the exchanges. One bucketed copy per (session, sf);
+# table names carry an sf tag so fixtures don't collide.
+_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem as bucketed tables once per (session, sf)
+    and return their names — the ingest-time step of the zero-shuffle
+    join design. saveAsTable is the in-session catalog's registration;
+    stale managed-table directories left by dead sessions are cleared
+    first (Spark refuses to create a managed table over an existing
+    location)."""
+    import os
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    to, tl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    if not spark.catalog.tableExists(to) or not spark.catalog.tableExists(tl):
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = re.sub(r"^file:/*", "/", wh)
+        for t in (to, tl):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(to)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .write.bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tl)
+        )
+    return to, tl
+
+
+@register(
+    "q_join_bucketed",
+    category="join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           ROUND(l.l_extendedprice, 2) AS l_extendedprice,
+           o.o_orderstatus
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact-fact join over bucketed layout: orders and
+    lineitem are both written bucketed (and per-bucket sorted) on the
+    order key with the SAME bucket count, so the sort-merge join
+    consumes bucket files directly — the plan contains NO exchange at
+    all (pinned in tests/test_plans.py; the merge hint keeps AQE from
+    demonstrating broadcast instead on the small fixtures). The oracle
+    is the plain join: bucketing is storage layout, never semantics.
+
+    Scale: this is the pre-paid-shuffle design for recurring fact-fact
+    joins — the shuffle happens ONCE at write time (here: once per
+    session, memoized through the catalog) and every subsequent join of
+    any two tables bucketed on the same key and count is exchange-free.
+    At 100 TB with daily joins this converts an every-run O(data)
+    shuffle into a write-time cost amortized across all consumers."""
+    to, tl = _bucketed_tables(spark, sf_dir)
+    o, li = spark.table(to), spark.table(tl)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            "o_orderstatus",
+        )
+    )

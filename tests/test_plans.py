@@ -222,6 +222,25 @@ def test_events_rollup_daily_reads_hourly_not_raw(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """q_join_bucketed: both sides bucketed+sorted on the join key with
+    equal bucket counts — the sort-merge join must consume bucket files
+    directly, with NO exchange anywhere in the plan (the pre-paid
+    shuffle design)."""
+    p = plan_of(build(spark, "q_join_bucketed"), mode="simple")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+
+
+def test_rolling_retention_is_map_side_expansion(spark):
+    """q_rolling_retention: same discipline as the WAU rewrite — no
+    window, no BroadcastNestedLoopJoin, explode-expansion present."""
+    p = plan_of(build(spark, "q_rolling_retention"), mode="simple")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p
+
+
 def test_profile_stats_is_single_pass(spark):
     """q_profile_stats: every per-column profile must come out of ONE
     aggregate over ONE parquet scan (multi-distinct plans as Expand +
