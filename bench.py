@@ -43,6 +43,7 @@ HEADLINE_V2 = [
     "q_stream_interval_join",
     "q_rolling_retention",
     "q_join_bucketed",
+    "q_graph_components",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -107,3 +107,86 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+_COPURCHASE_MIN_ORDERS = 2
+
+_GRAPH_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_COPURCHASE_MIN_ORDERS}
+),
+edges AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION ALL
+  SELECT pb AS a, pa AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+degree AS (SELECT a AS node, COUNT(*) AS n_neighbors FROM edges GROUP BY a)
+SELECT l.node AS part_key, l.component,
+       CAST(d.n_neighbors AS BIGINT) AS n_neighbors
+FROM labels l JOIN degree d ON d.node = l.node
+"""
+
+
+def _register_graph_query():
+    from pyspark.sql import SparkSession
+
+    from presto_cached_examples_spark.registry import register
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    @register("q_graph_components", category="graph", oracle=_GRAPH_COMPONENTS_ORACLE)
+    def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Connected components of the part co-purchase graph — parts
+        linked when they appear together in >= 2 distinct orders, each
+        labeled with its component (min reachable part id) and degree.
+        The related-products clustering every recommender pipeline
+        starts from, and the first-class surface for the CC machinery
+        that q_dedup_near uses internally.
+
+        Scale: pair generation shuffles lineitem once on the order key
+        and fans out bounded pairs per order (order size is capped, so
+        the quadratic term is per-order, never global); the >= 2-orders
+        filter runs inside the same aggregate. Components run hybrid:
+        under DRIVER_EDGE_THRESHOLD edges an exact driver union-find
+        (one bounded collect), above it the distributed min-label
+        propagation loop whose per-round state is two long columns.
+        The oracle replays the closure as a recursive CTE — exact, the
+        same pattern q_dedup_near's clustering oracle uses."""
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+            )
+            .agg(F.countDistinct("a.l_orderkey").alias("n"))
+            .filter(F.col("n") >= _COPURCHASE_MIN_ORDERS)
+            .select("pa", "pb")
+        )
+        comp = connected_components(pairs, src="pa", dst="pb")
+        sym = pairs.unionByName(
+            pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        )
+        degree = sym.groupBy(F.col("pa").alias("node")).agg(
+            F.count(F.lit(1)).alias("n_neighbors")
+        )
+        return comp.join(degree, "node").select(
+            F.col("node").alias("part_key"), "component", "n_neighbors"
+        )
+
+
+_register_graph_query()
