@@ -163,19 +163,35 @@ def _register_graph_query():
         The oracle replays the closure as a recursive CTE — exact, the
         same pattern q_dedup_near's clustering oracle uses."""
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
+        # one shuffle on the order key, then pairs expand MAP-SIDE from
+        # each order's (bounded, deduped, sorted) part set via nested
+        # HOFs — a self-join formulation scans and shuffles lineitem
+        # twice and re-deduplicates with countDistinct (measured 4.9 s
+        # vs ~1.5 s at sf0.1). collect_set bounds state by order size.
+        ps = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
         pairs = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-            )
-            .agg(F.countDistinct("a.l_orderkey").alias("n"))
+            ps.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= _COPURCHASE_MIN_ORDERS)
             .select("pa", "pb")
+            # the edge relation is tiny (ids only) but its lineage is
+            # the whole pair pipeline, and BOTH the component probe and
+            # the degree aggregate consume it — materialize once (the
+            # q_dedup_near discipline)
+            .localCheckpoint(eager=True)
         )
         comp = connected_components(pairs, src="pa", dst="pb")
         sym = pairs.unionByName(
