@@ -1077,3 +1077,60 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "q_ntile_spend",
+    category="window",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, spend,
+             NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(spend), 2) AS min_spend,
+           ROUND(MAX(spend), 2) AS max_spend,
+           ROUND(SUM(CAST(ROUND(spend * 100, 0) AS BIGINT)) / 100.0
+                 / COUNT(*), 2) AS avg_spend
+    FROM tiled GROUP BY decile
+    """,
+)
+def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend deciles via NTILE(10): the
+    segmentation query behind "top 10% of customers drive X% of
+    revenue". Per-decile headcount and min/max/avg spend.
+
+    Scale: orders reduce to one cent-exact row per customer first
+    (two-phase hash aggregate), so the NTILE window ranks customers,
+    not orders. The unpartitioned window is the real cost at 100 TB —
+    NTILE needs a global total ordering — which is exactly what this
+    query is FOR; the (spend DESC, custkey) tie-break makes bucket
+    boundaries deterministic on both engines. The final aggregate
+    collapses to 10 rows, cent-summed before dividing so avg_spend
+    can't drift."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    tiled = spend.select("o_custkey", "spend", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+        F.round(
+            F.sum(F.round(F.col("spend") * 100, 0).cast("long"))
+            / 100.0
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_spend"),
+    )

@@ -383,3 +383,124 @@ def q_rolling_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@register(
+    "q_markov_transitions",
+    category="behavioral",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY from_type), 4) AS prob
+    FROM t
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the
+    path-analysis primitive behind "what do users do after a click".
+
+    Scale: one shuffle keyed on user_id for the lead() window (the same
+    partitioning q_sessionize rides), then a hash aggregate whose
+    output is bounded by |event_type|² — a handful of rows no matter
+    the event volume. The normalizing window runs over that tiny
+    matrix, not over events. The unique event_id tie-break keeps the
+    sequence (and therefore every count) deterministic on both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(norm), 4
+        ).alias("prob"),
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    category="behavioral",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+      FROM orders GROUP BY day
+    ),
+    scored AS (
+      SELECT day, revenue,
+             AVG(revenue) OVER w AS mu,
+             STDDEV_SAMP(revenue) OVER w AS sigma,
+             COUNT(*) OVER w AS n_prior
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, ROUND(revenue, 2) AS revenue,
+           CASE WHEN n_prior >= 10 AND sigma > 0
+                THEN ROUND((revenue - mu) / sigma, 3) END AS z_28,
+           CASE WHEN n_prior >= 10 AND sigma > 0
+                THEN ABS((revenue - mu) / sigma) > 2 END AS is_anomaly
+    FROM scored
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's revenue scored as
+    a z-score against the previous ≤28 observed days (ROWS frame — the
+    monitoring query behind a revenue-alerting dashboard). Days with
+    fewer than 10 priors or zero variance score NULL instead of
+    producing unstable flags.
+
+    Scale: raw orders collapse to one row per day first (two-phase hash
+    aggregate, cent-summed so the day totals are bit-identical across
+    engines); the window then runs over the day series — thousands of
+    rows for years of data — so the single-partition unpartitioned
+    window is domain-bounded, the same argument as q_window_frame. Both
+    engines evaluate mean/std over the identical ordered frame of
+    identical cent-exact values, and 3dp rounding absorbs ULP drift."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    scored = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    ok = (F.col("n_prior") >= 10) & (F.col("sigma") > 0)
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.when(ok, F.round(z, 3)).alias("z_28"),
+        F.when(ok, F.abs(z) > 2).alias("is_anomaly"),
+    )

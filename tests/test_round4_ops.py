@@ -179,3 +179,53 @@ def test_mm_phash_clusters_are_consistent(spark):
             assert r.canonical_id == canon
             assert r.n_same == len(g)
             assert r.is_dup == (r.doc_id != canon)
+
+
+def test_markov_probs_normalize_per_from_state(spark):
+    """Outgoing transition probabilities must sum to ~1 per from_type,
+    and every (from, to) pair must come from the fixture's event-type
+    vocabulary."""
+    rows = build(spark, "q_markov_transitions").collect()
+    types = {
+        r.event_type
+        for r in load_table(spark, SF_TINY, "events").select("event_type").distinct().collect()
+    }
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r.from_type in types and r.to_type in types
+        assert r.n_transitions > 0
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob
+    assert by_from, "no transitions found"
+    for ft, total in by_from.items():
+        # each prob is rounded to 4dp, so the sum can drift by #rows * 5e-5
+        assert abs(total - 1.0) < 1e-2, (ft, total)
+
+
+def test_anomaly_zscore_null_until_enough_history(spark):
+    """The first 10 observed days must score NULL (insufficient
+    priors), and any flagged day must carry |z| > 2."""
+    rows = sorted(build(spark, "q_anomaly_zscore").collect(), key=lambda r: r.day)
+    assert len(rows) > 12
+    for r in rows[:10]:
+        assert r.z_28 is None and r.is_anomaly is None, r
+    for r in rows:
+        if r.is_anomaly:
+            assert abs(r.z_28) > 2, r
+        elif r.is_anomaly is False:
+            assert abs(r.z_28) <= 2.001, r
+
+
+def test_ntile_deciles_are_balanced(spark):
+    """NTILE(10) bucket sizes differ by at most 1, cover all customers
+    with orders, and decile 1 holds the biggest spenders (monotone
+    non-increasing min/max across deciles)."""
+    rows = sorted(build(spark, "q_ntile_spend").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    n_cust = (
+        load_table(spark, SF_TINY, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(sizes) == n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_spend >= b.max_spend - 0.01, (a, b)
