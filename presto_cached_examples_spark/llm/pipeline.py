@@ -373,3 +373,68 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", keep).alias("clean_text"),
         (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
     )
+
+
+_MIX_TOKEN_BUDGET = 1_000_000  # total training-token budget to allocate
+
+
+@register(
+    "q_mix_weights",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(list_filter(STRING_SPLIT(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+             3 - CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 3 AS tier_weight
+      FROM documents GROUP BY source
+    ),
+    shared AS (
+      SELECT *, SUM(tier_weight) OVER () AS total_weight FROM per_source
+    )
+    SELECT source, n_docs, n_tokens, tier_weight,
+           ROUND(tier_weight * 1.0 / total_weight, 4) AS share,
+           CAST(FLOOR({_MIX_TOKEN_BUDGET} * tier_weight * 1.0 / total_weight) AS BIGINT)
+             AS target_tokens,
+           ROUND({_MIX_TOKEN_BUDGET} * tier_weight * 1.0 / total_weight / n_tokens, 4)
+             AS sample_rate,
+           CAST(CEIL({_MIX_TOKEN_BUDGET} * tier_weight * 1.0 / total_weight / n_tokens) AS BIGINT)
+             AS n_epochs
+    FROM shared
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: allocate a fixed token budget across
+    sources by tier weight (tier = source index mod 3 — a stand-in for
+    the quality tiers a curation team assigns), then derive each
+    source's sampling rate and epoch count — the table a data-loading
+    config is generated from.
+
+    Scale: one hash aggregate collapses the corpus to |sources| rows;
+    the normalizing window and every derived column run over that tiny
+    relation. The token count per source is the only work proportional
+    to data volume, and it's a map-side size(split) — no explode, no
+    token-keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("n_tokens"),
+    ).withColumn(
+        "tier_weight",
+        3 - F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 3,
+    )
+    shared = per_source.withColumn(
+        "total_weight", F.sum("tier_weight").over(Window.partitionBy())
+    )
+    target = F.lit(_MIX_TOKEN_BUDGET) * F.col("tier_weight") * 1.0 / F.col("total_weight")
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "tier_weight",
+        F.round(F.col("tier_weight") * 1.0 / F.col("total_weight"), 4).alias("share"),
+        F.floor(target).cast("long").alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 4).alias("sample_rate"),
+        F.ceil(target / F.col("n_tokens")).cast("long").alias("n_epochs"),
+    )

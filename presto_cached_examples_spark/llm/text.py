@@ -8,7 +8,7 @@ with trivial (small-key) aggregations, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
@@ -515,5 +515,62 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams"), 4
             ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+@register(
+    "q_text_unigram_lm",
+    category="llm-text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS k
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, SUM(k) AS n, SUM(SUM(k)) OVER () AS total
+      FROM doc_tok GROUP BY tok
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           ROUND(SUM(d.k * -LN(v.n / v.total)) / SUM(d.k), 4) AS surprisal
+    FROM doc_tok d JOIN vocab v ON d.tok = v.tok
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean token
+    surprisal -ln p(tok) under the corpus's own unigram distribution —
+    the cheapest perplexity proxy a quality-filtering pipeline runs
+    before any neural scorer. Low = stereotyped, high = rare-token.
+
+    Scale: documents explode to per-doc token COUNTS (map-side combine
+    collapses repeats before the shuffle), the vocabulary aggregate is
+    bounded by |vocab|, and the probability join is a broadcast of that
+    bounded vocab — the per-doc scoring aggregate keys on doc_id, which
+    is uniform. Nothing is ever keyed on raw token occurrences, so the
+    Zipf skew of natural text never reaches a shuffle key."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("n"))
+    vocab = vocab.select(
+        "tok", "n", F.sum("n").over(Window.partitionBy()).alias("total")
+    )
+    neglogp = -F.log(F.col("n") / F.col("total"))
+    return (
+        doc_tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * neglogp) / F.sum("k"), 4).alias("surprisal"),
         )
     )

@@ -229,3 +229,49 @@ def test_ntile_deciles_are_balanced(spark):
     assert sum(sizes) == n_cust
     for a, b in zip(rows, rows[1:]):
         assert a.min_spend >= b.max_spend - 0.01, (a, b)
+
+
+def test_unigram_lm_scores_rare_tokens_higher(spark):
+    """A document whose tokens are all corpus-frequent must score
+    lower surprisal than one holding the corpus's rarest tokens; and
+    surprisal must be positive whenever any token has p < 1."""
+    rows = {r.doc_id: r for r in build(spark, "q_text_unigram_lm").collect()}
+    docs = load_table(spark, SF_TINY, "documents").count()
+    assert len(rows) == docs
+    assert all(r.surprisal > 0 for r in rows.values())
+    # cross-check one doc by hand
+    import collections
+    import math
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_TINY, "documents").select("doc_id", "text").collect()
+    }
+    vocab: collections.Counter = collections.Counter()
+    for t in texts.values():
+        vocab.update(tok for tok in t.split(" ") if tok)
+    total = sum(vocab.values())
+    doc_id = min(texts)
+    toks = [tok for tok in texts[doc_id].split(" ") if tok]
+    expect = sum(-math.log(vocab[t] / total) for t in toks) / len(toks)
+    assert abs(rows[doc_id].surprisal - round(expect, 4)) < 2e-4
+
+
+def test_mix_weights_allocates_full_budget(spark):
+    """Target tokens across sources must sum to the budget (within the
+    per-source floor loss), shares to ~1, and every epoch count must be
+    ceil(rate)."""
+    import math
+
+    from presto_cached_examples_spark.llm.pipeline import _MIX_TOKEN_BUDGET
+
+    rows = build(spark, "q_mix_weights").collect()
+    assert {r.source for r in rows} == {f"src{i}" for i in range(20)}
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-2
+    total_target = sum(r.target_tokens for r in rows)
+    assert _MIX_TOKEN_BUDGET - len(rows) <= total_target <= _MIX_TOKEN_BUDGET
+    for r in rows:
+        assert r.n_epochs == math.ceil(round(r.target_tokens / r.n_tokens, 6)) or (
+            r.n_epochs - r.target_tokens / r.n_tokens < 1
+        )
+        assert r.tier_weight in (1, 2, 3)
