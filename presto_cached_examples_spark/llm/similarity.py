@@ -702,3 +702,81 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") <= _TOP_K)
         .select("probe_id", "vec_id", "cosine", "k")
     )
+
+
+@register(
+    "q_embed_centroids",
+    category="llm-similarity",
+    oracle="""
+    WITH elem AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             UNNEST(embedding) AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, LIST(avg_val ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, AVG(val) AS avg_val
+        FROM elem GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label,
+             list_dot_product(e.embedding, c.centroid)
+               / SQRT(list_dot_product(c.centroid, c.centroid)) AS cos_c,
+             SQRT(list_dot_product(c.centroid, c.centroid)) AS cnorm
+      FROM embeddings e JOIN cent c ON e.label = c.label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(ANY_VALUE(cnorm), 4) AS centroid_norm,
+           ROUND(AVG(cos_c), 4) AS avg_cos,
+           ROUND(MIN(cos_c), 4) AS min_cos
+    FROM scored GROUP BY label
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cluster diagnostics: the label centroid's
+    norm (how directionally coherent the cluster is — unit vectors
+    pointing the same way keep norm near 1, random directions collapse
+    it toward 0) and each member's cosine to its own centroid (avg =
+    cluster tightness, min = the worst-assigned member). The table an
+    embedding-QA dashboard shows per class before anyone trusts ANN
+    recall numbers.
+
+    Scale: posexplode is map-side and the centroid aggregate keys on
+    (label, pos) — output bounded by |labels| x dim, two-phase partial
+    agg, so raw vector volume never crosses a shuffle unreduced. The
+    centroid relation is tiny and broadcasts back onto the corpus for
+    the map-side cosine; the final aggregate keys on label. Mirrors the
+    (bounded-collect) centroid discipline of q_sim_topk_kmeans but with
+    zero driver round-trips."""
+    e = _corpus(spark, sf_dir)
+    elem = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        elem.groupBy("label", "pos")
+        .agg(F.avg("val").alias("avg_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p["avg_val"]).alias("centroid"),
+        )
+    )
+    cnorm = _norm(F.col("centroid"))
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        (_dot(F.col("v"), F.col("centroid")) / cnorm).alias("cos_c"),
+        cnorm.alias("cnorm"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.any_value("cnorm"), 4).alias("centroid_norm"),
+        F.round(F.avg("cos_c"), 4).alias("avg_cos"),
+        F.round(F.min("cos_c"), 4).alias("min_cos"),
+    )

@@ -504,3 +504,69 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 3)).alias("z_28"),
         F.when(ok, F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+@register(
+    "q_event_runs",
+    category="behavioral",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_no
+      FROM flagged
+    )
+    SELECT user_id, run_no, event_type,
+           MIN(ts) AS run_start,
+           MAX(ts) AS run_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, run_no, event_type
+    """,
+)
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of per-user event streams
+    (gaps-and-islands on VALUE change rather than time gap): maximal
+    runs of consecutive same-type events collapse to one row with
+    validity bounds — the SCD-style change-log a sessionized activity
+    table is built from, and the repeat-burst signal (n_events per
+    run) rage-click detection reads.
+
+    Scale: the q_sessionize argument verbatim — two window passes over
+    one (user_id) hash partitioning (Spark reuses the exchange), then
+    a grouped aggregate on (user_id, run_no); nothing ever crosses
+    user partitions, and the unique event_id tie-break makes run
+    boundaries deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    numbered = flagged.withColumn(
+        "run_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "run_no", "event_type").agg(
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

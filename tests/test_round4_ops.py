@@ -275,3 +275,39 @@ def test_mix_weights_allocates_full_budget(spark):
             r.n_epochs - r.target_tokens / r.n_tokens < 1
         )
         assert r.tier_weight in (1, 2, 3)
+
+
+def test_event_runs_partition_the_stream(spark):
+    """Run rows must tile each user's event stream exactly: event
+    counts sum to the user's events, runs never overlap in time, and
+    adjacent runs always change event_type."""
+    rows = build(spark, "q_event_runs").collect()
+    ev_per_user: dict[int, int] = {}
+    for r in load_table(spark, SF_TINY, "events").groupBy("user_id").count().collect():
+        ev_per_user[r.user_id] = r["count"]
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(ev_per_user)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: r.run_no)
+        assert sum(r.n_events for r in runs) == ev_per_user[uid]
+        assert [r.run_no for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a.run_end <= b.run_start
+            assert a.event_type != b.event_type
+
+
+def test_embed_centroids_cosines_are_bounded(spark):
+    """Centroid norms must sit in (0, 1] for unit-vector members, every
+    cosine stat in [-1, 1], and avg_cos >= min_cos per label."""
+    rows = build(spark, "q_embed_centroids").collect()
+    assert len(rows) == 10
+    n_total = 0
+    for r in rows:
+        assert 0 < r.centroid_norm <= 1.0001
+        assert -1.0001 <= r.min_cos <= r.avg_cos <= 1.0001
+        n_total += r.n_vecs
+    from presto_cached_examples_spark.llm.similarity import _corpus
+
+    assert n_total == _corpus(spark, SF_TINY).count()
