@@ -574,3 +574,72 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("k") * neglogp) / F.sum("k"), 4).alias("surprisal"),
         )
     )
+
+
+# fixed, hand-set weights for the logistic quality model — a stand-in
+# for a fitted fasttext/linear classifier's coefficients
+_QW = {
+    "bias": -2.0,
+    "distinct_ratio": 3.0,
+    "stopword_ratio": 4.0,
+    "log_tokens": 0.5,
+}
+
+
+@register(
+    "q_quality_logistic",
+    category="llm-text",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(list_distinct(STRING_SPLIT(text, ' ')))::DOUBLE
+               / LEN(STRING_SPLIT(text, ' ')) AS distinct_ratio,
+             LEN(list_filter(STRING_SPLIT(text, ' '),
+                             t -> list_contains({list(_STOPWORDS)!r}, t)))::DOUBLE
+               / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             {_QW["bias"]} + {_QW["distinct_ratio"]} * distinct_ratio
+               + {_QW["stopword_ratio"]} * stopword_ratio
+               + {_QW["log_tokens"]} * LN(n_tokens) AS logit
+      FROM feats
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS quality_score,
+           1.0 / (1.0 + EXP(-logit)) > 0.5 AS keep
+    FROM scored
+    """,
+)
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight logistic scorer
+    over the heuristic features of q_text_quality — the shape of every
+    'quality classifier' stage (fasttext, linear probe) once its
+    weights are frozen for a production sweep. Emits the score and the
+    keep/drop decision at the 0.5 operating point.
+
+    Scale: a pure map-side projection — per-document features, dot
+    product, sigmoid; no shuffle, no join, no state. The expensive
+    part of a real deployment (scoring milliseconds per doc) is
+    embarrassingly parallel, which is exactly what this plan is."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tokens
+    )
+    logit = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["distinct_ratio"]) * distinct_ratio
+        + F.lit(_QW["stopword_ratio"]) * stopword_ratio
+        + F.lit(_QW["log_tokens"]) * F.log(n_tokens.cast("double"))
+    )
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        (score > 0.5).alias("keep"),
+    )

@@ -1134,3 +1134,70 @@ def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_spend"),
     )
+
+
+@register(
+    "q_resample_interp",
+    category="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+      FROM orders GROUP BY day
+    ),
+    paired AS (
+      SELECT day, revenue,
+             lead(day)     OVER (ORDER BY day) AS next_day,
+             lead(revenue) OVER (ORDER BY day) AS next_rev
+      FROM daily
+    )
+    SELECT day + TO_MICROSECONDS(CAST(q AS BIGINT) * 21600000000) AS ts,
+           ROUND(revenue + (next_rev - revenue) * q / 4.0, 4) AS revenue_interp
+    FROM paired,
+         UNNEST(CASE WHEN next_day = day + INTERVAL 1 DAY
+                     THEN [0, 1, 2, 3] ELSE [0] END) AS t(q)
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series upsampling: daily revenue resampled to a 6-hour grid
+    with linear interpolation between adjacent observed days (the
+    resample().interpolate() a forecasting pipeline feeds on). A day
+    followed by a gap emits only its own observed point — interior
+    grid points are never fabricated across missing days. Interpolation
+    fractions are exact quarters of cent-exact day totals, so both
+    engines compute bit-identical values.
+
+    Scale: orders collapse to one cent-exact row per day first; the
+    lead() window runs over the day series (domain-bounded — the
+    q_window_frame argument), and the 4-point expansion is a map-side
+    explode. Nothing is ever joined; output is 4x the day count."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    paired = daily.select(
+        "day",
+        "revenue",
+        F.lead("day").over(w).alias("next_day"),
+        F.lead("revenue").over(w).alias("next_rev"),
+    )
+    adjacent = F.col("next_day") == F.col("day") + F.expr("INTERVAL 1 DAY")
+    q = F.explode(
+        F.when(adjacent, F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))).otherwise(
+            F.array(F.lit(0))
+        )
+    ).alias("q")
+    expanded = paired.select("day", "revenue", "next_rev", q)
+    return expanded.select(
+        (
+            F.col("day")
+            + F.make_dt_interval(hours=F.col("q") * 6)
+        ).alias("ts"),
+        F.round(
+            F.col("revenue") + (F.col("next_rev") - F.col("revenue")) * F.col("q") / 4.0,
+            4,
+        ).alias("revenue_interp"),
+    )

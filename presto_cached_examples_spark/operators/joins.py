@@ -541,3 +541,89 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
     )
+
+
+_BLOOM_BITS = 65536  # m: bits in the filter (1024 longs); size ~15 bits/key
+_BLOOM_K = 3  # hash functions
+_BLOOM_PRICE = 480000.0  # build-side selectivity: ~top 3% of orders
+
+
+@register(
+    "q_join_bloom",
+    category="join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: revenue of lineitems belonging to
+    the top ~3% highest-value orders. The build side's orderkeys fold
+    into a {_BLOOM_BITS}-bit Bloom filter ({_BLOOM_K} xxhash64 probes)
+    carried as 1024 longs in ONE broadcast row; the probe side drops
+    non-matching lineitems map-side BEFORE the exact semi join that
+    removes the filter's false positives — the explicit form of the
+    runtime row-group/semi-join filters an engine injects to keep a
+    selective join from shuffling the full fact table. No false
+    negatives by construction, so the oracle is the plain semi join.
+
+    Scale: the filter is fixed-size (m sized at ~15 bits per expected
+    key — grow it with the build side, never with the probe side), the
+    bit-array build is a two-phase (word)-keyed aggregate, and the
+    probe is a map-side bit test; only surviving rows reach the
+    shuffle. Hash bits never reach the output, so xxhash64 is fine
+    here (the md5 rule applies only to output-visible bits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_PRICE
+    )
+    keys = o.select(F.col("o_orderkey").alias("k"))
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+
+    # build: per-word OR-mask aggregate, then one row holding the full
+    # word map (bounded: <= m/64 entries)
+    bits = keys.select(
+        F.explode(F.array(*positions(F.col("k")))).alias("pos")
+    ).select(
+        F.expr("pos DIV 64").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+    )
+    words = bits.groupBy("word").agg(F.bit_or("bit").alias("mask"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+
+    probed = li.join(F.broadcast(bloom)).withColumns(
+        {f"pos{i}": p for i, p in enumerate(positions(F.col("l_orderkey")))}
+    )
+    survives = F.lit(True)
+    for i in range(_BLOOM_K):
+        survives = survives & F.expr(
+            f"(coalesce(element_at(bloom, pos{i} DIV 64), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 64 AS INT))) != 0"
+        )
+    prefiltered = probed.filter(survives).drop(
+        "bloom", *[f"pos{i}" for i in range(_BLOOM_K)]
+    )
+
+    return (
+        prefiltered.join(keys, prefiltered.l_orderkey == keys.k, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -311,3 +311,65 @@ def test_embed_centroids_cosines_are_bounded(spark):
     from presto_cached_examples_spark.llm.similarity import _corpus
 
     assert n_total == _corpus(spark, SF_TINY).count()
+
+
+def test_resample_emits_quarter_grid_between_adjacent_days(spark):
+    """Every adjacent day pair contributes 4 grid points whose values
+    walk linearly from one day's revenue toward the next; gap days and
+    the final day emit exactly one point."""
+    rows = sorted(build(spark, "q_resample_interp").collect(), key=lambda r: r.ts)
+    days = {}
+    for r in rows:
+        d = r.ts.date()
+        days.setdefault(d, []).append(r)
+    for d, pts in days.items():
+        assert len(pts) in (1, 4), (d, len(pts))
+        if len(pts) == 4:
+            vals = [p.revenue_interp for p in pts]
+            steps = [round(b - a, 4) for a, b in zip(vals, vals[1:])]
+            assert max(steps) - min(steps) < 2e-4, (d, steps)  # equal spacing
+
+
+def test_quality_logistic_matches_hand_sigmoid(spark):
+    """Spot-check one document's score against a hand computation and
+    pin the keep threshold semantics."""
+    import math
+
+    from presto_cached_examples_spark.llm.text import _QW, _STOPWORDS
+
+    rows = {r.doc_id: r for r in build(spark, "q_quality_logistic").collect()}
+    doc = (
+        load_table(spark, SF_TINY, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .first()
+    )
+    toks = doc.text.split(" ")
+    logit = (
+        _QW["bias"]
+        + _QW["distinct_ratio"] * len(set(toks)) / len(toks)
+        + _QW["stopword_ratio"] * sum(t in _STOPWORDS for t in toks) / len(toks)
+        + _QW["log_tokens"] * math.log(len(toks))
+    )
+    expect = 1.0 / (1.0 + math.exp(-logit))
+    got = rows[doc.doc_id]
+    assert abs(got.quality_score - round(expect, 4)) < 2e-4
+    assert got.keep == (expect > 0.5)
+
+
+def test_join_bloom_prefilter_is_lossless_and_selective(spark):
+    """The Bloom stage must pass every true match (no false negatives
+    — guaranteed by construction, asserted here against the exact semi
+    join) and prune most non-matching lineitems at fixture scale."""
+    from presto_cached_examples_spark.operators.joins import _BLOOM_PRICE
+
+    li = load_table(spark, SF_TINY, "lineitem")
+    o = load_table(spark, SF_TINY, "orders").filter(F.col("o_totalprice") > _BLOOM_PRICE)
+    exact = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_semi"
+    ).count()
+    result = build(spark, "q_join_bloom").collect()
+    assert sum(r.n_lineitems for r in result) == exact
+    # the plan must show the map-side bit test BEFORE the exact semi join
+    plan = plan_of(build(spark, "q_join_bloom"))
+    assert "shiftleft" in plan and "LeftSemi" in plan
