@@ -44,6 +44,13 @@ HEADLINE_V2 = [
     "q_rolling_retention",
     "q_join_bucketed",
     "q_graph_components",
+    # late round-4 additions (the session-2 batch)
+    "q_markov_transitions",
+    "q_event_runs",
+    "q_text_unigram_lm",
+    "q_embed_centroids",
+    "q_resample_interp",
+    "q_join_bloom",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for
