@@ -438,3 +438,85 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target / F.col("n_tokens"), 4).alias("sample_rate"),
         F.ceil(target / F.col("n_tokens")).cast("long").alias("n_epochs"),
     )
+
+
+@register(
+    "q_curation_funnel",
+    category="llm-pipeline",
+    oracle="""
+    WITH raw AS (SELECT * FROM documents),
+    lang AS (SELECT * FROM raw WHERE lang = 'en'),
+    quality AS (
+      SELECT * FROM lang
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 20
+        AND LEN(list_distinct(STRING_SPLIT(text, ' ')))::DOUBLE
+              / LEN(STRING_SPLIT(text, ' ')) > 0.2
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' '))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_no, 'raw' AS stage, (SELECT COUNT(*) FROM raw) AS n_docs
+      UNION ALL
+      SELECT 2, 'lang_en', (SELECT COUNT(*) FROM lang)
+      UNION ALL
+      SELECT 3, 'quality', (SELECT COUNT(*) FROM quality)
+      UNION ALL
+      SELECT 4, 'dedup', (SELECT COUNT(*) FROM dedup)
+    )
+    SELECT stage_no, stage, n_docs,
+           ROUND(n_docs * 1.0 / (SELECT COUNT(*) FROM raw), 4) AS frac_of_raw
+    FROM counts
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: the survivor count after each stage
+    of a pre-training data sweep — language filter, heuristic quality
+    gate, vocabulary-fingerprint dedup (the fixture's near-dups are
+    word-order scrambles, so the sorted-vocab key is what catches them) — the single table a curation run reports to its
+    owners. Composes the stages the engine implements individually
+    (q_text_langstats / q_text_quality / q_dedup_exact) into one lazy
+    plan.
+
+    Scale: each stage narrows the previous one's rows, all filters are
+    map-side, and the only shuffle is the dedup fingerprint aggregate
+    over the already double-filtered remainder. The four stage counts
+    are single-row aggregates unioned at the end — the funnel never
+    materializes intermediate corpora."""
+    raw = load_table(spark, sf_dir, "documents")
+    lang = raw.filter(F.col("lang") == "en")
+    toks = F.split("text", " ")
+    quality = lang.filter(
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.2)
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    dedup = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    counts = (
+        stage(raw, 1, "raw")
+        .unionByName(stage(lang, 2, "lang_en"))
+        .unionByName(stage(quality, 3, "quality"))
+        .unionByName(stage(dedup, 4, "dedup"))
+    )
+    total = raw.agg(F.count(F.lit(1)).alias("n_raw"))
+    return counts.join(F.broadcast(total)).select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("n_raw"), 4).alias("frac_of_raw"),
+    )

@@ -105,3 +105,70 @@ def q_filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_name").like("%gold%").alias("has_gold"),
         )
     )
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events partitioned by day once per (session, sf) and
+    return the table name — the ingest-time layout that makes
+    time-range scans partition-pruned instead of full-table. Same
+    write-once memoization discipline as the bucketed join tables
+    (operators/joins.py:_bucketed_tables)."""
+    import os
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    name = f"p_events_{tag}"
+    if not spark.catalog.tableExists(name):
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = re.sub(r"^file:/*", "/", wh)
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register(
+    "q_scan_pruned",
+    category="scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE date_trunc('day', ts) >= DATE '2024-01-08'
+      AND date_trunc('day', ts) <= DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned time-range scan: events stored partitioned by
+    day (hive-style day=YYYY-MM-DD directories, written once per
+    session through the catalog), so a 7-day dashboard query opens 7
+    directories instead of scanning the full table — the plan carries
+    the range in PartitionFilters (pinned in tests/test_plans.py), and
+    no row outside the window is ever read.
+
+    Scale: THE layout decision for an events lake — at 100 TB with
+    2 years of retention, day-partitioning turns any bounded-window
+    query into a scan proportional to the window, not the table.
+    The oracle states the same semantics over the raw table; layout is
+    never semantics."""
+    t = _partitioned_events(spark, sf_dir)
+    ev = spark.table(t)
+    return (
+        ev.filter(
+            F.col("day").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

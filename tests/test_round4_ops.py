@@ -373,3 +373,26 @@ def test_join_bloom_prefilter_is_lossless_and_selective(spark):
     # the plan must show the map-side bit test BEFORE the exact semi join
     plan = plan_of(build(spark, "q_join_bloom"))
     assert "shiftleft" in plan and "LeftSemi" in plan
+
+
+def test_scan_pruned_plan_prunes_partitions(spark):
+    """The physical plan must carry the day range as PartitionFilters
+    on a 7-directory file index — the scan never lists days outside
+    the window — and prune ReadSchema to the referenced columns."""
+    df = build(spark, "q_scan_pruned")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters:")[1][:120]
+    assert "InMemoryFileIndex(7 paths)" in plan
+    assert "text" not in plan.split("ReadSchema:")[1][:200]
+
+
+def test_curation_funnel_stages_are_monotone_and_nonvacuous(spark):
+    """Each stage must keep a subset of the previous stage, and every
+    stage must actually drop documents on the fixtures (the funnel is
+    only a useful report if no stage is vacuous)."""
+    rows = sorted(build(spark, "q_curation_funnel").collect(), key=lambda r: r.stage_no)
+    assert [r.stage for r in rows] == ["raw", "lang_en", "quality", "dedup"]
+    counts = [r.n_docs for r in rows]
+    assert all(a > b for a, b in zip(counts, counts[1:])), counts
+    assert rows[0].frac_of_raw == 1.0
