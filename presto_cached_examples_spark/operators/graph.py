@@ -206,3 +206,146 @@ def _register_graph_query():
 
 
 _register_graph_query()
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+# shared with _GRAPH_COMPONENTS_ORACLE: co-purchase pairs >= 2 orders,
+# symmetrized; plus per-node out-degree (symmetric graph: degree)
+_PR_EDGES_SQL = f"""
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_COPURCHASE_MIN_ORDERS}
+),
+edges AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION ALL
+  SELECT pb AS a, pa AS b FROM pairs
+),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg)
+"""
+
+
+def _pagerank_oracle() -> str:
+    d = _PR_DAMPING
+    iters = [
+        "r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM deg, n)"
+    ]
+    for i in range(_PR_ITERS):
+        iters.append(f"""
+r{i + 1} AS (
+  SELECT deg.node,
+         (1.0 - {d}) / n.n_nodes
+           + {d} * COALESCE(SUM(r.rank / srcdeg.d), 0) AS rank
+  FROM deg
+  CROSS JOIN n
+  LEFT JOIN edges e ON e.b = deg.node
+  LEFT JOIN r{i} r ON r.node = e.a
+  LEFT JOIN deg srcdeg ON srcdeg.node = e.a
+  GROUP BY deg.node, n.n_nodes
+)""")
+    return (
+        "WITH " + _PR_EDGES_SQL.strip().rstrip() + ",\n"
+        + ",\n".join(iters)
+        + f"""
+SELECT r.node AS part_key,
+       ROUND(r.rank, 6) AS rank,
+       CAST(deg.d AS BIGINT) AS n_neighbors
+FROM r{_PR_ITERS} r JOIN deg ON deg.node = r.node
+"""
+    )
+
+
+def _register_pagerank_query():
+    from pyspark.sql import SparkSession
+
+    from presto_cached_examples_spark.registry import register
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    @register("q_graph_pagerank", category="graph", oracle=_pagerank_oracle())
+    def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PageRank over the part co-purchase graph — 3 fixed
+        power-iteration rounds at damping 0.85, uniform init — the
+        item-importance score a recommender ranks related products by,
+        and the engine's template for ITERATIVE algorithms expressed as
+        a loop of joins + aggregates (each round: one shuffle keyed on
+        node id, rank state = two columns).
+
+        Scale: the rank relation is (node, rank) no matter how wide the
+        input; each iteration joins edges→ranks on the same node key so
+        AQE reuses partitioning, and a fixed iteration count keeps the
+        whole computation ONE lazy plan (no driver-side convergence
+        actions — the unrolled-loop twin of connected_components'
+        convergence loop; at higher iteration counts insert
+        localCheckpoint every few rounds to truncate lineage, the
+        q_dedup_near discipline). The symmetric co-purchase graph has
+        no dangling nodes, so no rank mass correction is needed.
+        The oracle replays the same 3 unrolled rounds in SQL."""
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        ps = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
+        pairs = (
+            ps.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= _COPURCHASE_MIN_ORDERS)
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)  # edge relation reused 3x per round
+        )
+        edges = pairs.unionByName(
+            pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        ).select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        deg = edges.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+        ranks = deg.join(F.broadcast(n_nodes)).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        )
+        contrib_base = edges.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("src_d")), "a"
+        )
+        for _ in range(_PR_ITERS):
+            inflow = (
+                contrib_base.join(
+                    ranks.select(F.col("node").alias("a"), "rank"), "a"
+                )
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("src_d")).alias("inflow"))
+            )
+            ranks = (
+                deg.join(F.broadcast(n_nodes))
+                .join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (
+                        (1.0 - _PR_DAMPING) / F.col("n_nodes")
+                        + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        return ranks.join(deg, "node").select(
+            F.col("node").alias("part_key"),
+            F.round("rank", 6).alias("rank"),
+            F.col("d").cast("long").alias("n_neighbors"),
+        )
+
+
+_register_pagerank_query()

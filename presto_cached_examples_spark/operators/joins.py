@@ -627,3 +627,79 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_RANGE_BUCKET_W = 50_000.0  # price-bucket width for the range-join rewrite
+
+
+@register(
+    "q_join_range_bucketed",
+    category="join",
+    oracle="""
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal,
+           COUNT(o.o_orderkey)               AS n_in_band,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS band_total
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_totalprice BETWEEN c.c_acctbal * 20 AND c.c_acctbal * 40
+    WHERE c.c_acctbal > 9900
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as a bucketed EQUI-join — the scale path
+    for q_join_range's semantics. Each customer band [20·bal, 40·bal]
+    explodes map-side to the fixed-width price buckets it overlaps
+    (≤ ceil(band/width)+1 rows); each order maps to exactly one
+    bucket; a plain hash join on the bucket key plus the residual
+    BETWEEN filter replaces the BroadcastNestedLoopJoin that evaluates
+    every (order, customer) pair. Same oracle as q_join_range —
+    bucketing is a physical rewrite, never semantics.
+
+    Scale: BNLJ work is O(|orders| × |customers|) and requires one
+    side broadcast; this shape shuffles both sides once on a
+    uniformly-distributed bucket key and compares only same-bucket
+    pairs — O(|orders| + |customers|·buckets_per_band + matches).
+    The width tunes the fan-out/selectivity trade exactly like the
+    bucket count of an interval index. Plan is pinned BNLJ-free in
+    tests/test_plans.py."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo = F.col("c_acctbal") * 20
+    hi = F.col("c_acctbal") * 40
+    c_buckets = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor(lo / _RANGE_BUCKET_W), F.floor(hi / _RANGE_BUCKET_W)
+            )
+        ).alias("bkt"),
+    )
+    o_bucketed = o.withColumn("bkt", F.floor(F.col("o_totalprice") / _RANGE_BUCKET_W))
+    in_band = (
+        o_bucketed.join(c_buckets, "bkt")
+        .filter(
+            F.col("o_totalprice").between(
+                F.col("c_acctbal") * 20, F.col("c_acctbal") * 40
+            )
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_in_band"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        )
+    )
+    return (
+        c.join(in_band, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.coalesce("n_in_band", F.lit(0)).alias("n_in_band"),
+            F.coalesce("band_total", F.lit(0.0)).alias("band_total"),
+        )
+    )

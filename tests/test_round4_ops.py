@@ -396,3 +396,30 @@ def test_curation_funnel_stages_are_monotone_and_nonvacuous(spark):
     counts = [r.n_docs for r in rows]
     assert all(a > b for a, b in zip(counts, counts[1:])), counts
     assert rows[0].frac_of_raw == 1.0
+
+
+def test_pagerank_mass_conserved_and_degree_correlated(spark):
+    """Total rank must sum to ~1 (no dangling nodes in the symmetric
+    graph), every rank must exceed the teleport floor, and the
+    top-ranked node must have above-median degree."""
+    rows = build(spark, "q_graph_pagerank").collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    n = len(rows)
+    floor = (1.0 - 0.85) / n
+    assert all(r.rank >= floor - 1e-9 for r in rows)
+    top = max(rows, key=lambda r: r.rank)
+    degrees = sorted(r.n_neighbors for r in rows)
+    assert top.n_neighbors >= degrees[len(degrees) // 2]
+
+
+def test_range_bucketed_matches_bnlj_twin_and_avoids_bnlj(spark):
+    """The bucketed rewrite must return row-for-row what q_join_range
+    returns, with no BroadcastNestedLoopJoin in its plan."""
+    a = {r.c_custkey: r for r in build(spark, "q_join_range").collect()}
+    b = {r.c_custkey: r for r in build(spark, "q_join_range_bucketed").collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k].n_in_band, a[k].band_total) == (b[k].n_in_band, b[k].band_total)
+    plan = plan_of(build(spark, "q_join_range_bucketed"))
+    assert "BroadcastNestedLoopJoin" not in plan
