@@ -172,3 +172,66 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+_EVOLVE_CUTOFF = "1998-01-01"  # snapshot 2 starts here and adds a column
+
+
+def _evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write two orders snapshots once per (session, sf): the old one
+    WITHOUT o_orderpriority, the new one with it — the column-added
+    schema drift every long-lived lake accumulates. Returns both
+    paths."""
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    root = os.path.join(wh, f"evolved_orders_{tag}")
+    p1, p2 = os.path.join(root, "snap1"), os.path.join(root, "snap2")
+    if not (os.path.exists(p1) and os.path.exists(p2)):
+        o = load_table(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < F.lit(_EVOLVE_CUTOFF).cast("timestamp"))
+        new = o.filter(F.col("o_orderdate") >= F.lit(_EVOLVE_CUTOFF).cast("timestamp"))
+        old.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(p1)
+        new.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(p2)
+    return p1, p2
+
+
+@register(
+    "q_scan_evolved",
+    category="scan",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_orderdate >= TIMESTAMP '{_EVOLVE_CUTOFF}'
+                      THEN o_orderpriority END) AS n_with_priority,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet snapshots written in
+    different eras — the newer one grew an o_orderpriority column —
+    read as ONE relation via mergeSchema, with the missing column
+    NULL-filled for old files. The reader contract that lets a lake
+    add columns without rewriting history. The oracle replays the
+    drift by masking the column before the cutoff.
+
+    Scale: schema merging is a footer-level planning operation (one
+    scan node over both directories, per-file projection adapts);
+    rows are never rewritten, and the NULL fill is free at read time.
+    Pair with q_scan_pruned's day layout and old snapshots never even
+    get LISTED for bounded-window queries."""
+    p1, p2 = _evolved_snapshots(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -17,7 +17,7 @@ total state by evicting closed windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
@@ -239,4 +239,46 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "q_stream_topk",
+    category="streaming",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT ws, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY ws ORDER BY n DESC, event_type
+             ) AS rnk
+      FROM counted
+    )
+    SELECT ws, event_type, n, rnk FROM ranked WHERE rnk <= 2
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per 1-hour tumbling window — the trending
+    leaderboard a monitoring dashboard refreshes per window. Batch
+    twin of the streaming rollup: in Structured Streaming the counted
+    tier is the incremental state (same as q_stream_tumbling) and the
+    ranking runs on each complete-mode emit; here both tiers are one
+    lazy plan over the same window boundaries, with the (n DESC,
+    event_type) tie-break keeping ranks deterministic on both engines.
+
+    Scale: counts reduce first — the rank window partitions on the
+    window-start key over |types| rows per window, never raw events;
+    WindowGroupLimit prunes to the top 2 before any full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "rnk")
     )

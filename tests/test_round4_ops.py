@@ -423,3 +423,36 @@ def test_range_bucketed_matches_bnlj_twin_and_avoids_bnlj(spark):
         assert (a[k].n_in_band, a[k].band_total) == (b[k].n_in_band, b[k].band_total)
     plan = plan_of(build(spark, "q_join_range_bucketed"))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_topk_plans_window_group_limit(spark):
+    """Per-window ranks must be 1..2 with counts non-increasing, and
+    the plan must prune via WindowGroupLimit instead of fully sorting
+    every window partition."""
+    rows = build(spark, "q_stream_topk").collect()
+    by_ws: dict = {}
+    for r in rows:
+        by_ws.setdefault(r.ws, []).append(r)
+    for ws, rs in by_ws.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
+    assert "WindowGroupLimit" in plan_of(build(spark, "q_stream_topk"))
+
+
+def test_scan_evolved_nullfills_old_snapshot(spark):
+    """The merged relation must carry the new column as NULL for every
+    pre-cutoff file and populated for every post-cutoff row."""
+    from presto_cached_examples_spark.operators.scans import (
+        _EVOLVE_CUTOFF,
+        _evolved_snapshots,
+    )
+
+    p1, p2 = _evolved_snapshots(spark, SF_TINY)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    o = load_table(spark, SF_TINY, "orders")
+    n_old = o.filter(F.col("o_orderdate") < F.lit(_EVOLVE_CUTOFF).cast("timestamp")).count()
+    n_new = o.count() - n_old
+    assert merged.filter(F.col("o_orderpriority").isNull()).count() == n_old
+    assert merged.filter(F.col("o_orderpriority").isNotNull()).count() == n_new
+    assert merged.count() == o.count()
