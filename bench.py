@@ -51,6 +51,19 @@ HEADLINE_V2 = [
     "q_embed_centroids",
     "q_resample_interp",
     "q_join_bloom",
+    # session-3 batch
+    "q_curation_funnel",
+    "q_graph_pagerank",
+    "q_join_range_bucketed",
+    "q_stream_topk",
+    # session-4 batch
+    "q_local_supplier_volume",
+    "q_product_profit",
+    "q_cdc_merge",
+    "q_attribution_linear",
+    "q_rfm_segments",
+    "q_text_entropy",
+    "q_text_pmi",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

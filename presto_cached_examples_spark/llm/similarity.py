@@ -780,3 +780,47 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_c"), 4).alias("avg_cos"),
         F.round(F.min("cos_c"), 4).alias("min_cos"),
     )
+
+
+@register(
+    "q_embed_outliers",
+    category="llm-similarity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sigma FROM e
+    )
+    SELECT e.vec_id, ROUND(e.nrm, 4) AS norm,
+           ROUND((e.nrm - s.mu) / s.sigma, 3) AS z_norm,
+           ABS((e.nrm - s.mu) / s.sigma) > 3 AS is_outlier
+    FROM e CROSS JOIN stats s
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: L2-norm z-score per vector, flagging norms
+    more than 3 sigma from the corpus mean — the cheap screen for
+    broken encoders (zero vectors, fp overflows, unnormalized batches)
+    that runs before any vector is allowed into an ANN index.
+
+    Scale: per-vector norms are a map-side HOF fold; mu/sigma are ONE
+    1-row aggregate broadcast back over the corpus (same shape as
+    q_anomaly_zscore's trailing stats, but global). No shuffle
+    proportional to the corpus beyond the scalar aggregate's partial
+    pass. z rounds at 3dp, norms at 4dp, on both engines."""
+    e = _corpus(spark, sf_dir).select("vec_id", "nrm")
+    stats = e.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sigma")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return e.join(F.broadcast(stats)).select(
+        "vec_id",
+        F.round(F.col("nrm"), 4).alias("norm"),
+        F.round(z, 3).alias("z_norm"),
+        (F.abs(z) > 3).alias("is_outlier"),
+    )

@@ -643,3 +643,245 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("quality_score"),
         (score > 0.5).alias("keep"),
     )
+
+
+@register(
+    "q_text_entropy",
+    category="llm-text",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id, string_split(substr(text, 1, 200), '') AS cs
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, cs,
+             list_transform(list_distinct(cs),
+                            c -> len(list_filter(cs, x -> x = c))) AS ks
+      FROM pref
+    )
+    SELECT doc_id,
+           len(cs) AS n_chars_scored,
+           ROUND(-list_sum(list_transform(ks,
+                 k -> (k::DOUBLE / len(cs)) * log2(k::DOUBLE / len(cs)))), 4)
+             AS char_entropy
+    FROM counted
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy of each document's first 200
+    chars — the cheap gibberish/encoding-noise detector (natural text
+    sits ~4 bits/char; base64 blobs and repeated-char junk land far
+    from it) that runs before any model-based quality scorer.
+
+    Scale: zero shuffle — prefix-bounded pure map-side HOFs (distinct
+    chars x prefix length <= ~100 x 200 ops/doc, constant per doc
+    regardless of doc or corpus size). Both engines split the same
+    prefix into chars identically and round the same p*log2(p) fold at
+    4dp."""
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.split(F.substring("text", 1, 200), "")
+    n = F.size(cs)
+    ks = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)),
+    )
+    p = lambda k: k.cast("double") / n  # noqa: E731
+    entropy = -F.aggregate(
+        ks,
+        F.lit(0.0),
+        lambda acc, k: acc + p(k) * F.log2(p(k)),
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_scored"),
+        F.round(entropy, 4).alias("char_entropy"),
+    )
+
+
+@register(
+    "q_text_pmi",
+    category="llm-text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS n_big FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT tok, SUM(k) AS n_uni FROM (
+        SELECT doc_id, u.tok, COUNT(*) AS k
+        FROM toks, UNNEST(t) AS u(tok) GROUP BY doc_id, u.tok
+      ) GROUP BY tok
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n_big) FROM bc) AS t_big,
+             (SELECT SUM(n_uni) FROM uni) AS t_uni
+    )
+    SELECT b.w1, b.w2, b.n_big,
+           ROUND(LOG2((b.n_big::DOUBLE / t.t_big) /
+                 ((u1.n_uni::DOUBLE / t.t_uni) *
+                  (u2.n_uni::DOUBLE / t.t_uni))), 4) AS pmi
+    FROM bc b
+    JOIN uni u1 ON u1.tok = b.w1
+    JOIN uni u2 ON u2.tok = b.w2
+    CROSS JOIN tot t
+    WHERE b.n_big >= 5
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining via pointwise mutual information:
+    PMI(w1,w2) = log2(p(w1,w2) / (p(w1) p(w2))) over the corpus, kept
+    where the bigram occurs >= 5 times — the classic phrase-detection
+    pass (word2vec's phrase pre-join, tokenizer merge candidates).
+
+    Scale: bigram and unigram counts are two-phase hash aggregates
+    whose outputs are vocabulary-bounded (|V| and |V|^2 ceilings, tiny
+    next to the token stream that feeds them); the probability
+    denominators are 1-row aggregates broadcast into the final
+    projection, and the unigram re-joins onto the bigram table are
+    broadcast joins against the |V|-row side. Nothing downstream of
+    the token stream scales with corpus size. log2 fold rounded at 4dp
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    bigrams = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_big"))
+    toks = d.select("doc_id", F.explode(tk).alias("tok"))
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("tok")
+        .agg(F.sum("k").alias("n_uni"))
+    )
+    # bc (<=|V|^2 rows) and uni (<=|V| rows) each feed multiple branches
+    # below (totals + re-joins); localCheckpoint the vocabulary-bounded
+    # relations once so the token-stream aggregates run exactly once —
+    # the same tiny-relation barrier discipline as the dedup/graph edges.
+    bc = bc.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=True)
+    t_big = bc.agg(F.sum("n_big").alias("t_big"))
+    t_uni = uni.agg(F.sum("n_uni").alias("t_uni"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n_uni").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n_uni").alias("n2"))
+    return (
+        bc.filter(F.col("n_big") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(t_big))
+        .join(F.broadcast(t_uni))
+        .select(
+            "w1",
+            "w2",
+            "n_big",
+            F.round(
+                F.log2(
+                    (F.col("n_big").cast("double") / F.col("t_big"))
+                    / (
+                        (F.col("n1").cast("double") / F.col("t_uni"))
+                        * (F.col("n2").cast("double") / F.col("t_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q_quality_tiers",
+    category="llm-text",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(list_distinct(STRING_SPLIT(text, ' ')))::DOUBLE
+               / LEN(STRING_SPLIT(text, ' ')) AS distinct_ratio,
+             LEN(list_filter(STRING_SPLIT(text, ' '),
+                             t -> list_contains({list(_STOPWORDS)!r}, t)))::DOUBLE
+               / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             1.0 / (1.0 + EXP(-({_QW["bias"]}
+               + {_QW["distinct_ratio"]} * distinct_ratio
+               + {_QW["stopword_ratio"]} * stopword_ratio
+               + {_QW["log_tokens"]} * LN(n_tokens)))) AS score
+      FROM scored_src
+    ),
+    tiered AS (
+      SELECT CASE WHEN score >= 0.89 THEN 'high'
+                  WHEN score >= 0.85 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             n_tokens
+      FROM scored
+    ),
+    agg AS (
+      SELECT tier, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM tiered GROUP BY tier
+    )
+    SELECT tier, n_docs, total_tokens,
+           ROUND(total_tokens * 1.0 /
+                 (SELECT SUM(total_tokens) FROM agg), 4) AS token_share
+    FROM agg
+    """.replace("scored_src", "feats"),
+)
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier token budgeting: bucket the corpus by the
+    q_quality_logistic score into high/mid/low tiers and report each
+    tier's document count, token count, and share of total tokens —
+    the table a curation run reads to decide sampling temperatures
+    per tier (quality-weighted mixtures).
+
+    Scale: map-side scoring + a 3-row hash aggregate; the share
+    denominator is a 1-row aggregate broadcast back. Nothing here
+    scales beyond the feature projection, which is the same
+    embarrassingly-parallel pass q_quality_logistic already runs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    logit = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["distinct_ratio"]) * distinct_ratio
+        + F.lit(_QW["stopword_ratio"]) * stopword_ratio
+        + F.lit(_QW["log_tokens"]) * F.log(n_tokens.cast("double"))
+    )
+    score = 1.0 / (1.0 + F.exp(-logit))
+    tiered = d.select(
+        F.when(score >= 0.89, "high")
+        .when(score >= 0.85, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        n_tokens.alias("n_tokens"),
+    )
+    agg = tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    total = agg.agg(F.sum("total_tokens").alias("grand_total"))
+    return agg.join(F.broadcast(total)).select(
+        "tier",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") * 1.0 / F.col("grand_total"), 4).alias(
+            "token_share"
+        ),
+    )

@@ -570,3 +570,199 @@ def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("run_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_cdc_merge",
+    category="behavioral",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_op, value AS state_value,
+           ts AS updated_at
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-to-snapshot compaction (the lakehouse MERGE INTO /
+    CDC upsert shape): events are an ordered change stream per user;
+    the current state table is each user's LATEST change, with users
+    whose last change is a tombstone ('error') dropped entirely. The
+    mirror of q_stream_dedup_late (first-wins) on the other end of the
+    log.
+
+    Scale: one hash partition on the merge key, one row_number pass,
+    WindowGroupLimit pushes the rn=1 filter into the sort so each
+    partition keeps one row per user rather than sorting the full log
+    ahead of the filter. This is exactly how periodic compaction of a
+    100 TB CDC feed runs: key-partitioned, no global sort, output
+    bounded by |keys|. Unique (ts, event_id) makes latest-wins
+    deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
+
+
+@register(
+    "q_attribution_linear",
+    category="behavioral",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.p_id, p.value, t.event_type
+      FROM purch p
+      JOIN touch t ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    weighted AS (
+      SELECT p_id, value, event_type,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+      FROM joined
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           COUNT(DISTINCT p_id) AS n_purchases,
+           ROUND(SUM(value / n_touch), 2) AS attributed_value
+    FROM weighted
+    GROUP BY event_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across every click/view by the same user in the 7 days
+    before it; per touch-type totals. The marketing-analytics
+    counterpart of the as-of join (which is last-touch).
+
+    Scale: the touch-purchase pairing is an equi-join on user_id with
+    both time bounds as join predicates — the same bounded-state shape
+    as q_join_asof_tol (a watermarked stream-stream join executes it
+    incrementally; q_stream_interval_join pins that equivalence). The
+    per-purchase touch count is a window over the join output keyed by
+    purchase id — uniform, bounded by a user's 7-day activity — and
+    the final rollup is a tiny hash aggregate. ROUND(.,2) after the
+    sum on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", F.col("ts").alias("t_ts")
+    )
+    joined = purch.join(
+        touch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    weighted = joined.withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(F.sum(F.col("value") / F.col("n_touch")), 2).alias(
+            "attributed_value"
+        ),
+    )
+
+
+@register(
+    "q_rfm_segments",
+    category="behavioral",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '2001-08-01') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(ROUND(monetary * 100, 0) AS BIGINT)) / 100.0, 2)
+             AS total_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored 1-5 on Recency (days since
+    last order, anchored at the fixture horizon), Frequency (order
+    count) and Monetary (cent-exact lifetime spend), then counted per
+    (R,F,M) cell — the classic CRM segmentation cube (<=125 cells).
+
+    Scale: orders reduce to one row per customer first (two-phase hash
+    aggregate), so the three NTILE windows rank customers, not orders
+    — same argument as q_ntile_spend, and like it the global windows
+    are the query's purpose (range-partitioned sort at cluster scale).
+    Explicit custkey tie-breaks pin every quintile boundary; monetary
+    stays integer cents until the final ROUND."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(cents) / 100.0).alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.round(F.col("monetary") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("total_monetary"),
+    )

@@ -64,31 +64,25 @@ _LOADED = False
 # mismatches ever); this round the front holds, in priority order:
 # (a) the 3 round-3 additions that arrived after the r3 window filled
 #     (r3's _VERIFY_NEXT queue — locally hash-verified, never driver-run),
-# (b) the 26 queries new in round 4,
+# (b) the 26 queries new in round-4 sessions 1-3 plus the 9 new in
+#     session 4 (35 never-driver-checked round-4 additions total),
 # (c) queries whose code or oracle changed in round 4: the md5-rederived
 #     SimHash/LSH pair (formerly err: no_oracle, now hash-checkable), the
 #     explode-rewritten rolling-WAU pair, the single-pass q_profile_stats,
 #     the relational-CMS q_token_freq_cms, the memoized q_events_rollup,
-#     the tie-broken q_join_asof_tol, and the two queries whose k-means
-#     oracle SQL was regenerated by the _lloyd_sql refactor,
+#     and the tie-broken q_join_asof_tol,
 # (d) the 4 events readers whose green rows still predate the round-3
 #     NANOS→MICROS fixture regeneration (q_join_asof, q_window_lag,
 #     q_agg_stats, q_agg_bitwise — the only events readers left on
-#     pre-regeneration rows; everything else re-verified in r3),
-# (e) oldest-green backfill: 7 round-1 greens never re-checked since r1
-#     — which fill the window exactly (3+26+10+4+7 = 50). Still outside
-#     any driver window: 35 more r1 greens (incl. q_join_full,
-#     q_join_semi, q_join_anti,
-#     q_join_cross, q_agg_pricing,
-#     q_agg_distinct, q_agg_rollup,
-#     q_agg_cube, q_agg_gsets, q_agg_having,
-#     q_agg_conditional, q_window_rank,
-#     q_window_frame, q_window_running, q_topk_group, q_sort_limit,
-#     q_agg_percentiles, q_agg_corr, q_except, q_intersect, q_union_all,
-#     q_union_distinct, displaced by
-#     the late round-4 additions) + the r2/r3 greens, all locally
-#     re-verified every round by tests/test_oracle_parity.py; they
-#     rotate in next.
+#     pre-regeneration rows; everything else re-verified in r3).
+#     That fills the window exactly (3+35+8+4 = 50). Still outside any
+#     driver window: 42 r1 greens (incl. q_scan_project, q_filter_basic,
+#     q_join_inner/left/full/semi/anti/cross/broadcast/multiway,
+#     q_agg_pricing, the rollup/cube/gsets family, the window family,
+#     the set-op family — displaced by the session-4 additions) + the
+#     r2/r3 greens + the two _lloyd_sql-regenerated oracles
+#     (q_sim_topk_kmeans, q_dedup_embed), all locally re-verified every
+#     round by tests/test_oracle_parity.py; they rotate in next.
 # tests/test_oracle_parity.py enforces that every never-driver-verified
 # query sits inside the current front window.
 _VERIFY_FRONT: tuple[str, ...] = (
@@ -123,7 +117,21 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_join_range_bucketed",
     "q_stream_topk",
     "q_scan_evolved",
-    # (c) code or oracle changed in round 4
+    # (b2) new in round 4, session 4
+    "q_local_supplier_volume",
+    "q_product_profit",
+    "q_cdc_merge",
+    "q_attribution_linear",
+    "q_rfm_segments",
+    "q_text_entropy",
+    "q_text_pmi",
+    "q_quality_tiers",
+    "q_embed_outliers",
+    # (c) code or oracle changed in round 4. (q_sim_topk_kmeans /
+    # q_dedup_embed — whose oracle SQL the _lloyd_sql refactor merely
+    # regenerated, hash-equivalent — yielded their slots to the
+    # session-4 additions; tests/test_oracle_parity.py still verifies
+    # them locally every run.)
     "q_dedup_simhash",
     "q_sim_topk_lsh",
     "q_rolling_wau",
@@ -132,21 +140,11 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_token_freq_cms",
     "q_events_rollup",
     "q_join_asof_tol",
-    "q_sim_topk_kmeans",
-    "q_dedup_embed",
     # (d) events readers still on pre-MICROS green rows
     "q_join_asof",
     "q_window_lag",
     "q_agg_stats",
     "q_agg_bitwise",
-    # (e) oldest-green backfill (round-1 rows, never re-checked since)
-    "q_scan_project",
-    "q_filter_basic",
-    "q_filter_like_null",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_left",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks

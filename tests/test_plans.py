@@ -269,3 +269,47 @@ def test_asof_tol_is_equi_join_on_user(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_cdc_merge_uses_window_group_limit(spark):
+    """q_cdc_merge: latest-per-key compaction must push the rn=1 filter
+    into the sort (WindowGroupLimit) — each partition keeps one row per
+    user instead of fully sorting the changelog."""
+    p = plan_of(build(spark, "q_cdc_merge"), mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_attribution_is_equi_join_on_user(spark):
+    """q_attribution_linear: the touch-purchase pairing must be an
+    EQUI join on user_id with the time bounds as residual predicates —
+    the bounded-state stream-stream shape, never a nested loop."""
+    p = plan_of(build(spark, "q_attribution_linear"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_text_entropy_is_map_side(spark):
+    """q_text_entropy: prefix char entropy is pure map-side HOFs — no
+    exchange, no join, no window anywhere in the plan."""
+    p = plan_of(build(spark, "q_text_entropy"), mode="simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """q_local_supplier_volume: the nation/region allow-list reaches
+    supplier as a broadcast; no cartesian anywhere."""
+    p = plan_of(build(spark, "q_local_supplier_volume"), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_tiers_single_scan(spark):
+    """q_quality_tiers: scoring + tiering is one documents scan; the
+    share denominator re-reads the 3-row aggregate, not the table."""
+    import re
+
+    p = plan_of(build(spark, "q_quality_tiers"), mode="formatted")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 2
