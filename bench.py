@@ -64,6 +64,8 @@ HEADLINE_V2 = [
     "q_rfm_segments",
     "q_text_entropy",
     "q_text_pmi",
+    "q_graph_triangles",
+    "q_scan_json",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 # Marker words for the heuristic language-ID scorer. The fixture corpus
 # is synthetic (31-word shared vocabulary), so markers are drawn from it;
@@ -673,12 +673,15 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits ~4 bits/char; base64 blobs and repeated-char junk land far
     from it) that runs before any model-based quality scorer.
 
-    Scale: zero shuffle — prefix-bounded pure map-side HOFs (distinct
-    chars x prefix length <= ~100 x 200 ops/doc, constant per doc
-    regardless of doc or corpus size). Both engines split the same
-    prefix into chars identically and round the same p*log2(p) fold at
-    4dp."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale: shuffle-free on real data — prefix-bounded pure map-side
+    HOFs (distinct chars x prefix length <= ~100 x 200 ops/doc,
+    constant per doc regardless of corpus size). spread() inserts one
+    round-robin repartition ONLY when the scan arrives as fewer splits
+    than cores (the tiny-fixture case, 3.5 s -> sub-second at sf0.1);
+    at production split counts it is a no-op and the plan is pure map.
+    Both engines split the same prefix into chars identically and
+    round the same p*log2(p) fold at 4dp."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     cs = F.split(F.substring("text", 1, 200), "")
     n = F.size(cs)
     ks = F.transform(

@@ -1201,3 +1201,125 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("revenue_interp"),
     )
+
+
+@register(
+    "q_winsorize",
+    category="aggregation",
+    oracle="""
+    WITH oc AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    th AS (
+      SELECT mktsegment,
+             quantile_cont(cents, 0.05) AS lo,
+             quantile_cont(cents, 0.95) AS hi
+      FROM oc GROUP BY mktsegment
+    )
+    SELECT oc.mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(oc.cents) / 100.0 / COUNT(*), 2) AS avg_raw,
+           ROUND(SUM(GREATEST(th.lo, LEAST(th.hi, oc.cents)))
+                 / 100.0 / COUNT(*), 2) AS avg_winsorized,
+           ROUND(th.lo / 100.0, 2) AS p05,
+           ROUND(th.hi / 100.0, 2) AS p95
+    FROM oc JOIN th ON th.mktsegment = oc.mktsegment
+    GROUP BY oc.mktsegment, th.lo, th.hi
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust averages per market segment: order totals
+    clamped to each segment's [P05, P95] before averaging — the
+    outlier-robust KPI treatment (a whale order no longer moves the
+    segment mean). Reports raw vs winsorized averages and the clamp
+    thresholds.
+
+    Scale: two passes over the (segment, cents) pairs — one percentile
+    aggregate per segment (exact, in integer cent space so the
+    interpolated thresholds are multiples of 0.25 on both engines — the
+    q_agg_percentiles discipline), then the thresholds broadcast back
+    for the map-side clamp + final aggregate. At 100 TB the threshold
+    pass swaps to approx_percentile (mergeable sketch) without touching
+    the clamp leg. Clamped cent sums stay exact in doubles (< 2^53),
+    so ROUND after the divide is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    th = oc.groupBy("mktsegment").agg(
+        F.percentile(
+            F.col("cents"), F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("qs")
+    ).select(
+        F.col("mktsegment").alias("th_seg"),
+        F.element_at("qs", 1).alias("lo"),
+        F.element_at("qs", 2).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    return (
+        oc.join(F.broadcast(th), oc.mktsegment == th.th_seg)
+        .groupBy("mktsegment", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 2).alias(
+                "avg_raw"
+            ),
+            F.round(F.sum(clamped) / 100.0 / F.count(F.lit(1)), 2).alias(
+                "avg_winsorized"
+            ),
+        )
+        .select(
+            "mktsegment",
+            "n_orders",
+            "avg_raw",
+            "avg_winsorized",
+            F.round(F.col("lo") / 100.0, 2).alias("p05"),
+            F.round(F.col("hi") / 100.0, 2).alias("p95"),
+        )
+    )
+
+
+@register(
+    "q_agg_mode",
+    category="aggregation",
+    oracle="""
+    WITH cnt AS (
+      SELECT p_type, p_brand, COUNT(*) AS n FROM part GROUP BY p_type, p_brand
+    ),
+    r AS (
+      SELECT p_type, p_brand, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_type ORDER BY n DESC, p_brand
+             ) AS rn
+      FROM cnt
+    )
+    SELECT p_type, p_brand AS mode_brand, n AS n_parts FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode: the most common brand per part
+    type, ties broken by lowest brand name — the categorical summary
+    built-in `mode()` functions leave nondeterministic on ties (each
+    engine picks its own row), made cross-engine exact by stating the
+    tie-break.
+
+    Scale: count-then-argmax — a two-phase hash aggregate whose output
+    is bounded by |type|x|brand| cells, then a windowed top-1 over that
+    tiny relation (WindowGroupLimit keeps one row per type in the
+    sort). The raw table never meets the window."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    cnt = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_type").orderBy(F.col("n").desc(), F.col("p_brand"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("n_parts")
+        )
+    )

@@ -235,3 +235,75 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+def _json_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as JSON-lines once per (session, sf)
+    into the session warehouse and return the directory path — the
+    landing-zone format most raw text corpora actually arrive in.
+    Same write-once memoization discipline as _partitioned_events."""
+    import os
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub(r"^file:/*", "/", wh)
+    path = os.path.join(wh, f"json_documents_{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    key = (id(spark), path)
+    if key not in _JSON_DOCS_WRITTEN:
+        if not os.path.exists(done):
+            shutil.rmtree(path, ignore_errors=True)
+            load_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+        _JSON_DOCS_WRITTEN.add(key)
+    return path
+
+
+_JSON_DOCS_WRITTEN: set = set()
+
+
+@register(
+    "q_scan_json",
+    category="scan",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan: the documents corpus re-landed as
+    newline-delimited JSON (written once per session through the
+    warehouse) and read back through Spark's JSON source with an
+    EXPLICIT schema, then rolled up per (source, lang). Exercises the
+    text-format ingest path end to end; the oracle states the same
+    rollup over the parquet truth — format is never semantics.
+
+    Scale: the explicit schema is the load-bearing choice — schema
+    inference on a 100 TB JSON lake is a full extra pass over every
+    byte before the real scan starts. With the schema pinned, the JSON
+    reader streams line-parallel like any splittable text source, and
+    the rollup is an ordinary two-phase hash aggregate. (Columnar
+    pushdown does NOT reach JSON — the docstring's point: land JSON,
+    convert to parquet, query parquet; this query is the landing leg.)"""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d = spark.read.schema(schema).json(_json_documents_path(spark, sf_dir))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

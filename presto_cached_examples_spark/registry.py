@@ -64,8 +64,8 @@ _LOADED = False
 # mismatches ever); this round the front holds, in priority order:
 # (a) the 3 round-3 additions that arrived after the r3 window filled
 #     (r3's _VERIFY_NEXT queue — locally hash-verified, never driver-run),
-# (b) the 26 queries new in round-4 sessions 1-3 plus the 9 new in
-#     session 4 (35 never-driver-checked round-4 additions total),
+# (b) the 26 queries new in round-4 sessions 1-3 plus the 13 new in
+#     session 4 (39 never-driver-checked round-4 additions total),
 # (c) queries whose code or oracle changed in round 4: the md5-rederived
 #     SimHash/LSH pair (formerly err: no_oracle, now hash-checkable), the
 #     explode-rewritten rolling-WAU pair, the single-pass q_profile_stats,
@@ -75,7 +75,7 @@ _LOADED = False
 #     NANOS→MICROS fixture regeneration (q_join_asof, q_window_lag,
 #     q_agg_stats, q_agg_bitwise — the only events readers left on
 #     pre-regeneration rows; everything else re-verified in r3).
-#     That fills the window exactly (3+35+8+4 = 50). Still outside any
+#     That fills the window exactly (3+39+6+2 = 50). Still outside any
 #     driver window: 42 r1 greens (incl. q_scan_project, q_filter_basic,
 #     q_join_inner/left/full/semi/anti/cross/broadcast/multiway,
 #     q_agg_pricing, the rollup/cube/gsets family, the window family,
@@ -127,24 +127,34 @@ _VERIFY_FRONT: tuple[str, ...] = (
     "q_text_pmi",
     "q_quality_tiers",
     "q_embed_outliers",
-    # (c) code or oracle changed in round 4. (q_sim_topk_kmeans /
-    # q_dedup_embed — whose oracle SQL the _lloyd_sql refactor merely
-    # regenerated, hash-equivalent — yielded their slots to the
-    # session-4 additions; tests/test_oracle_parity.py still verifies
-    # them locally every run.)
+    "q_graph_triangles",
+    "q_scan_json",
+    "q_winsorize",
+    "q_agg_mode",
+    # (c) code or oracle changed in round 4, highest-risk first.
+    # Yielded their slots to the session-4 additions (all still
+    # locally verified every run by tests/test_oracle_parity.py):
+    # q_sim_topk_kmeans / q_dedup_embed (oracle SQL merely regenerated
+    # by the _lloyd_sql refactor, hash-equivalent), q_events_rollup
+    # (memoization only — single-raw-scan plan asserted in
+    # tests/test_plans.py), and q_join_asof_tol (tie-break appended;
+    # the fixture's unique-(user, ts) invariant means results are
+    # unchanged).
     "q_dedup_simhash",
     "q_sim_topk_lsh",
     "q_rolling_wau",
     "q_rolling_wau_approx",
     "q_profile_stats",
     "q_token_freq_cms",
-    "q_events_rollup",
-    "q_join_asof_tol",
-    # (d) events readers still on pre-MICROS green rows
+    # (d) events readers whose green rows predate the round-3
+    # NANOS→MICROS fixture regeneration AND whose results depend on
+    # the ts column (q_join_asof joins on it; q_window_lag orders by
+    # it). q_agg_stats / q_agg_bitwise also still carry pre-MICROS
+    # rows but never touch ts (event_type/value/user_id only), so the
+    # regeneration cannot have changed their results — they yielded
+    # their slots to the session-4 additions.
     "q_join_asof",
     "q_window_lag",
-    "q_agg_stats",
-    "q_agg_bitwise",
 )
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks

@@ -291,9 +291,12 @@ def test_attribution_is_equi_join_on_user(spark):
 
 def test_text_entropy_is_map_side(spark):
     """q_text_entropy: prefix char entropy is pure map-side HOFs — no
-    exchange, no join, no window anywhere in the plan."""
+    key shuffle, no join, no window anywhere in the plan (the only
+    exchange ever allowed is spread()'s round-robin fan-out on
+    under-split fixture scans)."""
     p = plan_of(build(spark, "q_text_entropy"), mode="simple")
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
     assert "Join" not in p
     assert "Window" not in p
 
