@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 # Chunking: window of 32 tokens advancing by 24 (8-token overlap keeps
 # boundary context for retrieval); fixture docs are 10-99 tokens so most
@@ -239,7 +239,10 @@ def q_decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to q_decontam — eval side broadcast, train scan
     never shuffles — with ~4× less broadcast traffic per executor."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): shingling + hashing is CPU-bound per row; under-split
+    # fixture scans serialize it on one core (3.6 s -> ~0.6 s at sf0.1).
+    # No-op at production split counts.
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     grams = F.array_distinct(
         F.transform(

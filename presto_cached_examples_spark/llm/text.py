@@ -484,7 +484,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-gram side is map-only HOFs (build grams, count distinct in
     the array) with no explode at all. One join on doc_id at the end.
     Fractions are int/int ratios rounded at 4dp on both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     tok_stats = per_tok.groupBy("doc_id").agg(
