@@ -66,6 +66,9 @@ HEADLINE_V2 = [
     "q_text_pmi",
     "q_graph_triangles",
     "q_scan_json",
+    "q_path_trigrams",
+    "q_embed_sq8",
+    "q_regression_zipf",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

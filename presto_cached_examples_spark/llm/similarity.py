@@ -824,3 +824,78 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 3).alias("z_norm"),
         (F.abs(z) > 3).alias("is_outlier"),
     )
+
+
+_SQ_DIM = 64  # embedding dimensionality (embeddings fixture)
+
+
+@register(
+    "q_embed_sq8",
+    category="llm-similarity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      FROM e, UNNEST(generate_series(1, {_SQ_DIM})) AS s(i)
+      GROUP BY i
+    ),
+    coded AS (
+      SELECT e.vec_id,
+             FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn)) AS code,
+             d.mn + FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn))
+               * (d.mx - d.mn) / 255.0 AS recon,
+             e.v[d.i] AS x
+      FROM e CROSS JOIN dim d
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           ROUND(SUM((x - recon) * (x - recon)), 4) AS sq_err
+    FROM coded GROUP BY vec_id
+    """,
+)
+def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus: per-dim
+    [min, max] ranges learned over the corpus, each value mapped to a
+    0-255 code, reporting each vector's code checksum and squared
+    reconstruction error — the SQ8 compression stage every
+    memory-bound vector index (FAISS SQ8, pgvector halfvec-style)
+    runs, at 4 B -> 1 B per dim.
+
+    Scale: the range pass is ONE aggregate producing 2x{_SQ_DIM}
+    scalars (mergeable min/max — map-side partials), broadcast back as
+    two array literals for the fully map-side encode; FLOOR (not
+    round) keeps the code grid identical on both engines. The encode
+    is the 100 TB leg and it is embarrassingly parallel; the oracle
+    replays the same grid relationally via UNNEST."""
+    e = _corpus(spark, sf_dir).select("vec_id", "v")
+    stats = e.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mxs"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(_SQ_DIM))
+    code_at = lambda i: F.floor(  # noqa: E731
+        255.0
+        * (F.element_at("v", i) - F.element_at("mns", i))
+        / (F.element_at("mxs", i) - F.element_at("mns", i))
+    )
+    recon_at = lambda i: F.element_at("mns", i) + code_at(i) * (  # noqa: E731
+        F.element_at("mxs", i) - F.element_at("mns", i)
+    ) / F.lit(255.0)
+    err_at = lambda i: (F.element_at("v", i) - recon_at(i)) ** 2  # noqa: E731
+    return e.join(F.broadcast(stats)).select(
+        "vec_id",
+        F.aggregate(
+            idx, F.lit(0).cast("long"), lambda acc, i: acc + code_at(i).cast("long")
+        ).alias("code_sum"),
+        F.round(
+            F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + err_at(i)), 4
+        ).alias("sq_err"),
+    )

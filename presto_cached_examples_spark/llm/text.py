@@ -888,3 +888,62 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "q_regression_zipf",
+    category="llm-text",
+    oracle="""
+    WITH uni AS (
+      SELECT tok, SUM(k) AS n FROM (
+        SELECT doc_id, u.tok, COUNT(*) AS k
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             UNNEST(t) AS u(tok)
+        GROUP BY doc_id, u.tok
+      ) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT LN(ROW_NUMBER() OVER (ORDER BY n DESC, tok)) AS lx,
+             LN(n) AS ly
+      FROM uni
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(REGR_SLOPE(ly, lx), 4) AS zipf_slope,
+           ROUND(REGR_INTERCEPT(ly, lx), 4) AS zipf_intercept,
+           ROUND(CORR(ly, lx), 4) AS fit_corr
+    FROM ranked
+    """,
+)
+def q_regression_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of log(frequency) against log(rank) plus the fit correlation —
+    natural corpora sit near slope -1; a slope far from it flags
+    synthetic, templated, or truncated-vocabulary data. Exercises the
+    regr_* regression aggregates end to end.
+
+    Scale: unigram counts are the usual vocabulary-bounded two-phase
+    aggregate; the rank window and the regression both run over |V|
+    rows, not the token stream. regr_slope/intercept/corr are
+    single-pass mergeable moment aggregates — the same machinery as
+    q_agg_corr — so the fit costs one pass over the vocabulary however
+    large the corpus. Deterministic (n DESC, tok) ranking; 4dp rounding
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("tok")
+        .agg(F.sum("k").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = uni.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.regr_slope("ly", "lx"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("ly", "lx"), 4).alias("zipf_intercept"),
+        F.round(F.corr("ly", "lx"), 4).alias("fit_corr"),
+    )

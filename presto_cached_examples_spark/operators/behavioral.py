@@ -766,3 +766,172 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("monetary") * 100, 0).cast("long")) / 100.0, 2
         ).alias("total_monetary"),
     )
+
+
+_PATH_GAP_MIN = 30  # session silence threshold, matches q_sessionize
+
+
+@register(
+    "q_path_trigrams",
+    category="behavioral",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {_PATH_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_no
+      FROM marked
+    ),
+    tri AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER s AS e2,
+             lead(event_type, 2) OVER s AS e3
+      FROM sess
+      WINDOW s AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+    ),
+    cnt AS (
+      SELECT e1, e2, e3, COUNT(*) AS n_paths
+      FROM tri WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_paths,
+           ROUND(n_paths * 1.0 / SUM(n_paths) OVER (), 4) AS path_share
+    FROM cnt
+    """,
+)
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped path mining: the frequency of every 3-step
+    event-type path users take WITHIN a session (30-minute silence
+    breaks a path — the q_sessionize boundary), with each path's share
+    of all observed paths. The sequence-mining upgrade of
+    q_markov_transitions' first-order matrix: 'view→click→purchase'
+    is visible here, invisible there.
+
+    Scale: sessionization and both lead() steps ride ONE (user_id)
+    hash partitioning — Spark reuses the exchange across the three
+    window passes, so raw events shuffle once. The trigram aggregate's
+    output is bounded by |event_type|^3 (125 cells max) and the share
+    window runs over that tiny relation. Unique (ts, event_id)
+    ordering keeps every path count deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _PATH_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_start.alias("is_start")
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(s).alias("e2"),
+        F.lead("event_type", 2).over(s).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    cnt = tri.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n_paths"))
+    return cnt.select(
+        "e1",
+        "e2",
+        "e3",
+        "n_paths",
+        F.round(
+            F.col("n_paths") * 1.0 / F.sum("n_paths").over(Window.partitionBy()),
+            4,
+        ).alias("path_share"),
+    )
+
+
+@register(
+    "q_pareto_half",
+    category="behavioral",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS mktsegment, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    ranked AS (
+      SELECT mktsegment, cents,
+             ROW_NUMBER() OVER w AS rn,
+             SUM(cents) OVER (
+               PARTITION BY mktsegment ORDER BY cents DESC, o_custkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_cents,
+             SUM(cents) OVER (PARTITION BY mktsegment) AS total_cents,
+             COUNT(*) OVER (PARTITION BY mktsegment) AS n_customers
+      FROM spend
+      WINDOW w AS (PARTITION BY mktsegment ORDER BY cents DESC, o_custkey)
+    )
+    SELECT mktsegment,
+           CAST(MIN(CASE WHEN cum_cents * 2 >= total_cents THEN rn END)
+                AS BIGINT) AS n_to_half,
+           MAX(n_customers) AS n_customers,
+           ROUND(MIN(CASE WHEN cum_cents * 2 >= total_cents THEN rn END)
+                 * 1.0 / MAX(n_customers), 4) AS concentration
+    FROM ranked GROUP BY mktsegment
+    """,
+)
+def q_pareto_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto analysis): per market segment, the
+    smallest number of customers whose combined spend reaches half the
+    segment's revenue, and that count as a fraction of the segment's
+    customers — the 'how top-heavy is this segment' KPI.
+
+    Scale: orders first reduce to cent-exact (segment, customer) spend
+    rows (two-phase hash aggregate), then ONE (mktsegment) partitioning
+    serves the rank, running-sum, total, and count windows — all
+    integer arithmetic, so the 50% crossover is exact on both engines.
+    The final aggregate is per-segment (5 rows). Customer-count-sized
+    windows per segment are the query's irreducible sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wseg = Window.partitionBy("mktsegment")
+    worder = wseg.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = spend.select(
+        "mktsegment",
+        "cents",
+        F.row_number().over(worder).alias("rn"),
+        F.sum("cents")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("cents").over(wseg).alias("total_cents"),
+        F.count(F.lit(1)).over(wseg).alias("n_customers"),
+    )
+    crossed = F.when(
+        F.col("cum_cents") * 2 >= F.col("total_cents"), F.col("rn")
+    )
+    return ranked.groupBy("mktsegment").agg(
+        F.min(crossed).cast("long").alias("n_to_half"),
+        F.max("n_customers").alias("n_customers"),
+        F.round(F.min(crossed) * 1.0 / F.max("n_customers"), 4).alias(
+            "concentration"
+        ),
+    )

@@ -159,10 +159,16 @@ _VERIFY_FRONT: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
 
-# Overflow queue for queries registered after the front window filled.
-# Empty in round 4: the round-3 overflow (q_intersect_all/q_except_all/
-# q_lateral_topk) heads this round's front.
-_VERIFY_NEXT: tuple[str, ...] = ()
+# Overflow queue for queries registered after the front window filled —
+# locally hash-verified every run (tests/test_oracle_parity.py); they
+# head the round-5 front for their first driver rows, exactly like the
+# round-3 overflow did this round.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q_path_trigrams",
+    "q_pareto_half",
+    "q_regression_zipf",
+    "q_embed_sq8",
+)
 
 
 def register(name: str, oracle: str | None = None, category: str = "") -> Callable[[QueryFn], QueryFn]:
