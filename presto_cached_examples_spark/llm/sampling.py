@@ -84,3 +84,58 @@ def q_sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "lang", "rk")
     )
+
+
+@register(
+    "q_sample_weighted",
+    category="llm-sampling",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -LN(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                  + 1) / 4294967297.0) / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS INT) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, weight, rk FROM ranked WHERE rk <= 25
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential-key form): each doc draws
+    u ~ U(0,1] from md5(doc_id) bits and is ranked by -ln(u)/weight
+    with weight = n_chars — longer documents proportionally likelier,
+    the quality/length-weighted curation draw. Top-25 kept.
+
+    Scale: the key is a pure map-side expression (md5 + ln), and the
+    global rank<=k plans as a top-k sort (each task keeps a local
+    top-25, the exchange carries k x tasks rows). u derives from the
+    FIRST 8 md5 nibbles parsed identically on both engines (+1 shifts
+    to (0,1] so ln never sees 0); md5 bit-stability is the same
+    cross-engine contract q_sample_hash_topk pinned."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967297.0)
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", F.col("n_chars").alias("weight"), key.alias("k"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("k").asc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "weight", "rk")
+    )

@@ -168,6 +168,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_pareto_half",
     "q_regression_zipf",
     "q_embed_sq8",
+    "q_sample_weighted",
 )
 
 

@@ -116,3 +116,20 @@ def test_simhash_banding_recall_vs_brute_force(spark):
         f"{len(truth)} true pairs (missed {len(truth - got)}, "
         f"spurious {len(got - truth)})"
     )
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """q_sample_weighted: Efraimidis-Spirakis keys must bias the draw
+    toward high-weight (long) documents — the sampled docs' mean weight
+    should exceed the corpus mean (a uniform draw would match it in
+    expectation; the ES bias is strong enough that this holds
+    deterministically on the fixed fixture)."""
+    from presto_cached_examples_spark import registry
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from tests.conftest import SF_TINY
+
+    sampled = registry.all_specs()["q_sample_weighted"].fn(spark, SF_TINY).collect()
+    corpus = load_table(spark, SF_TINY, "documents").agg({"n_chars": "avg"}).collect()
+    mean_sampled = sum(r.weight for r in sampled) / len(sampled)
+    mean_corpus = corpus[0][0]
+    assert mean_sampled > mean_corpus, (mean_sampled, mean_corpus)
