@@ -237,11 +237,14 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _json_documents_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write the documents table as JSON-lines once per (session, sf)
-    into the session warehouse and return the directory path — the
-    landing-zone format most raw text corpora actually arrive in.
-    Same write-once memoization discipline as _partitioned_events."""
+def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the documents table once per (session, sf, format) into
+    the session warehouse and return the directory path — the
+    landing-zone formats raw text corpora actually arrive in (NDJSON,
+    CSV exports, ORC from legacy Hive pipelines). Same write-once
+    memoization discipline as _partitioned_events. CSV is written with
+    a header; the fixture text is comma/quote-free, so the round trip
+    is lossless (a real lake would pin quoting options here)."""
     import os
     import re
     import shutil
@@ -249,18 +252,35 @@ def _json_documents_path(spark: SparkSession, sf_dir: str) -> str:
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = re.sub(r"^file:/*", "/", wh)
-    path = os.path.join(wh, f"json_documents_{tag}")
+    path = os.path.join(wh, f"{fmt}_documents_{tag}")
     done = os.path.join(path, "_SUCCESS")
     key = (id(spark), path)
-    if key not in _JSON_DOCS_WRITTEN:
+    if key not in _LANDED_DOCS_WRITTEN:
         if not os.path.exists(done):
             shutil.rmtree(path, ignore_errors=True)
-            load_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
-        _JSON_DOCS_WRITTEN.add(key)
+            w = load_table(spark, sf_dir, "documents").write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(path)
+        _LANDED_DOCS_WRITTEN.add(key)
     return path
 
 
-_JSON_DOCS_WRITTEN: set = set()
+_LANDED_DOCS_WRITTEN: set = set()
+
+
+def _docs_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
 
 
 @register(
@@ -290,20 +310,83 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup is an ordinary two-phase hash aggregate. (Columnar
     pushdown does NOT reach JSON — the docstring's point: land JSON,
     convert to parquet, query parquet; this query is the landing leg.)"""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
+    d = spark.read.schema(_docs_schema()).json(
+        _landed_docs_path(spark, sf_dir, "json")
     )
-    d = spark.read.schema(schema).json(_json_documents_path(spark, sf_dir))
     return d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@register(
+    "q_scan_csv",
+    category="scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest leg: the documents corpus re-landed as a
+    header-bearing CSV export (written once per session) and read back
+    with an EXPLICIT schema — no inference pass, no per-file type
+    drift — then rolled up per language. The oracle states the same
+    rollup over the parquet truth: format is never semantics.
+
+    Scale: same argument as q_scan_json — the explicit schema is what
+    keeps a 100 TB CSV lake to ONE pass; CSV splits on newlines so the
+    scan parallelizes like any text source, but carries no column
+    pruning or predicate pushdown, which is exactly why the landing
+    leg converts to parquet before real work (q_scan_pruned's side of
+    the story)."""
+    d = spark.read.schema(_docs_schema()).option("header", "true").csv(
+        _landed_docs_path(spark, sf_dir, "csv")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_scan_orc",
+    category="scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars >= 100
+    GROUP BY source
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest leg: documents re-landed as ORC (the legacy
+    Hive-pipeline columnar format) and read back through Spark's
+    vectorized ORC reader with a pushed-down n_chars filter — unlike
+    the JSON/CSV legs, ORC keeps columnar pruning AND predicate
+    pushdown, so this is the one landing format that behaves like
+    parquet at 100 TB. Per-source doc counts and char ranges.
+
+    Scale: the filter reaches the ORC scan (min/max stripe stats prune
+    like parquet row groups); only (source, n_chars) columns are
+    materialized. The oracle states the same semantics over the
+    parquet truth."""
+    d = spark.read.schema(_docs_schema()).orc(
+        _landed_docs_path(spark, sf_dir, "orc")
+    )
+    return (
+        d.filter(F.col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
     )

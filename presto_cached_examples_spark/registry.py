@@ -169,6 +169,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_regression_zipf",
     "q_embed_sq8",
     "q_sample_weighted",
+    "q_scan_csv",
+    "q_scan_orc",
 )
 
 
