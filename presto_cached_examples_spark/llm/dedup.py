@@ -121,7 +121,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB `source` is the shard/domain key, so blocks stay bounded
     by shard vocabulary, never corpus vocabulary. The verify stage
     (true Jaccard) touches only candidate pairs."""
-    d = load_table(spark, sf_dir, "documents").select(
+    # spread(): tokenization + prefix hashing is CPU-bound; under-split
+    # fixture scans serialize it on one core (no-op at production split
+    # counts, same discipline as the entropy/decontam scans)
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     # global token order = xxhash64 (deterministic, uniform); prefix
@@ -146,6 +149,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        # The verify stage below is CPU-bound (array_intersect over the
+        # token sets of every surviving candidate) but its input is ids
+        # only — a few MB — so AQE coalesces the dedup shuffle to 1-2
+        # partitions and the Jaccard math runs on 2 cores (profiled: a
+        # (1+1)/2 straggler stage at sf0.1). Pin the verify stage to
+        # cluster parallelism with an explicit numbered repartition
+        # (AQE honors user-specified partition counts); the extra
+        # exchange carries two longs per candidate.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
     )
     pairs = (
         cand.join(
