@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 _SESSION_GAP_MIN = 30
 
@@ -959,7 +959,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     The minhash/LSH pipeline (llm/dedup.py) is the unbounded-domain
     variant; this one is for typed dimension tables where a natural
     block key exists."""
-    p = load_table(spark, sf_dir, "part").select(
+    # spread(): the broadcast self-join streams the part scan, so on an
+    # under-split fixture file ALL candidate generation + levenshtein
+    # runs in one task (no-op at production split counts)
+    p = spread(load_table(spark, sf_dir, "part"), spark).select(
         "p_partkey",
         "p_name",
         "p_brand",
