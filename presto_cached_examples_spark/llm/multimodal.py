@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 #: Output schema of the feature extractor — fixed, declared, never inferred.
 #: The 8-bin histogram is emitted as SCALAR columns hist_0..hist_7 (not
@@ -91,7 +91,11 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal view of documents: opaque binary payload + typed
     metadata — the engine's `binary`-column data model."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): every consumer funnels this scan into an Arrow
+    # mapInPandas stage, which inherits the scan's split count — one
+    # task on the under-split fixture files (no-op at production split
+    # counts)
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
