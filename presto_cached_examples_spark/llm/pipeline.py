@@ -523,3 +523,143 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") * 1.0 / F.col("n_raw"), 4).alias("frac_of_raw"),
     )
+
+
+@register(
+    "q_contamination_report",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, GREATEST(LEN(toks) - {_DECONTAM_N - 1}, 1))) AS i
+      FROM d
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + {_DECONTAM_N - 1}], ' ') AS gram
+      FROM pos
+    ),
+    hits AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+      FROM g t JOIN g e ON t.gram = e.gram
+      WHERE t.doc_id % {_EVAL_MOD} <> 0 AND e.doc_id % {_EVAL_MOD} = 0
+      GROUP BY t.doc_id, e.doc_id
+    )
+    SELECT d.doc_id AS eval_id,
+           CAST(COUNT(h.train_id) AS BIGINT) AS n_train_matches,
+           CAST(COALESCE(MAX(h.n_shared), 0) AS BIGINT) AS max_shared_grams,
+           COUNT(h.train_id) > 0 AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} = 0) d
+    LEFT JOIN hits h ON h.eval_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination report a team actually reads: ONE row per
+    eval-set document — how many training docs share an
+    decontamination n-gram with it, the worst overlap, and the
+    contaminated flag — i.e. q_decontam's pair stream rolled up to
+    eval coverage, with the LEFT join keeping clean eval docs in the
+    report (absence of evidence shown, not silently dropped).
+
+    Scale: identical to q_decontam up to the hit stream (eval grams
+    broadcast, train scan never shuffles), then an aggregate keyed on
+    eval_id — bounded by the eval suite size, trivially small. The
+    final left join runs against the eval id list, also broadcast-
+    sized."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_DECONTAM_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _DECONTAM_N)),
+        )
+    )
+    docs = d.select("doc_id", grams.alias("grams"))
+    ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g")
+    )
+    tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    eval_ids = d.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id")
+    )
+    return (
+        eval_ids.join(hits, "eval_id", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count("train_id").cast("long").alias("n_train_matches"),
+            F.coalesce(F.max("n_shared"), F.lit(0)).cast("long").alias(
+                "max_shared_grams"
+            ),
+            (F.count("train_id") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+_TEMP_ALPHA = 0.7  # multilingual temperature-sampling exponent
+
+
+@register(
+    "q_mix_temperature",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(LEN(list_filter(STRING_SPLIT(text, ' '), t -> t <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    raw AS (
+      SELECT lang, n_tokens,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share,
+             POWER(n_tokens * 1.0 / SUM(n_tokens) OVER (), {_TEMP_ALPHA}) AS w
+      FROM per_lang
+    )
+    SELECT lang, n_tokens,
+           ROUND(raw_share, 4) AS raw_share,
+           ROUND(w / SUM(w) OVER (), 4) AS temp_share,
+           ROUND((w / SUM(w) OVER ()) / raw_share, 4) AS upsample_factor
+    FROM raw
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual
+    sampling formula: p_l ∝ share_l^alpha, alpha=0.7):
+    per-language raw token share, temperature-flattened share, and the
+    implied up/down-sampling factor — low-resource languages get
+    boosted, the head suppressed, exactly the knob multilingual
+    pretraining mixes are tuned with.
+
+    Scale: token counts are a per-language aggregate (map-side
+    partials over the token stream); everything after runs on a
+    |languages|-row relation via two tiny unpartitioned windows.
+    POWER and the 4dp rounding are identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    raw_share = F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w_all)
+    raw = per_lang.select(
+        "lang", "n_tokens", raw_share.alias("raw_share"),
+        F.pow(raw_share, _TEMP_ALPHA).alias("w"),
+    )
+    temp_share = F.col("w") / F.sum("w").over(w_all)
+    return raw.select(
+        "lang",
+        "n_tokens",
+        F.round("raw_share", 4).alias("raw_share"),
+        F.round(temp_share, 4).alias("temp_share"),
+        F.round(temp_share / F.col("raw_share"), 4).alias("upsample_factor"),
+    )

@@ -171,6 +171,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_sample_weighted",
     "q_scan_csv",
     "q_scan_orc",
+    "q_contamination_report",
+    "q_mix_temperature",
 )
 
 
