@@ -390,3 +390,64 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@register(
+    "q_join_dpp",
+    category="join",
+    oracle="""
+    WITH busiest AS (
+      SELECT date_trunc('day', ts) AS day
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1
+      ORDER BY COUNT(*) DESC, day
+      LIMIT 5
+    )
+    SELECT date_trunc('day', e.ts) AS day,
+           e.event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN busiest b ON date_trunc('day', e.ts) = b.day
+    GROUP BY 1, 2
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: full activity rollup restricted to
+    the 5 busiest signup days — the day list is DATA-DERIVED (a top-k
+    over the raw stream), so no static filter can prune the
+    day-partitioned fact at plan time. Spark's DPP builds the day list
+    at runtime, broadcasts it as a dynamicpruning subquery INTO the
+    fact scan's PartitionFilters, and only 5 of the table's day
+    directories are ever opened (plan-asserted).
+
+    Scale: THE pattern for dimension-driven slices of a 100 TB
+    partitioned lake ('rollup the fact table for the days in this
+    campaign table'): without DPP the fact scan reads every partition
+    and throws 99% away after the join; with it, scan cost tracks the
+    dim selectivity. The oracle states the same semantics over the
+    raw table — layout is never semantics."""
+    t = _partitioned_events(spark, sf_dir)
+    fact = spark.table(t)
+    raw = load_table(spark, sf_dir, "events")
+    busiest = (
+        raw.filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+        .orderBy(F.col("n_signups").desc(), F.col("day"))
+        .limit(5)
+        .select("day")
+    )
+    return (
+        fact.join(busiest, "day")
+        .groupBy(
+            # timestamp on both engines (the q_anomaly_zscore day
+            # convention); the partition column itself stays DATE so
+            # the pruning comparison is partition-native
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

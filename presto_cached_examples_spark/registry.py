@@ -173,6 +173,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_scan_orc",
     "q_contamination_report",
     "q_mix_temperature",
+    "q_stream_interval_left",
+    "q_join_dpp",
 )
 
 

@@ -282,3 +282,57 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select(F.col("w.start").alias("ws"), "event_type", "n", "rnk")
     )
+
+
+@register(
+    "q_stream_interval_left",
+    category="streaming",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+           c.event_id IS NULL AS is_organic
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join: every purchase, paired with each
+    same-user click in the prior hour OR a NULL row if none exists —
+    the 'organic vs attributed' split q_stream_interval_join's inner
+    form silently drops. In the streaming form this is the
+    watermark-dependent outer join: the NULL can only be emitted once
+    the watermark passes the interval end, which is why the batch twin
+    is the semantic oracle for it.
+
+    Scale: same bounded-state equi-join on user_id as the inner twin;
+    the outer side adds no state, only deferred NULL emission. The
+    left-side filter is pushed to the scan on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        F.col("click_id").isNull().alias("is_organic"),
+    )

@@ -316,3 +316,20 @@ def test_quality_tiers_single_scan(spark):
 
     p = plan_of(build(spark, "q_quality_tiers"), mode="formatted")
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 2
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """q_join_dpp: the data-derived day list must reach the
+    partitioned fact scan as a dynamicpruningexpression in
+    PartitionFilters — runtime partition pruning, not a post-join
+    filter."""
+    p = plan_of(build(spark, "q_join_dpp"), mode="formatted")
+    assert "dynamicpruningexpression" in p.lower()
+
+
+def test_stream_interval_left_pushes_filters(spark):
+    """q_stream_interval_left: both event_type filters reach the scans
+    (pushed), and the pairing stays an equi-join on user_id."""
+    p = plan_of(build(spark, "q_stream_interval_left"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
