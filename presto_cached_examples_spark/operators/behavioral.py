@@ -935,3 +935,128 @@ def q_pareto_half(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concentration"
         ),
     )
+
+
+@register(
+    "q_cdc_scd2",
+    category="behavioral",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           value AS state_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 materialization: the changelog
+    becomes a versioned history table — one row per state change with
+    [valid_from, valid_to) validity, a version number, and the
+    open-ended current row flagged. The point-in-time side of the CDC
+    story (q_cdc_merge is the latest-state side): 'what was this
+    user's state on date X' becomes a BETWEEN lookup.
+
+    Scale: one hash partition on the dimension key and one window pass
+    computing lead + row_number together (same frame, one sort). This
+    is how SCD2 backfills actually run on a 100 TB changelog —
+    key-partitioned, no global sort, output rows = input rows. The
+    unique (ts, event_id) order makes every validity interval
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    category="behavioral",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+      SELECT f.cohort,
+             CAST(datediff('month', f.cohort,
+                           date_trunc('month', o.o_orderdate)) AS INT)
+               AS month_age,
+             o.o_custkey,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    agg AS (
+      SELECT cohort, month_age,
+             COUNT(DISTINCT o_custkey) AS n_active,
+             SUM(cents) AS cents
+      FROM facts GROUP BY cohort, month_age
+    )
+    SELECT cohort, month_age, n_active,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(SUM(cents) OVER (
+             PARTITION BY cohort ORDER BY month_age
+             ROWS UNBOUNDED PRECEDING
+           ) / 100.0, 2) AS cum_revenue
+    FROM agg
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue tracked by months-since-acquisition, with the
+    running cumulative — the LTV table growth teams read payback
+    periods off. The revenue-sided sibling of q_retention_cohort's
+    activity matrix.
+
+    Scale: first-order months are a per-customer aggregate; the fact
+    join keys on customer (uniform); the (cohort, month_age) aggregate
+    is calendar-bounded (months x ages cells). The cumulative window
+    runs over that tiny matrix, in exact integer cents until the final
+    ROUND. At 100 TB every stage is a standard two-phase aggregate —
+    the count-distinct is the only state that grows, and it swaps to
+    approx_count_distinct the way q_rolling_wau_approx documents."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+        .cast("int")
+        .alias("month_age"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    agg = facts.groupBy("cohort", "month_age").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "cohort",
+        "month_age",
+        "n_active",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("cum_revenue"),
+    )

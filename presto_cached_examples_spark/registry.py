@@ -175,6 +175,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_mix_temperature",
     "q_stream_interval_left",
     "q_join_dpp",
+    "q_cdc_scd2",
+    "q_cohort_ltv",
 )
 
 
