@@ -456,3 +456,124 @@ def test_scan_evolved_nullfills_old_snapshot(spark):
     assert merged.filter(F.col("o_orderpriority").isNull()).count() == n_old
     assert merged.filter(F.col("o_orderpriority").isNotNull()).count() == n_new
     assert merged.count() == o.count()
+
+
+# --- session-4 operators: invariants the oracle can't see ------------
+
+
+def test_cdc_merge_drops_tombstoned_users_only(spark):
+    """Every user whose LAST change is a tombstone ('error') must be
+    absent from the snapshot; every other user present exactly once
+    with their latest non-filtered state."""
+    ev = load_table(spark, SF_TINY, "events").collect()
+    last = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        last[r.user_id] = r
+    expected = {u: r for u, r in last.items() if r.event_type != "error"}
+    got = {r.user_id: r for r in queries()["q_cdc_merge"](spark, SF_TINY).collect()}
+    assert set(got) == set(expected)
+    for u, row in got.items():
+        assert row.last_op == expected[u].event_type
+        assert row.updated_at == expected[u].ts
+
+
+def test_attribution_conserves_purchase_value(spark):
+    """Linear attribution must conserve value: the sum of attributed
+    value across touch types equals the total value of purchases that
+    HAVE at least one in-window touch (each purchase splits 1/n over
+    its n touches, so its full value is distributed, never created)."""
+    rows = queries()["q_attribution_linear"](spark, SF_TINY).collect()
+    attributed = sum(r.attributed_value for r in rows)
+    # reconstruct ground truth: purchases with >= 1 touch in-window
+    ev = load_table(spark, SF_TINY, "events").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    total = 0.0
+    for rs in by_user.values():
+        clicks = [r.ts for r in rs if r.event_type in ("click", "view")]
+        for p in rs:
+            if p.event_type != "purchase":
+                continue
+            from datetime import timedelta
+
+            lo = p.ts - timedelta(days=7)
+            if any(lo <= t < p.ts for t in clicks):
+                total += p.value
+    assert abs(attributed - total) < 0.05, (attributed, total)
+
+
+def test_winsorized_mean_is_pulled_inward(spark):
+    """Clamping to [P05, P95] can only pull the mean toward the
+    median band: avg_winsorized must lie within [p05, p95] and the
+    clamp thresholds must bracket correctly (p05 <= p95)."""
+    for r in queries()["q_winsorize"](spark, SF_TINY).collect():
+        assert r.p05 <= r.p95
+        assert r.p05 <= r.avg_winsorized <= r.p95
+
+
+def test_sq8_codes_in_range_and_error_bounded(spark):
+    """SQ8 codes are 64 bytes in [0, 255] (code_sum bounds) and the
+    reconstruction error is bounded by dims * step^2 with
+    step = (max-min)/255 <= corpus range."""
+    rows = queries()["q_embed_sq8"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.code_sum <= 255 * 64
+        assert 0.0 <= r.sq_err < 1.0  # unit-scale embeddings, tiny steps
+
+
+def test_triangles_match_bruteforce_on_edges(spark):
+    """Per-node triangle counts must equal a brute-force count over
+    the same co-purchase edge list."""
+    from itertools import combinations
+
+    from presto_cached_examples_spark.operators.graph import copurchase_pairs
+
+    edges = {(r.pa, r.pb) for r in copurchase_pairs(spark, SF_TINY).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count = dict.fromkeys(adj, 0)
+    for n, nbrs in adj.items():
+        for u, v in combinations(sorted(nbrs), 2):
+            if (min(u, v), max(u, v)) in edges:
+                tri_count[n] += 1
+    # each triangle counted once per apex node above
+    got = {
+        r.part_key: r.n_triangles
+        for r in queries()["q_graph_triangles"](spark, SF_TINY).collect()
+    }
+    assert got == {n: c for n, c in tri_count.items()}
+
+
+def test_scd2_intervals_tile_each_user_history(spark):
+    """SCD2 validity intervals must tile: versions are 1..n in ts
+    order, each valid_to equals the next valid_from, exactly one open
+    (current) row per user."""
+    rows = queries()["q_cdc_scd2"](spark, SF_TINY).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_temperature_flattens_shares(spark):
+    """alpha < 1 must compress the share distribution: every
+    below-average language is upsampled (factor > 1), every
+    above-average one downsampled, and temp shares still sum to 1."""
+    rows = queries()["q_mix_temperature"](spark, SF_TINY).collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 0.01
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.raw_share < mean_share * 0.8:
+            assert r.upsample_factor > 1.0, r
+        if r.raw_share > mean_share * 1.2:
+            assert r.upsample_factor < 1.0, r
