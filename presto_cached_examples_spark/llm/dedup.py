@@ -682,3 +682,81 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % _SNAP_MOD >= _SNAP_NEW)
     old = docs.filter(F.col("doc_id") % _SNAP_MOD < _SNAP_NEW)
     return new.join(old, "fp", "left_anti").select("doc_id", "source", "fp")
+
+
+@register(
+    "q_dedup_containment",
+    category="llm-dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+             len(list_intersect(a.toks, b.toks)) AS shared,
+             len(a.toks) AS na, len(b.toks) AS nb
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_small, doc_big,
+           CAST(shared AS BIGINT) AS n_shared,
+           ROUND(shared * 1.0 / na, 4) AS containment,
+           ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+    FROM p WHERE shared * 1.0 / na >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: (small, big) doc pairs where >=90%
+    of the small doc's distinct tokens appear in the big one — the
+    quote/subset/boilerplate-inclusion detector symmetric Jaccard
+    misses by construction (a tweet quoted inside an article has tiny
+    Jaccard but containment 1.0). Both scores emitted so the asymmetry
+    is visible.
+
+    Scale: the pair stream is a (source, token) equi-join — shared
+    counts accumulate via a hash aggregate keyed on the pair, sizes
+    re-join from the ids-only doc table. Block sizes are bounded by
+    per-source token document-frequency; at 100 TB you'd drop the
+    top-df tokens from the join key (lossy only for docs made entirely
+    of stopwords) or reuse the ngram query's prefix-filter ordering —
+    the fixture's 31-token vocabulary is the adversarial case and
+    still bounded per source. No arrays cross a shuffle: the explode
+    ships (source, tok, id, n)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    e = d.select(
+        "doc_id", "source", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
+    a = e.select(
+        F.col("source").alias("src"),
+        "tok",
+        F.col("doc_id").alias("doc_small"),
+        F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("doc_id").alias("doc_big"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("src") == F.col("src_b"))
+            & (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_small") != F.col("doc_big")),
+        )
+        .groupBy("doc_small", "doc_big", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared") * 1.0 / F.col("na")
+    jacc = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pairs.filter(cont >= 0.9).select(
+        "doc_small",
+        "doc_big",
+        F.col("shared").cast("long").alias("n_shared"),
+        F.round(cont, 4).alias("containment"),
+        F.round(jacc, 4).alias("jaccard"),
+    )

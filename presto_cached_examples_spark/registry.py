@@ -177,6 +177,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_join_dpp",
     "q_cdc_scd2",
     "q_cohort_ltv",
+    "q_dedup_containment",
 )
 
 
