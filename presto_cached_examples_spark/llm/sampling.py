@@ -127,7 +127,6 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     ) / F.lit(4294967297.0)
     key = -F.log(u) / F.col("n_chars")
-    w = Window.orderBy(key.asc(), F.col("doc_id"))
     return (
         d.select("doc_id", F.col("n_chars").alias("weight"), key.alias("k"))
         .withColumn(

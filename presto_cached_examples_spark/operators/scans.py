@@ -451,3 +451,75 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_layout_zorder",
+    category="scan",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey % 256 AS x,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y,
+             list_sum(list_transform(range(1, 9), i ->
+               ((x // [1,2,4,8,16,32,64,128][i]) % 2)
+                 * [1,4,16,64,256,1024,4096,16384][i]
+               + ((y // [1,2,4,8,16,32,64,128][i]) % 2)
+                 * [2,8,32,128,512,2048,8192,32768][i])) AS zval
+      FROM base
+    )
+    SELECT CAST(zval // 4096 AS BIGINT) AS z_block,
+           COUNT(*) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: orders mapped to an
+    interleaved-bit curve over (customer bucket, order-day bucket),
+    then summarized per 4096-wide z-block — every block's x AND y
+    ranges come out tight (<= 64 wide for 16 blocks over a 256x256
+    grid), which is the whole point: files written in z-order carry
+    min/max stats that prune on BOTH dimensions, where a
+    single-column sort prunes on one. The Delta/Iceberg OPTIMIZE
+    ZORDER primitive as a first-class query.
+
+    Scale: the Morton code is pure integer map-side arithmetic (HOF
+    fold over 8 bit positions — no pow, no doubles); at 100 TB you'd
+    range-partition by zval before the write so each output file owns
+    one curve segment. The rollup here IS the pruning-stats table that
+    write would produce. All-integer, exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 256
+    y = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        % 256
+    )
+    pw2 = F.array(*[F.lit(2**k) for k in range(8)])        # 2^i
+    pwx = F.array(*[F.lit(4**k) for k in range(8)])        # 4^i  (bit 2i)
+    pwy = F.array(*[F.lit(2 * 4**k) for k in range(8)])    # 2*4^i (bit 2i+1)
+    zval = F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + ((F.col("x") / F.element_at(pw2, i)).cast("long") % 2)
+        * F.element_at(pwx, i)
+        + ((F.col("y") / F.element_at(pw2, i)).cast("long") % 2)
+        * F.element_at(pwy, i),
+    )
+    base = o.select(x.alias("x"), y.alias("y"))
+    return (
+        base.withColumn("zval", zval)
+        .groupBy((F.col("zval") / 4096).cast("long").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )

@@ -178,6 +178,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_cdc_scd2",
     "q_cohort_ltv",
     "q_dedup_containment",
+    "q_layout_zorder",
 )
 
 
