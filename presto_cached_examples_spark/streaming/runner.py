@@ -96,6 +96,7 @@ def join_stream_stream(
     user_col: str = "user_id",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join: pair each left event with right
     events from the same user within the preceding `max_delay` — the
@@ -103,7 +104,12 @@ def join_stream_stream(
 
     Both sides carry a watermark plus a time-range join condition, so
     the state store can evict rows older than watermark + delay — state
-    stays bounded no matter how long the streams run."""
+    stays bounded no matter how long the streams run. `how="leftOuter"`
+    gives the organic-vs-attributed split (q_stream_interval_left's
+    shape): an unmatched left row emits its NULL-padded result only
+    once the watermark guarantees no matching right row can still
+    arrive — the deferred-NULL semantics the batch twin states
+    timelessly."""
     from pyspark.sql import functions as F
 
     lw = left.withWatermark("l_ts", watermark)
@@ -113,5 +119,5 @@ def join_stream_stream(
         (F.col(f"l_{user_col}") == F.col(f"r_{user_col}"))
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_delay}")),
-        "inner",
+        how,
     )

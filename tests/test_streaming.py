@@ -472,3 +472,54 @@ def pd_isna(x):
     import math
 
     return x is None or (isinstance(x, float) and math.isnan(x))
+
+
+def test_stream_stream_left_outer_matches_and_defers_nulls(spark):
+    """Left-outer watermarked stream-stream join: matched pairs equal
+    the batch twin exactly (matches emit eagerly); NULL-padded organic
+    rows are a subset of the batch twin's organic set — only purchases
+    whose join window the watermark has provably closed may emit, and
+    no purchase may appear both matched and NULL-padded. (Which
+    organic rows flush depends on micro-batch watermark advancement,
+    so the test pins soundness — never-wrong — plus non-emptiness,
+    not the exact flush frontier.)"""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.registry import all_specs
+    from presto_cached_examples_spark.streaming.runner import (
+        join_stream_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return p, c
+
+    sp, sc = split(read_events_stream(spark, SF_TINY))
+    joined = join_stream_stream(sp, sc, how="leftOuter").select(
+        "l_event_id", "r_event_id"
+    )
+    got = [tuple(r) for r in run_to_memory(joined, "ss_left_join").collect()]
+    got_pairs = sorted(t for t in got if t[1] is not None)
+    got_null_ids = {t[0] for t in got if t[1] is None}
+
+    batch = all_specs()["q_stream_interval_left"].fn(spark, SF_TINY).collect()
+    want_pairs = sorted(
+        (r.purchase_id, r.click_id) for r in batch if r.click_id is not None
+    )
+    want_organic_ids = {r.purchase_id for r in batch if r.is_organic}
+
+    assert got_pairs == want_pairs
+    assert got_null_ids, "watermark never flushed any organic purchase"
+    assert got_null_ids <= want_organic_ids
+    assert not (got_null_ids & {p for p, _ in got_pairs})
