@@ -69,6 +69,8 @@ HEADLINE_V2 = [
     "q_path_trigrams",
     "q_embed_sq8",
     "q_regression_zipf",
+    "q_ann_pipeline",
+    "q_dedup_containment",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

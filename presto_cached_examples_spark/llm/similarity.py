@@ -899,3 +899,164 @@ def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + err_at(i)), 4
         ).alias("sq_err"),
     )
+
+
+_ANN_SHORTLIST = 20
+
+
+def _ann_pipeline_oracle() -> str:
+    """DuckDB replay of the composed serving pipeline: the ADC oracle's
+    code re-derivation (same tagged Lloyd CTEs), restricted to each
+    probe's own IVF cell (label), shortlisted by rounded ADC distance,
+    then exact-cosine reranked — stage for stage the SQL twin of
+    q_ann_pipeline's plan."""
+    parts, folds, joins = [], [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        err = (
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+            " j -> (s.v[j] - c.c[j]) * (s.v[j] - c.c[j])))"
+        )
+        parts.append(f"e_{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(_lloyd_sql(f"e_{m}", f"_{m}", _PQ_K, _PQ_ITERS))
+        parts.append(
+            f"""
+asg_{m} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {err}, c.cell) AS r
+    FROM e_{m} s CROSS JOIN c{_PQ_ITERS}_{m} c) t
+  WHERE r = 1
+),
+cc_{m} AS (
+  SELECT a.vec_id, c.c FROM asg_{m} a JOIN c{_PQ_ITERS}_{m} c ON c.cell = a.cell
+)"""
+        )
+        folds.append(
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+            f" j -> (p{m}.v[j] - c{m}.c[j]) * (p{m}.v[j] - c{m}.c[j])))"
+        )
+        if m:
+            joins.append(f"JOIN e_{m} p{m} ON p{m}.vec_id = p0.vec_id")
+            joins.append(f"JOIN cc_{m} c{m} ON c{m}.vec_id = c0.vec_id")
+    adc = " + ".join(folds)
+    return f"""
+WITH {_SQL_CORPUS},
+{",".join(parts)},
+scored AS (
+  SELECT p0.vec_id AS probe_id, c0.vec_id AS vec_id,
+         ROUND({adc}, 4) AS adc_dist
+  FROM e_0 p0 {" ".join(joins[::2])}
+  JOIN e pe ON pe.vec_id = p0.vec_id
+  CROSS JOIN cc_0 c0 {" ".join(joins[1::2])}
+  JOIN e ce ON ce.vec_id = c0.vec_id
+  WHERE p0.vec_id < {_N_PROBES} AND c0.vec_id <> p0.vec_id
+    AND ce.label = pe.label
+),
+short AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS s
+    FROM scored) t
+  WHERE s <= {_ANN_SHORTLIST}
+),
+rer AS (
+  SELECT s.probe_id, s.vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM short s
+  JOIN nv p ON p.vec_id = s.probe_id
+  JOIN nv c ON c.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS k
+  FROM rer
+)
+SELECT probe_id, vec_id, cosine, k FROM ranked WHERE k <= {_TOP_K}
+"""
+
+
+@register(
+    "q_ann_pipeline", category="llm-similarity", oracle=_ann_pipeline_oracle()
+)
+def q_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN serving stack in one plan — IVF-PQ exactly as
+    production retrieval runs it: (1) IVF routing restricts each probe
+    to its own cell, (2) ADC over PQ codes scores the cell's
+    candidates from 4 table lookups each and keeps a shortlist of
+    20, (3) exact cosine reranks only the shortlist to
+    the final top-k. Each stage exists standalone (q_sim_topk_ivf,
+    q_sim_adc, q_sim_topk); this query is their composition, verified
+    end to end against a single SQL replay.
+
+    Scale: the cost ladder is the point — the full-precision corpus is
+    touched ONLY for shortlist×probes rows (stage 3); stage 2 reads 4
+    small ints per candidate; stage 1 bounds candidates to a cell.
+    Probes broadcast with their distance tables; the rerank fetch is
+    an ids-only semi-join back to the vector store. Shortlist rank
+    cuts on ROUND(adc, 4) with a vec_id tie-break, so the candidate
+    set — not just the final answer — is deterministic on both
+    engines."""
+    corpus = _corpus(spark, sf_dir)
+    codebooks = []
+    code_cols = []
+    for m in range(_PQ_M):
+        sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        cents = _corpus_centroids(spark, sf_dir, sub=m, k=_PQ_K, iters=_PQ_ITERS)
+        codebooks.append(cents)
+        code_cols.append(
+            F.element_at(_cell_sorted(cents, v=sub), 1)["cell"].alias(f"code_{m}")
+        )
+    codes = corpus.select("vec_id", "label", *code_cols)
+
+    def dist_table(m: int):
+        carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[m]])
+        sub = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        return F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    probes = corpus.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        *[dist_table(m).alias(f"t_{m}") for m in range(_PQ_M)],
+    )
+    adc = F.lit(0.0)
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(f"t_{m}", F.col(f"code_{m}") + 1)
+    ws = Window.partitionBy("probe_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    short = (
+        F.broadcast(probes)
+        .join(
+            codes,
+            (F.col("p_label") == F.col("label"))
+            & (F.col("probe_id") != F.col("vec_id")),
+        )
+        .select("probe_id", "vec_id", F.round(adc, 4).alias("adc_dist"))
+        .withColumn("s", F.row_number().over(ws))
+        .filter(F.col("s") <= _ANN_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    pvec = corpus.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cvec = corpus.select("vec_id", "v", "nrm")
+    cosine = F.round(_dot(F.col("pv"), F.col("v")) / (F.col("pnrm") * F.col("nrm")), 4)
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        short.join(F.broadcast(pvec), "probe_id")
+        .join(cvec, "vec_id")
+        .select("probe_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("k", F.row_number().over(wk))
+        .filter(F.col("k") <= _TOP_K)
+        .select("probe_id", "vec_id", "cosine", "k")
+    )

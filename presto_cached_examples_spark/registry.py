@@ -179,6 +179,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_cohort_ltv",
     "q_dedup_containment",
     "q_layout_zorder",
+    "q_ann_pipeline",
 )
 
 
