@@ -138,3 +138,50 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .select("doc_id", "weight", "rk")
     )
+
+
+@register(
+    "q_split_assign",
+    category="llm-sampling",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY source, split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: each doc's split is
+    a pure function of md5(doc_id) — stable across runs, engines, and
+    corpus growth (a re-crawled doc keeps its split, so no eval doc
+    ever leaks into train on refresh). Reported per (source, split) so
+    stratification skew is visible before training.
+
+    Scale: entirely map-side assignment + a cells-bounded aggregate;
+    the md5 bucket is the same cross-engine-stable draw
+    q_sample_hash_topk pinned. This is how production splits are
+    actually done — hash of a stable id, never a random() that
+    reshuffles the holdout every run."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1326,3 +1326,46 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("n_parts")
         )
     )
+
+
+@register(
+    "q_regression_elasticity",
+    category="aggregation",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(REGR_SLOPE(l.l_quantity, l.l_discount), 4) AS qty_per_discount,
+           ROUND(REGR_INTERCEPT(l.l_quantity, l.l_discount), 4) AS base_qty,
+           ROUND(CORR(l.l_quantity, l.l_discount), 4) AS fit_corr
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_regression_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity: least-squares slope of quantity
+    against discount (with intercept and fit correlation) — the
+    grouped-regression shape behind every 'does discounting move
+    volume for THIS brand' analysis. The per-group sibling of
+    q_regression_zipf's global fit.
+
+    Scale: regr_slope/intercept/corr are single-pass mergeable moment
+    aggregates, so the whole query is one shuffle keyed on brand after
+    a broadcast join to part — grouped regression at 100 TB costs the
+    same as a grouped average. 4dp rounding on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.regr_slope("l_quantity", "l_discount"), 4).alias(
+                "qty_per_discount"
+            ),
+            F.round(F.regr_intercept("l_quantity", "l_discount"), 4).alias(
+                "base_qty"
+            ),
+            F.round(F.corr("l_quantity", "l_discount"), 4).alias("fit_corr"),
+        )
+    )

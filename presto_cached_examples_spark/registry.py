@@ -180,6 +180,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_dedup_containment",
     "q_layout_zorder",
     "q_ann_pipeline",
+    "q_split_assign",
+    "q_regression_elasticity",
 )
 
 
