@@ -760,3 +760,101 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cont, 4).alias("containment"),
         F.round(jacc, 4).alias("jaccard"),
     )
+
+
+def _logistic_sql() -> str:
+    """The q_quality_logistic scoring expression (llm/text.py _QW
+    weights) as a DuckDB scalar over `text` — shared so composed
+    oracles score identically to the standalone quality query."""
+    from presto_cached_examples_spark.llm.text import _QW, _STOPWORDS
+
+    toks = "STRING_SPLIT(text, ' ')"
+    return (
+        f"1.0 / (1.0 + EXP(-({_QW['bias']}"
+        f" + {_QW['distinct_ratio']} * (LEN(list_distinct({toks}))::DOUBLE / LEN({toks}))"
+        f" + {_QW['stopword_ratio']} * (LEN(list_filter({toks},"
+        f" t -> list_contains({list(_STOPWORDS)!r}, t)))::DOUBLE / LEN({toks}))"
+        f" + {_QW['log_tokens']} * LN(LEN({toks})))))"
+    )
+
+
+def _cluster_resolve_oracle() -> str:
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             ROUND({_logistic_sql()}, 4) AS quality_score
+      FROM documents
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY fp) AS cluster_size FROM f
+    ),
+    ranked AS (
+      SELECT doc_id, fp, quality_score, cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY quality_score DESC, doc_id) AS rn
+      FROM sized WHERE cluster_size >= 2
+    )
+    SELECT doc_id, fp, quality_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rn = 1 AS is_canonical
+    FROM ranked
+    """
+
+
+@register(
+    "q_dedup_cluster_resolve",
+    category="llm-dedup",
+    oracle=_cluster_resolve_oracle(),
+)
+def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document resolution: within each duplicate cluster
+    (vocabulary-fingerprint groups of size >= 2), keep the
+    highest-quality copy — the 'which duplicate survives' decision
+    that follows every dedup pass, made by the same logistic scorer
+    the quality stage uses (composition of q_dedup_exact's fingerprint
+    with q_quality_logistic's model; canonical = best rounded score,
+    doc_id tie-break).
+
+    Scale: fingerprint + score are map-side; the cluster-size and rank
+    windows ride ONE (fp) hash partitioning, and cluster sizes are
+    bounded by duplication multiplicity, never corpus size. Nothing
+    here re-reads text after the single scoring scan."""
+    from presto_cached_examples_spark.llm.text import _QW, _STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    logit = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["distinct_ratio"]) * distinct_ratio
+        + F.lit(_QW["stopword_ratio"]) * stopword_ratio
+        + F.lit(_QW["log_tokens"]) * F.log(n_tokens.cast("double"))
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    f = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.round(1.0 / (1.0 + F.exp(-logit)), 4).alias("quality_score"),
+    )
+    from pyspark.sql import Window
+
+    wfp = Window.partitionBy("fp")
+    sized = f.withColumn("cluster_size", F.count(F.lit(1)).over(wfp)).filter(
+        F.col("cluster_size") >= 2
+    )
+    rn = F.row_number().over(
+        wfp.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    )
+    return sized.withColumn("rn", rn).select(
+        "doc_id",
+        "fp",
+        "quality_score",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("rn") == 1).alias("is_canonical"),
+    )

@@ -1060,3 +1060,98 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(F.sum("cents").over(w) / 100.0, 2).alias("cum_revenue"),
     )
+
+
+@register(
+    "q_concurrency_peak",
+    category="behavioral",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {_PATH_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_no,
+             ts
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_no
+    ),
+    pts AS (
+      SELECT s AS ts, 1 AS delta, user_id, session_no FROM iv
+      UNION ALL
+      SELECT e AS ts, -1 AS delta, user_id, session_no FROM iv
+    ),
+    run AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (
+               ORDER BY ts, delta DESC, user_id, session_no
+               ROWS UNBOUNDED PRECEDING
+             ) AS concurrent
+      FROM pts
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_started
+    FROM run GROUP BY day
+    """,
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the classic interval-overlap
+    sweep: each session becomes a +1 at its start and a -1 at its end,
+    the running sum of deltas IS the live-session count, and the daily
+    max is the capacity-planning number. Starts sort before ends at
+    equal timestamps (delta DESC), so two sessions touching at an
+    instant count as overlapping.
+
+    Scale: sessions reduce events to two ids-only delta rows each; the
+    sweep is ONE unpartitioned running sum over session boundaries —
+    not events — which is the standard trade for an exact global
+    concurrency profile (at 100 TB, segment the sweep by day with
+    carried-forward offsets, a two-pass prefix-sum). The deterministic
+    (ts, delta, user, session) order pins every tie on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _PATH_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", is_start.alias("is_start")).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
+        )
+    )
+    sweep = Window.orderBy(
+        "ts", F.col("delta").desc(), "user_id", "session_no"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = pts.withColumn("concurrent", F.sum("delta").over(sweep))
+    return run.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions_started"),
+    )

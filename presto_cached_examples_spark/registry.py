@@ -182,6 +182,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_ann_pipeline",
     "q_split_assign",
     "q_regression_elasticity",
+    "q_dedup_cluster_resolve",
+    "q_concurrency_peak",
 )
 
 
