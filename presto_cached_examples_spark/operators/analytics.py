@@ -1369,3 +1369,93 @@ def q_regression_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("l_quantity", "l_discount"), 4).alias("fit_corr"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! for k=0..5,
+#: capped at 6). Fixed decimal literals so both engines draw the
+#: identical weight from the identical md5 uniform.
+_POIS1_CUM = (0.36787944, 0.73575888, 0.91969860, 0.98101184,
+              0.99634015, 0.99940582)
+_BOOT_B = 32
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUM)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "q_bootstrap_ci",
+    category="aggregation",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b.b,
+             {_pois_case_sql(
+                 "((('0x' || substr(md5(o_orderkey || '-' || b.b), 1, 8))::BIGINT)"
+                 " / 4294967296.0)")} AS w,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders, (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT b, SUM(w * cents) * 1.0 / SUM(w) / 100.0 AS m
+      FROM draws GROUP BY b
+    )
+    SELECT CAST({_BOOT_B} AS INT) AS n_resamples,
+           ROUND(AVG(m), 2) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025), 2) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 2) AS ci_hi
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap: instead of resampling rows with
+    replacement (impossible without a global index), every row draws
+    an independent Poisson(1) weight per resample, which converges to
+    the same distribution. Weights come from md5(orderkey, b) uniforms
+    through fixed inverse-CDF thresholds, so all 32 resamples are
+    bit-reproducible on every engine and every run.
+
+    Scale: one map-side explode (x32) over the fact table feeding a
+    32-cell aggregate — no shuffle proportional to data, no
+    row-index coordination, which is exactly why this estimator exists
+    (Chamandy et al., 'Estimating uncertainty for massive data
+    streams', the standard production technique). Weighted sums stay
+    in exact integer cents, so every resample mean is identical across
+    engines before the final 2dp rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("-"),
+                               F.col("b").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    drawn = o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select("b", "cents", u.alias("u"))
+    w = F.lit(6)
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_CUM[k], k).otherwise(w)
+    means = (
+        drawn.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w") / 100.0).alias("m")
+        )
+    )
+    return means.agg(
+        F.lit(_BOOT_B).cast("int").alias("n_resamples"),
+        F.round(F.avg("m"), 2).alias("boot_mean"),
+        F.round(F.percentile(F.col("m"), F.lit(0.025)), 2).alias("ci_lo"),
+        F.round(F.percentile(F.col("m"), F.lit(0.975)), 2).alias("ci_hi"),
+    )

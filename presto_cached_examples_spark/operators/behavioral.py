@@ -1155,3 +1155,87 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sessions_started"),
     )
+
+
+@register(
+    "q_funnel_windowed",
+    category="behavioral",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.tv AND e.ts <= v.tv + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.tc AND e.ts <= c.tc + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_1h,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_24h,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM v), 4) AS full_conversion
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: first view → first click within
+    ONE HOUR of it → first purchase within 24 HOURS of that click.
+    q_events_funnel's unbounded ordering says 'eventually converted';
+    the windowed form says 'converted while the intent was live' — the
+    number a campaign is actually judged on.
+
+    Scale: identical to q_events_funnel's design — each stage reduces
+    to one scalar per user BEFORE the next stage joins it (per-user
+    rows, uniform key, broadcast-sized stage outputs), with the time
+    bound as a join predicate so state stays capped exactly like the
+    interval joins. Final counts are three 1-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tc"))
+            & (F.col("ts") <= F.col("tc") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_1h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_24h"))
+    return (
+        nv.join(F.broadcast(nc))
+        .join(F.broadcast(np_))
+        .select(
+            F.col("n_viewed").cast("long").alias("n_viewed"),
+            F.col("n_clicked_1h").cast("long").alias("n_clicked_1h"),
+            F.col("n_purchased_24h").cast("long").alias("n_purchased_24h"),
+            F.round(
+                F.col("n_purchased_24h") * 1.0 / F.col("n_viewed"), 4
+            ).alias("full_conversion"),
+        )
+    )

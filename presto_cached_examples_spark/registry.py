@@ -184,6 +184,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_regression_elasticity",
     "q_dedup_cluster_resolve",
     "q_concurrency_peak",
+    "q_bootstrap_ci",
+    "q_funnel_windowed",
 )
 
 
