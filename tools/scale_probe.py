@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from presto_cached_examples_spark import get_session, registry
 from presto_cached_examples_spark.sources.catalog import load_table
 
+#: documents-family probes
 QUERIES = [
     "q_dedup_exact",
     "q_dedup_ngram",
@@ -40,6 +41,32 @@ QUERIES = [
     "q_decontam_hashed",
 ]
 
+#: events-family probes (10x events = same horizon, 10x denser, fresh
+#: users per copy so per-user partitions keep realistic sizes)
+EVENT_QUERIES = [
+    "q_sessionize",
+    "q_markov_transitions",
+    "q_path_trigrams",
+    "q_rolling_wau",
+    "q_concurrency_peak",
+    "q_attribution_linear",
+    "q_cdc_scd2",
+    "q_stream_interval_join",
+]
+
+#: lineitem-family probes (10x orders over the SAME part space — the
+#: co-purchase graph densifies SUPER-linearly: measured 3.6k -> 1.2M
+#: edges (335x) and 3 -> 5.65M triangle incidences at mult=10, so read
+#: these ratios against the PROBLEM growth, not the input growth. The
+#: 10x run also pushes edges past DRIVER_EDGE_THRESHOLD, exercising
+#: the distributed label-propagation loop — the actual 100 TB path —
+#: for real.)
+GRAPH_QUERIES = [
+    "q_graph_components",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -51,28 +78,62 @@ def main() -> None:
     wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
     big_dir = os.path.join(wh, f"scaleprobe_x{args.mult}")
     big_docs = os.path.join(big_dir, "documents.parquet")
-    if not os.path.exists(os.path.join(big_docs, "_SUCCESS")):
-        shutil.rmtree(big_docs, ignore_errors=True)
-        d = load_table(spark, args.sf, "documents")
+    copies = spark.range(args.mult).select(F.col("id").alias("copy"))
+
+    def materialize(name: str, build) -> None:
+        path = os.path.join(big_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        shutil.rmtree(path, ignore_errors=True)
+        big = build(load_table(spark, args.sf, name)).repartition(32)
+        big.write.mode("overwrite").parquet(path)
+        print(f"wrote {args.mult}x {name}: {big.count()} rows -> {path}")
+
+    def big_docs_build(d):
         n = d.count()
-        copies = spark.range(args.mult).select(F.col("id").alias("copy"))
-        big = (
-            d.crossJoin(F.broadcast(copies))
-            .select(
-                (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
-                "text",
-                "lang",
-                # spread copies over fresh sources so per-source blocks
-                # keep realistic sizes instead of multiplying in place
-                F.concat_ws(
-                    "_", F.col("source"), F.col("copy").cast("string")
-                ).alias("source"),
-                "n_chars",
-            )
-            .repartition(32)
+        return d.crossJoin(F.broadcast(copies)).select(
+            (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+            "text",
+            "lang",
+            # spread copies over fresh sources so per-source blocks
+            # keep realistic sizes instead of multiplying in place
+            F.concat_ws("_", F.col("source"), F.col("copy").cast("string")).alias(
+                "source"
+            ),
+            "n_chars",
         )
-        big.write.mode("overwrite").parquet(big_docs)
-        print(f"wrote {args.mult}x corpus: {big.count()} docs -> {big_docs}")
+
+    def big_events_build(e):
+        mx_id = e.agg(F.max("event_id")).collect()[0][0] + 1
+        mx_u = e.agg(F.max("user_id")).collect()[0][0] + 1
+        return e.crossJoin(F.broadcast(copies)).select(
+            (F.col("event_id") + F.col("copy") * mx_id).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("copy") * mx_u).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+
+    def big_lineitem_build(li):
+        mx_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        return li.crossJoin(F.broadcast(copies)).select(
+            (F.col("l_orderkey") + F.col("copy") * mx_ok).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+
+    materialize("documents", big_docs_build)
+    materialize("events", big_events_build)
+    materialize("lineitem", big_lineitem_build)
 
     qs = registry.queries()
 
@@ -85,7 +146,7 @@ def main() -> None:
         return best
 
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
-    for name in QUERIES:
+    for name in QUERIES + EVENT_QUERIES + GRAPH_QUERIES:
         t1 = best_of_2(name, args.sf)
         tn = best_of_2(name, big_dir)
         print(f"{name:26s} {t1:7.2f} {tn:7.2f}  {tn / t1:5.1f}x")
