@@ -1115,12 +1115,17 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal timestamps (delta DESC), so two sessions touching at an
     instant count as overlapping.
 
-    Scale: sessions reduce events to two ids-only delta rows each; the
-    sweep is ONE unpartitioned running sum over session boundaries —
-    not events — which is the standard trade for an exact global
-    concurrency profile (at 100 TB, segment the sweep by day with
-    carried-forward offsets, a two-pass prefix-sum). The deterministic
-    (ts, delta, user, session) order pins every tie on both engines."""
+    Scale: sessions reduce events to two ids-only delta rows each, and
+    the sweep is the SEGMENTED two-pass prefix sum: each day runs its
+    own partitioned running sum, per-day delta totals (a
+    calendar-bounded relation) take one tiny ordered window to become
+    carried-forward offsets, and offset + within-day sum reproduces
+    the global running count exactly — no unpartitioned window ever
+    touches the boundary stream (the 30x scale probe showed the
+    single-window form going 14.8x; this is the fix its docstring
+    promised). The deterministic (ts, delta, user, session) order pins
+    every tie on both engines; day boundaries respect ts order, so
+    segmentation cannot reorder the sweep."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -1145,11 +1150,22 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
         )
     )
-    sweep = Window.orderBy(
+    pts = pts.withColumn("day", F.date_trunc("day", "ts"))
+    wday = Window.partitionBy("day").orderBy(
         "ts", F.col("delta").desc(), "user_id", "session_no"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run = pts.withColumn("concurrent", F.sum("delta").over(sweep))
-    return run.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    within = pts.withColumn("within", F.sum("delta").over(wday))
+    day_totals = pts.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    woff = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_totals.select(
+        "day", F.coalesce(F.sum("day_total").over(woff), F.lit(0)).alias("off")
+    )
+    run = within.join(F.broadcast(offsets), "day").withColumn(
+        "concurrent", F.col("off") + F.col("within")
+    )
+    return run.groupBy("day").agg(
         F.max("concurrent").cast("long").alias("peak_concurrent"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
         .cast("long")

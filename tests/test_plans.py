@@ -333,3 +333,12 @@ def test_stream_interval_left_pushes_filters(spark):
     p = plan_of(build(spark, "q_stream_interval_left"), mode="simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_concurrency_sweep_is_day_partitioned(spark):
+    """q_concurrency_peak: the boundary-stream running sum must run
+    inside per-day partitions (segmented two-pass prefix sum) — the
+    only single-partition window allowed is the calendar-bounded
+    day-offsets pass."""
+    p = plan_of(build(spark, "q_concurrency_peak"), mode="simple")
+    assert "hashpartitioning(day" in p

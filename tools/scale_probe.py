@@ -72,6 +72,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--families",
+        default="docs,events,graph",
+        help="comma list of docs/events/graph to probe",
+    )
     args = ap.parse_args()
 
     spark = get_session(app_name="pce-scale-probe")
@@ -145,8 +150,14 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    fams = set(args.families.split(","))
+    names = (
+        (QUERIES if "docs" in fams else [])
+        + (EVENT_QUERIES if "events" in fams else [])
+        + (GRAPH_QUERIES if "graph" in fams else [])
+    )
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
-    for name in QUERIES + EVENT_QUERIES + GRAPH_QUERIES:
+    for name in names:
         t1 = best_of_2(name, args.sf)
         tn = best_of_2(name, big_dir)
         print(f"{name:26s} {t1:7.2f} {tn:7.2f}  {tn / t1:5.1f}x")
