@@ -71,6 +71,10 @@ HEADLINE_V2 = [
     "q_regression_zipf",
     "q_ann_pipeline",
     "q_dedup_containment",
+    "q_bootstrap_ci",
+    "q_concurrency_peak",
+    "q_cohort_ltv",
+    "q_contamination_report",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for
