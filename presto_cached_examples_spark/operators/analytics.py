@@ -1393,8 +1393,8 @@ def _pois_case_sql(u: str) -> str:
     WITH draws AS (
       SELECT b.b,
              {_pois_case_sql(
-                 "((('0x' || substr(md5(o_orderkey || '-' || b.b), 1, 8))::BIGINT)"
-                 " / 4294967296.0)")} AS w,
+                 "((('0x' || substr(md5(o_orderkey || '-' || (b.b // 4)),"
+                 " (b.b % 4) * 8 + 1, 8))::BIGINT) / 4294967296.0)")} AS w,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
       FROM orders, (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
     ),
@@ -1419,30 +1419,50 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible on every engine and every run.
 
     Scale: one map-side explode (x32) over the fact table feeding a
-    32-cell aggregate — no shuffle proportional to data, no
+    32-cell aggregate; each md5 digest is sliced into FOUR 32-bit
+    uniforms, so the hash work is 8 digests per row, not 32 — no shuffle proportional to data, no
     row-index coordination, which is exactly why this estimator exists
     (Chamandy et al., 'Estimating uncertainty for massive data
     streams', the standard production technique). Weighted sums stay
     in exact integer cents, so every resample mean is identical across
     engines before the final 2dp rounding."""
-    o = load_table(spark, sf_dir, "orders")
+    o = spread(load_table(spark, sf_dir, "orders"), spark)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("-"),
-                               F.col("b").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    drawn = o.select(
+    # one md5 yields 128 bits = FOUR 32-bit uniforms: explode the 8
+    # digest GROUPS first, hash once per group, then explode the 4
+    # windows of each digest — 8 md5 evaluations per row instead of 32
+    # (resample b = group*4 + window, so the oracle reads digest b//4
+    # at window b%4)
+    groups = o.select(
         "o_orderkey",
         cents.alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).select("b", "cents", u.alias("u"))
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))).alias("g"),
+    ).select(
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("g").cast("string"),
+            )
+        ).alias("h"),
+    )
+    drawn = groups.select(
+        "cents",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("win"),
+    ).select(
+        (F.col("g") * 4 + F.col("win")).alias("b"),
+        "cents",
+        (
+            F.conv(
+                F.substring(F.col("h"), F.col("win") * 8 + 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
     w = F.lit(6)
     for k in range(len(_POIS1_CUM) - 1, -1, -1):
         w = F.when(F.col("u") < _POIS1_CUM[k], k).otherwise(w)
