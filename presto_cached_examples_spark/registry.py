@@ -186,6 +186,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_concurrency_peak",
     "q_bootstrap_ci",
     "q_funnel_windowed",
+    "q_text_bigram_lm",
 )
 
 
