@@ -703,3 +703,88 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("band_total", F.lit(0.0)).alias("band_total"),
         )
     )
+
+
+@register(
+    "q_label_join",
+    category="join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.click_id, c.user_id, c.c_ts, c.c_value,
+             p.p_ts, p.p_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.click_id ORDER BY p.p_ts, p.p_id
+             ) AS rn
+      FROM clicks c
+      JOIN purch p ON p.user_id = c.user_id
+       AND p.p_ts > c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 7 DAY
+    )
+    SELECT c.click_id, c.user_id,
+           ROUND(c.c_value, 2) AS feature_value,
+           m.p_id IS NOT NULL AS label_converted,
+           CAST(epoch_us(m.p_ts) - epoch_us(c.c_ts) AS BIGINT)
+             AS time_to_convert_us
+    FROM clicks c
+    LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      ON m.click_id = c.click_id
+    """,
+)
+def q_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of label join: every click becomes a training
+    example — features frozen at click time, label = did a purchase by
+    the SAME user follow within 7 days (plus time-to-convert for the
+    survival variant). The time-reversed twin of q_join_asof, and the
+    join that generates supervised labels for every propensity /
+    churn / conversion model: strictly future-looking on the label
+    side, so no target leakage by construction.
+
+    Scale: equi-join on user_id with both time bounds as join
+    predicates (bounded matcher state — the watermarked stream shape),
+    earliest-future-purchase picked by a WindowGroupLimit rank inside
+    the same user partitioning, then a LEFT join keeps the negatives
+    (unconverted clicks ARE the training zeros — dropping them would
+    bias the base rate). Deterministic (p_ts, p_id) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("click_id").orderBy("p_ts", "p_id")
+    matched = (
+        clicks.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("click_id", "p_ts", "p_id")
+    )
+    return clicks.join(matched, "click_id", "left").select(
+        "click_id",
+        "user_id",
+        F.round("c_value", 2).alias("feature_value"),
+        F.col("p_id").isNotNull().alias("label_converted"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
+            "time_to_convert_us"
+        ),
+    )

@@ -187,6 +187,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_bootstrap_ci",
     "q_funnel_windowed",
     "q_text_bigram_lm",
+    "q_label_join",
 )
 
 
