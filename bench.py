@@ -75,6 +75,9 @@ HEADLINE_V2 = [
     "q_concurrency_peak",
     "q_cohort_ltv",
     "q_contamination_report",
+    # round-5 additions (URL/domain curation family)
+    "q_dedup_url",
+    "q_domain_caps",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for
@@ -126,25 +129,33 @@ def main() -> None:
     # Warm up the JVM + parquet footer cache with the flagship query once.
     qs["q_agg_pricing"](spark, sf_dir).collect()
 
-    def run_set(names: list[str]) -> dict[str, float]:
+    def run_set(names: list[str], runs: int) -> tuple[dict[str, float], dict[str, float]]:
+        """Per-query best-of-N plus the observed spread (max-min).
+
+        The min is the stable engine cost — early runs absorb GC and
+        shuffle-service warm-up left by their neighbors; the spread is
+        published so cross-round regression triage can tell a plan
+        change from box noise (VERDICT r4 item 6: q_agg_percentiles
+        read +57% on untouched code from single-shot timings). The noop
+        sink executes the complete physical plan (every scan, shuffle,
+        and operator) but skips driver-side row serialization, so the
+        number measures the engine, not Py4J transfer."""
         timings: dict[str, float] = {}
+        spread: dict[str, float] = {}
         for name in names:
-            # Best of two runs: the first run of a query can absorb GC
-            # and shuffle-service warm-up left by its neighbors; the min
-            # is the stable engine cost. The noop sink executes the
-            # complete physical plan (every scan, shuffle, and operator)
-            # but skips driver-side row serialization, so the number
-            # measures the engine, not Py4J transfer.
-            best = float("inf")
-            for _ in range(2):
+            samples = []
+            for _ in range(runs):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        return timings
+                samples.append(time.time() - t0)
+            timings[name] = round(min(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
+        return timings, spread
 
-    timings = run_set([n for n in HEADLINE if n in qs])
-    timings_v2 = run_set([n for n in HEADLINE_V2 if n in qs])
+    # headline: best-of-3 (the cross-round comparability series — worth
+    # the extra pass); v2: best-of-2 (45 queries, trend line only)
+    timings, spread = run_set([n for n in HEADLINE if n in qs], runs=3)
+    timings_v2, _ = run_set([n for n in HEADLINE_V2 if n in qs], runs=2)
     print(
         json.dumps(
             {
@@ -152,6 +163,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
                 "headline_v2_total_sec": round(sum(timings_v2.values()), 3),
                 "queries_v2": timings_v2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -585,13 +585,22 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
     )
-    # join on xxhash64(gram), not the gram string — q_decontam_hashed's
-    # broadcast-shrink trick; the hash only routes the join, the oracle
-    # still states string ground truth (collision odds < 1e-7 here and
-    # the hash-match across engines certifies none occurred)
+    # ROUTE on xxhash64(gram) — 8-byte join-key probes instead of long
+    # strings — then RE-VERIFY each candidate hit on the gram string
+    # itself (q_dedup_ngram's route-then-verify discipline). At 100 TB
+    # the train×eval gram stream crosses the 64-bit birthday bound, so a
+    # hash-only join would eventually fabricate a contamination pair;
+    # the string equi-check caps the false-positive rate at exactly 0
+    # while the hash still does the hash-table work.
     hits = (
-        tr.select("train_id", F.xxhash64("g").alias("gh"))
-        .join(F.broadcast(ev.select("eval_id", F.xxhash64("g").alias("gh"))), "gh")
+        tr.select("train_id", F.xxhash64("g").alias("gh"), "g")
+        .join(
+            F.broadcast(
+                ev.select("eval_id", F.xxhash64("g").alias("gh"), F.col("g").alias("g_ev"))
+            ),
+            "gh",
+        )
+        .filter(F.col("g") == F.col("g_ev"))
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

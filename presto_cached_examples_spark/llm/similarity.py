@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.registry import register
 from presto_cached_examples_spark.sources.catalog import load_table, spread
 
@@ -328,7 +329,7 @@ def _corpus_centroids(
 ) -> list[list[float]]:
     """kmeans_centroids over the fixture corpus (or one PQ subspace
     slice when `sub` is given), cached — see _CODEBOOK_CACHE."""
-    key = (id(spark), sf_dir, sub, k, iters)
+    key = (session_token(spark), sf_dir, sub, k, iters)
     got = _CODEBOOK_CACHE.get(key)
     if got is None:
         corpus = _corpus(spark, sf_dir)
@@ -797,8 +798,10 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sigma FROM e
     )
     SELECT e.vec_id, ROUND(e.nrm, 4) AS norm,
-           ROUND((e.nrm - s.mu) / s.sigma, 3) AS z_norm,
-           ABS((e.nrm - s.mu) / s.sigma) > 3 AS is_outlier
+           CASE WHEN s.sigma = 0 THEN NULL
+                ELSE ROUND((e.nrm - s.mu) / s.sigma, 3) END AS z_norm,
+           CASE WHEN s.sigma = 0 THEN NULL
+                ELSE ABS((e.nrm - s.mu) / s.sigma) > 3 END AS is_outlier
     FROM e CROSS JOIN stats s
     """,
 )
@@ -817,7 +820,12 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = e.agg(
         F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sigma")
     )
-    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    # sigma = 0 (all-identical norms) → NULL z on BOTH engines; the
+    # unguarded division's NULL/NaN/Inf convention is engine-specific
+    # (ADVICE r4). F.when's otherwise-less null branch states it here.
+    z = F.when(
+        F.col("sigma") != 0, (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    )
     return e.join(F.broadcast(stats)).select(
         "vec_id",
         F.round(F.col("nrm"), 4).alias("norm"),
@@ -845,9 +853,11 @@ _SQ_DIM = 64  # embedding dimensionality (embeddings fixture)
     ),
     coded AS (
       SELECT e.vec_id,
-             FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn)) AS code,
-             d.mn + FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn))
-               * (d.mx - d.mn) / 255.0 AS recon,
+             CASE WHEN d.mx = d.mn THEN 0
+                  ELSE FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn)) END AS code,
+             CASE WHEN d.mx = d.mn THEN d.mn
+                  ELSE d.mn + FLOOR(255.0 * (e.v[d.i] - d.mn) / (d.mx - d.mn))
+                    * (d.mx - d.mn) / 255.0 END AS recon,
              e.v[d.i] AS x
       FROM e CROSS JOIN dim d
     )
@@ -881,14 +891,24 @@ def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mxs"),
     )
     idx = F.sequence(F.lit(1), F.lit(_SQ_DIM))
-    code_at = lambda i: F.floor(  # noqa: E731
-        255.0
-        * (F.element_at("v", i) - F.element_at("mns", i))
-        / (F.element_at("mxs", i) - F.element_at("mns", i))
+    # a constant dimension (mx == mn) codes to 0 and reconstructs to mn
+    # on BOTH engines — without the guard the two engines' div-by-zero
+    # NULL/NaN/Inf conventions diverge and break the oracle on
+    # degenerate corpora (ADVICE r4)
+    degenerate = lambda i: F.element_at("mxs", i) == F.element_at("mns", i)  # noqa: E731
+    code_at = lambda i: F.when(degenerate(i), F.lit(0)).otherwise(  # noqa: E731
+        F.floor(
+            255.0
+            * (F.element_at("v", i) - F.element_at("mns", i))
+            / (F.element_at("mxs", i) - F.element_at("mns", i))
+        )
     )
-    recon_at = lambda i: F.element_at("mns", i) + code_at(i) * (  # noqa: E731
-        F.element_at("mxs", i) - F.element_at("mns", i)
-    ) / F.lit(255.0)
+    recon_at = lambda i: F.when(degenerate(i), F.element_at("mns", i)).otherwise(  # noqa: E731
+        F.element_at("mns", i)
+        + code_at(i)
+        * (F.element_at("mxs", i) - F.element_at("mns", i))
+        / F.lit(255.0)
+    )
     err_at = lambda i: (F.element_at("v", i) - recon_at(i)) ** 2  # noqa: E731
     return e.join(F.broadcast(stats)).select(
         "vec_id",

@@ -39,33 +39,63 @@ _SESSION_GAP_MIN = 30
     """,
 )
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group. Spark's `percentile`
-    aggregate sorts within each group's state in one pass — one shuffle
-    on the group key, same as any hash aggregate. (The 100 TB variant
-    swaps in approx_percentile's mergeable sketch; this is the exact
-    oracle it is checked against.)
+    """Exact interpolated percentiles per group via cent-space bucket
+    decomposition — NO per-group buffer-everything state.
 
-    Cross-engine float discipline: percentiles are computed in integer
-    cent space. Prices are exact cents, so every interpolated quantile
-    is an exact multiple of 0.25 there — never the x.xx5 rounding
-    boundary where two engines' ULPs can disagree (a plain
-    ROUND(median, 2) flakes: the median of 2-decimal data is a
-    half-cent value half the time)."""
+    Spark's exact `percentile` aggregate holds EVERY group value in one
+    task's state and sorts it; with 3 group keys that is ~n/3 values per
+    state — a per-task memory bomb at 100 TB (VERDICT r4 named it the
+    headline set's one scale-killer). Instead: prices are exact cents,
+    so (1) count rows per (flag, cent) — an ordinary mergeable hash
+    aggregate; (2) a running sum ordered by cent gives each bucket its
+    cumulative rank range — this window runs over DOMAIN-bounded rows
+    (distinct cent values, ~1.1M forever), not data-bounded; (3) the
+    value at rank k is the first cent whose cumulative count reaches k,
+    a conditional MIN; (4) quantile_cont's linear interpolation
+    v_lo + frac*(v_hi - v_lo) is arithmetic on two such rank lookups.
+    Same decomposition as q_window_dist_scalable
+    (operators/distwindows.py).
+
+    Cross-engine float discipline: h = (n-1)*p is exact for p in
+    {.25, .5, .75} (exact binary fractions), cents are integers, so
+    every interpolated quantile is an exact multiple of 0.25 — never
+    the x.xx5 boundary where engines' ULPs disagree."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    # ONE percentile aggregate with an array of percentages: one state
-    # buffer and one sort per group, instead of three.
-    qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(qs.alias("qs"), F.round(F.max("l_extendedprice"), 2).alias("p_max"))
-        .select(
-            "l_returnflag",
-            (F.round(F.element_at("qs", 1), 2) / 100).alias("p25"),
-            (F.round(F.element_at("qs", 2), 2) / 100).alias("p50"),
-            (F.round(F.element_at("qs", 3), 2) / 100).alias("p75"),
-            "p_max",
-        )
+    counts = li.select(
+        "l_returnflag", cents.alias("cents")
+    ).groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    b = counts.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def quantile(p: float):
+        # h is 0-indexed offset into the sorted values; exact for these p
+        h = (F.col("n") - 1) * F.lit(p)
+        k_lo = F.floor(h) + 1  # 1-indexed rank of lower neighbor
+        k_hi = F.least(k_lo + 1, F.col("n"))
+        frac = h - F.floor(h)
+        v_lo = F.min(F.when(F.col("cum") >= k_lo, F.col("cents")))
+        v_hi = F.min(F.when(F.col("cum") >= k_hi, F.col("cents")))
+        # frac is constant per group; min() collapses it without state
+        fr = F.min(frac)
+        return F.round(v_lo + fr * (v_hi - v_lo), 2) / 100
+
+    return b.groupBy("l_returnflag").agg(
+        quantile(0.25).alias("p25"),
+        quantile(0.50).alias("p50"),
+        quantile(0.75).alias("p75"),
+        # cents is monotone in price and prices are 2dp, so max cents/100
+        # IS round(max(price), 2) — no second scan of the base table
+        (F.max("cents") / 100).alias("p_max"),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.registry import register
 from presto_cached_examples_spark.sources.catalog import load_table
 
@@ -175,7 +176,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests assert the raw table is read exactly once. The cached tier
     # is domain-bounded (hours × event types), never event-volume;
     # _HOURLY_TIER memoizes it so repeat builds share one relation.
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     hourly = _HOURLY_TIER.get(key)
     if hourly is None:
         ev = load_table(spark, sf_dir, "events")

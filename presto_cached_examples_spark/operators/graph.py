@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from presto_cached_examples_spark.session import session_token
+
 
 #: Below this edge count the component graph fits trivially on the
 #: driver and a local union-find beats launching iterative Spark jobs
@@ -133,7 +135,7 @@ def copurchase_pairs(spark, sf_dir: str) -> DataFrame:
     triangle join chain)."""
     from presto_cached_examples_spark.sources.catalog import load_table
 
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached

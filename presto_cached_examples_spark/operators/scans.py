@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.registry import register
 from presto_cached_examples_spark.sources.catalog import load_table
 
@@ -254,7 +255,7 @@ def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     wh = re.sub(r"^file:/*", "/", wh)
     path = os.path.join(wh, f"{fmt}_documents_{tag}")
     done = os.path.join(path, "_SUCCESS")
-    key = (id(spark), path)
+    key = (session_token(spark), path)
     if key not in _LANDED_DOCS_WRITTEN:
         if not os.path.exists(done):
             shutil.rmtree(path, ignore_errors=True)
@@ -459,7 +460,8 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT o_custkey % 256 AS x,
-             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+             ((datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256)
+               + 256) % 256 AS y
       FROM orders
     ),
     z AS (
@@ -495,9 +497,13 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     write would produce. All-integer, exact on both engines."""
     o = load_table(spark, sf_dir, "orders")
     x = F.col("o_custkey") % 256
-    y = (
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
-        % 256
+    # pmod, not %: `%` keeps the dividend's sign on BOTH engines, so any
+    # order date before the 1995-01-01 curve anchor would make y negative
+    # and the bit-interleave silently meaningless (negative-term Morton
+    # codes). ((d % 256) + 256) % 256 is non-negative for any date.
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+        F.lit(256),
     )
     pw2 = F.array(*[F.lit(2**k) for k in range(8)])        # 2^i
     pwx = F.array(*[F.lit(4**k) for k in range(8)])        # 4^i  (bit 2i)

@@ -14,12 +14,70 @@ the order-insensitive value hash.
 from __future__ import annotations
 
 import importlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_ROUND_RE = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
+
+
+def neutralize_negative_zero(sql: str) -> str:
+    """Rewrite every ``ROUND(...)`` in an oracle to ``(ROUND(...) + 0.0)``.
+
+    DuckDB's ROUND is IEEE sign-preserving: a tiny negative double rounds
+    to ``-0.0``, while Spark's ROUND goes through BigDecimal (no signed
+    zero) and yields ``+0.0``. The driver's value hasher distinguishes the
+    two, so any oracle whose rounded double can be tiny-and-negative
+    (z-scores, PMI, log-ratios, slopes, lags, correlations) is one unlucky
+    fixture row away from a hash mismatch — round 4 shipped exactly two
+    (q_text_pmi, q_embed_outliers). ``x + 0.0`` is the IEEE-sanctioned
+    normalization (``-0.0 + 0.0 == +0.0``; every other value, incl. NULL,
+    is unchanged) and DOUBLE + 0.0 stays DOUBLE, so the transform is a
+    semantic no-op everywhere except the one bit it exists to kill.
+
+    Applied uniformly at registration so the local checker and the driver
+    both see the neutralized SQL — a blanket discipline, not per-query
+    spot patches.
+    """
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ROUND_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        # find the close paren matching ROUND's open paren
+        depth = 0
+        i = m.end() - 1  # index of the '('
+        n = len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":  # skip string literals ('' escapes itself)
+                i += 1
+                while i < n:
+                    if sql[i] == "'":
+                        if i + 1 < n and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        call = sql[m.start() : i + 1]
+        # recurse so nested ROUNDs inside the call get wrapped too
+        inner = call[: len("ROUND(")] + neutralize_negative_zero(call[len("ROUND(") : -1]) + ")"
+        out.append("(" + inner + " + 0.0)")
+        pos = i + 1
 
 # Modules that register queries on import.
 _QUERY_MODULES = (
@@ -42,6 +100,7 @@ _QUERY_MODULES = (
     "presto_cached_examples_spark.llm.similarity",
     "presto_cached_examples_spark.llm.multimodal",
     "presto_cached_examples_spark.llm.pipeline",
+    "presto_cached_examples_spark.llm.urls",
     "presto_cached_examples_spark.streaming.windows",
 )
 
@@ -58,112 +117,32 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 4): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. Rounds
-# 1-3 greened 123 queries cumulatively (CORRECTNESS_r01-r03.json, zero
-# mismatches ever); this round the front holds, in priority order:
-# (a) the 3 round-3 additions that arrived after the r3 window filled
-#     (r3's _VERIFY_NEXT queue — locally hash-verified, never driver-run),
-# (b) the 26 queries new in round-4 sessions 1-3 plus the 13 new in
-#     session 4 (39 never-driver-checked round-4 additions total),
-# (c) queries whose code or oracle changed in round 4: the md5-rederived
-#     SimHash/LSH pair (formerly err: no_oracle, now hash-checkable), the
-#     explode-rewritten rolling-WAU pair, the single-pass q_profile_stats,
-#     the relational-CMS q_token_freq_cms, the memoized q_events_rollup,
-#     and the tie-broken q_join_asof_tol,
-# (d) the 4 events readers whose green rows still predate the round-3
-#     NANOS→MICROS fixture regeneration (q_join_asof, q_window_lag,
-#     q_agg_stats, q_agg_bitwise — the only events readers left on
-#     pre-regeneration rows; everything else re-verified in r3).
-#     That fills the window exactly (3+39+6+2 = 50). Still outside any
-#     driver window: 42 r1 greens (incl. q_scan_project, q_filter_basic,
-#     q_join_inner/left/full/semi/anti/cross/broadcast/multiway,
-#     q_agg_pricing, the rollup/cube/gsets family, the window family,
-#     the set-op family — displaced by the session-4 additions) + the
-#     r2/r3 greens + the two _lloyd_sql-regenerated oracles
-#     (q_sim_topk_kmeans, q_dedup_embed), all locally re-verified every
-#     round by tests/test_oracle_parity.py; they rotate in next.
-# tests/test_oracle_parity.py enforces that every never-driver-verified
-# query sits inside the current front window.
+# Verification rotation (round 5): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. The
+# driver has cumulatively confirmed 163 of the r4 surface (CORRECTNESS_r01
+# -r04; the only two reds ever — q_text_pmi / q_embed_outliers — were the
+# -0.0 ROUND divergence, fixed this round by `neutralize_negative_zero`).
+# This round's front, in priority order:
+# (a) the 24-query r4 overflow queue (_VERIFY_NEXT last round) — locally
+#     hash-verified every run, never driver-run,
+# (b) the 2 queries new in round 5 (URL/domain curation family),
+# (c) the 2 r4 hash-fails, re-fronted to prove the -0.0 fix at the
+#     driver's own hasher,
+# (d) q_agg_percentiles — rewritten this round from the buffer-everything
+#     exact `percentile` aggregate to the cent-bucket decomposition
+#     (same oracle),
+# (e) 21 of the 42 stalest r1 greens, oldest first: their last driver
+#     rows predate both the r3 fixture regeneration and the r4
+#     _TABLE_CACHE/spread() changes to the shared read path
+#     (sources/catalog.py), so the code under their green rows has
+#     shifted; q_agg_stats/q_agg_bitwise also still sit on pre-MICROS
+#     events rows. 24+2+2+1+21 = 50 exactly.
+# Still outside the window: the remaining 21 r1 greens + r2/r3 greens
+# (queued in _VERIFY_NEXT for round 6), all locally re-verified every
+# round by tests/test_oracle_parity.py and tools/check_oracles.py —
+# which since round 5 hashes raw float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # (a) r3 overflow queue — first driver rows
-    "q_intersect_all",
-    "q_except_all",
-    "q_lateral_topk",
-    # (b) new in round 4
-    "q_boilerplate_scrub",
-    "q_dedup_incremental",
-    "q_sim_pq",
-    "q_mm_phash",
-    "q_topk_skewed",
-    "q_sim_adc",
-    "q_stream_interval_join",
-    "q_rolling_retention",
-    "q_join_bucketed",
-    "q_graph_components",
-    "q_markov_transitions",
-    "q_anomaly_zscore",
-    "q_ntile_spend",
-    "q_text_unigram_lm",
-    "q_mix_weights",
-    "q_event_runs",
-    "q_embed_centroids",
-    "q_resample_interp",
-    "q_quality_logistic",
-    "q_join_bloom",
-    "q_scan_pruned",
-    "q_curation_funnel",
-    "q_graph_pagerank",
-    "q_join_range_bucketed",
-    "q_stream_topk",
-    "q_scan_evolved",
-    # (b2) new in round 4, session 4
-    "q_local_supplier_volume",
-    "q_product_profit",
-    "q_cdc_merge",
-    "q_attribution_linear",
-    "q_rfm_segments",
-    "q_text_entropy",
-    "q_text_pmi",
-    "q_quality_tiers",
-    "q_embed_outliers",
-    "q_graph_triangles",
-    "q_scan_json",
-    "q_winsorize",
-    "q_agg_mode",
-    # (c) code or oracle changed in round 4, highest-risk first.
-    # Yielded their slots to the session-4 additions (all still
-    # locally verified every run by tests/test_oracle_parity.py):
-    # q_sim_topk_kmeans / q_dedup_embed (oracle SQL merely regenerated
-    # by the _lloyd_sql refactor, hash-equivalent), q_events_rollup
-    # (memoization only — single-raw-scan plan asserted in
-    # tests/test_plans.py), and q_join_asof_tol (tie-break appended;
-    # the fixture's unique-(user, ts) invariant means results are
-    # unchanged).
-    "q_dedup_simhash",
-    "q_sim_topk_lsh",
-    "q_rolling_wau",
-    "q_rolling_wau_approx",
-    "q_profile_stats",
-    "q_token_freq_cms",
-    # (d) events readers whose green rows predate the round-3
-    # NANOS→MICROS fixture regeneration AND whose results depend on
-    # the ts column (q_join_asof joins on it; q_window_lag orders by
-    # it). q_agg_stats / q_agg_bitwise also still carry pre-MICROS
-    # rows but never touch ts (event_type/value/user_id only), so the
-    # regeneration cannot have changed their results — they yielded
-    # their slots to the session-4 additions.
-    "q_join_asof",
-    "q_window_lag",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Overflow queue for queries registered after the front window filled —
-# locally hash-verified every run (tests/test_oracle_parity.py); they
-# head the round-5 front for their first driver rows, exactly like the
-# round-3 overflow did this round.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # (a) r4 overflow queue — first driver rows
     "q_path_trigrams",
     "q_pareto_half",
     "q_regression_zipf",
@@ -188,6 +167,98 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_funnel_windowed",
     "q_text_bigram_lm",
     "q_label_join",
+    # (b) new in round 5
+    "q_dedup_url",
+    "q_domain_caps",
+    # (c) the r4 -0.0 hash-fails, fixed (neutralize_negative_zero)
+    "q_text_pmi",
+    "q_embed_outliers",
+    # (d) rewritten this round (cent-bucket exact percentiles)
+    "q_agg_percentiles",
+    # (e) stalest r1 greens, oldest first (shared read path changed
+    # under their green rows; q_agg_stats/q_agg_bitwise also pre-MICROS)
+    "q_scan_project",
+    "q_filter_basic",
+    "q_filter_like_null",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_agg_pricing",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_bitwise",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_window_rank",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 6: every query not in the r5 front whose
+# driver row is stale (r1/r2 vintage) or whose oracle SQL was
+# regenerated by a refactor, oldest evidence first. All are locally
+# hash-verified every run (tests/test_oracle_parity.py +
+# tools/check_oracles.py at driver strength).
+_VERIFY_NEXT: tuple[str, ...] = (
+    # remaining r1 greens (stale since the r3 fixture regen + r4 shared
+    # read-path changes)
+    "q_window_frame",
+    "q_window_running",
+    "q_topk_group",
+    "q_sort_limit",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_agg_corr",
+    "q_pivot",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_string_regexp",
+    "q_subquery_in",
+    "q_subquery_corr",
+    "q_agg_groupingid",
+    "q_agg_argminmax",
+    "q_date_series",
+    "q_values_cte",
+    "q_top_unshipped",
+    "q_returned_revenue",
+    "q_filtered_revenue",
+    # oracle SQL regenerated by the r4 _lloyd_sql refactor (results
+    # hash-equivalent, but the driver never saw the regenerated text)
+    "q_sim_topk_kmeans",
+    "q_dedup_embed",
+    # r2 greens, oldest first
+    "q_promo_share",
+    "q_agg_stringagg",
+    "q_window_lead",
+    "q_agg_decimal",
+    "q_exists_agg",
+    "q_null_ordering",
+    "q_histogram",
+    "q_cond_count",
+    "q_sample_stratified",
+    "q_join_salted",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_expr",
+    "q_array_funcs",
+    "q_subquery_scalar",
+    "udf_pack_pen",
+    "udaf_weighted_avg",
+    "q_text_tokens",
+    "q_text_langstats",
+    "q_text_quality",
+    "q_text_langid",
 )
 
 
@@ -198,7 +269,11 @@ def register(name: str, oracle: str | None = None, category: str = "") -> Callab
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, category=category, doc=(fn.__doc__ or "").strip()
+            name=name,
+            fn=fn,
+            oracle=neutralize_negative_zero(oracle) if oracle is not None else None,
+            category=category,
+            doc=(fn.__doc__ or "").strip(),
         )
         return fn
 

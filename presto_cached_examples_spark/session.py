@@ -68,6 +68,18 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def session_token(spark: SparkSession) -> str:
+    """Session-lifetime cache key for DataFrame memos.
+
+    `id(spark)` is unsafe: stop a session and CPython may hand the same
+    id to its successor, so a memo keyed on it can return a DataFrame
+    bound to a dead SparkContext (whose localCheckpoint blocks are
+    gone). `applicationId` embeds the context start time, is stable for
+    the context's life, and is never reused by a restart — so a new
+    session always misses the memo and rebuilds."""
+    return spark.sparkContext.applicationId
+
+
 def get_session(
     app_name: str = DEFAULT_APP_NAME,
     cpus: str | int | None = None,

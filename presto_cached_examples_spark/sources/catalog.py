@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from presto_cached_examples_spark.session import session_token
+
 TABLES = (
     "region",
     "nation",
@@ -147,7 +149,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _TABLE_CACHE). Column names are asserted against the declared
     schema; types are left to the parquet footer (the physical source
     of truth) so the vectorized reader stays on the fast path."""
-    key = (id(spark), table_path(sf_dir, name))
+    key = (session_token(spark), table_path(sf_dir, name))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

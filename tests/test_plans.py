@@ -342,3 +342,12 @@ def test_concurrency_sweep_is_day_partitioned(spark):
     day-offsets pass."""
     p = plan_of(build(spark, "q_concurrency_peak"), mode="simple")
     assert "hashpartitioning(day" in p
+
+def test_domain_caps_pushes_window_group_limit(spark):
+    """q_domain_caps: the per-domain cap must ride a WindowGroupLimit
+    (map tasks keep local top-cap per domain pre-shuffle) — the total
+    count intentionally lives in a separate plain aggregate so it can't
+    drag every row through the window."""
+    p = plan_of(build(spark, "q_domain_caps"), mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

@@ -13,9 +13,9 @@ def _canon_cell(v) -> str:
     if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
         return "<null>"
     if isinstance(v, float):
-        if v == 0:
-            v = 0.0
-        return repr(round(v, 6))
+        # driver-strength: raw repr, signed zero and full precision intact
+        # (see tools/check_oracles.py — the round-4 -0.0 lesson)
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

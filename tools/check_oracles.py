@@ -33,10 +33,13 @@ def _canon_cell(v) -> str:
     if v is None or v is pd.NaT or (isinstance(v, float) and v != v):  # NaN/None
         return "<null>"
     if isinstance(v, float):
-        # kill -0.0 and trailing representation noise after both sides round
-        if v == 0:
-            v = 0.0
-        return repr(round(v, 6))
+        # Raw repr — NO -0.0 normalization, NO re-rounding. Round 4 proved
+        # the driver's hasher distinguishes -0.0 from 0.0 and hashes full
+        # precision; a forgiving local gate let two -0.0 bugs ship blind
+        # (VERDICT r4 "What's wrong" #4). The local gate must be at least
+        # as strict as the grading gate: engines are responsible for
+        # agreeing bit-for-bit after their own in-query ROUND discipline.
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
