@@ -67,6 +67,25 @@ GRAPH_QUERIES = [
     "q_graph_triangles",
 ]
 
+#: URL-curation probes (documents-derived; canonical-URL/domain key
+#: cardinality SATURATES — 124 pages / 4 domains regardless of corpus
+#: size — so growth should be scan-dominated ~linear while group sizes
+#: multiply; the domain-caps window must stay O(cap) per task via
+#: WindowGroupLimit no matter how large a domain gets)
+URL_QUERIES = [
+    "q_dedup_url",
+    "q_domain_caps",
+]
+
+#: lineitem aggregate probes (round-5 cent-bucket percentile rewrite:
+#: the window leg runs over DISTINCT (flag, cent) rows, which saturate
+#: at the price domain, so 10x data should grow only the count
+#: aggregate — the curve separating it from the old buffer-everything
+#: percentile state whose memory grew with data)
+AGG_QUERIES = [
+    "q_agg_percentiles",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -74,8 +93,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--families",
-        default="docs,events,graph",
-        help="comma list of docs/events/graph to probe",
+        default="docs,events,graph,urls,agg",
+        help="comma list of docs/events/graph/urls/agg to probe",
     )
     args = ap.parse_args()
 
@@ -155,6 +174,8 @@ def main() -> None:
         (QUERIES if "docs" in fams else [])
         + (EVENT_QUERIES if "events" in fams else [])
         + (GRAPH_QUERIES if "graph" in fams else [])
+        + (URL_QUERIES if "urls" in fams else [])
+        + (AGG_QUERIES if "agg" in fams else [])
     )
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
     for name in names:
