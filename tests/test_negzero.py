@@ -124,3 +124,92 @@ def test_r4_failures_fixed_at_tiny_sf(spark, duck):
     for name in ("q_text_pmi", "q_embed_outliers"):
         spec = specs[name]
         assert_frames_match(spec.fn(spark, SF_TINY), duck.sql(spec.oracle), context=name)
+
+
+# ---- property fuzz: the transform is now load-bearing for all 191
+# oracles, so its paren/literal scanner gets a hypothesis workout ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_expr = st.recursive(
+    st.sampled_from(["x", "y + 1", "f(a, b)", "'lit with ) paren'", "1.5", "t.c"]),
+    lambda child: st.builds(
+        lambda inner, n: f"ROUND({inner}, {n})", child, st.integers(0, 6)
+    )
+    | st.builds(lambda inner: f"g({inner})", child)
+    | st.builds(lambda a, b: f"({a} / {b})", child, child),
+    max_leaves=8,
+)
+
+
+@given(st.lists(_expr, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_neutralize_fuzz_balanced_and_wrapped(exprs):
+    """For any nesting of ROUND / calls / string literals: the output
+    keeps balanced parens, every ROUND's close paren is followed by the
+    ` + 0.0)` wrap, and non-ROUND text survives verbatim (checked by
+    stripping the wrap back out)."""
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    out = neutralize_negative_zero(sql)
+
+    def depth_ok(s: str) -> bool:
+        d, i, n = 0, 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+                if d < 0:
+                    return False
+            i += 1
+        return d == 0
+
+    assert depth_ok(out), out
+
+    # invertibility: stripping every "(ROUND(...) + 0.0)" wrap layer
+    # recovers the input verbatim — i.e. the transform added the wraps
+    # and nothing else. A "(ROUND(" occurrence is only a wrap if its
+    # ROUND call's close paren is followed by " + 0.0)"; original SQL
+    # can legitimately contain the pattern too (ROUND(ROUND(..)),
+    # g(ROUND(..))), so non-wrap matches are skipped, not failed.
+    import re as _re
+
+    def close_of_call(s: str, open_idx: int) -> int:
+        d, i = 0, open_idx
+        while i < len(s):
+            c = s[i]
+            if c == "'":
+                i += 1
+                while i < len(s) and s[i] != "'":
+                    i += 1
+            elif c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+                if d == 0:
+                    return i
+            i += 1
+        raise AssertionError(f"unbalanced: {s!r}")
+
+    undone = out
+    while True:
+        unwrapped_one = False
+        for m in _re.finditer(r"\(ROUND\(", undone, _re.IGNORECASE):
+            i = close_of_call(undone, m.start() + 1 + len("ROUND"))
+            if undone[i + 1 : i + 8] == " + 0.0)":
+                undone = (
+                    undone[: m.start()]
+                    + undone[m.start() + 1 : i + 1]
+                    + undone[i + 8 :]
+                )
+                unwrapped_one = True
+                break
+        if not unwrapped_one:
+            break
+    assert undone == sql, (sql, out, undone)
