@@ -73,9 +73,11 @@ def neutralize_negative_zero(sql: str) -> str:
                 if depth == 0:
                     break
             i += 1
-        call = sql[m.start() : i + 1]
-        # recurse so nested ROUNDs inside the call get wrapped too
-        inner = call[: len("ROUND(")] + neutralize_negative_zero(call[len("ROUND(") : -1]) + ")"
+        # recurse so nested ROUNDs inside the call get wrapped too;
+        # split at the matched open paren (m.end()-1), not a fixed
+        # "ROUND(" offset — the regex also matches "ROUND (" with space
+        head = sql[m.start() : m.end()]  # "ROUND(" incl. any whitespace
+        inner = head + neutralize_negative_zero(sql[m.end() : i]) + ")"
         out.append("(" + inner + " + 0.0)")
         pos = i + 1
 

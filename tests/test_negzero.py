@@ -74,6 +74,8 @@ def test_neutralized_sql_kills_negative_zero():
         ),
         # word boundary: AROUND is not ROUND
         ("SELECT AROUND(x) FROM t", "SELECT AROUND(x) FROM t"),
+        # whitespace between ROUND and its paren
+        ("SELECT ROUND (x, 2) AS a", "SELECT (ROUND (x, 2) + 0.0) AS a"),
         # NULL passthrough is preserved by + 0.0 (semantic no-op)
         ("SELECT ROUND(NULL::DOUBLE, 2) AS r", "SELECT (ROUND(NULL::DOUBLE, 2) + 0.0) AS r"),
     ],
