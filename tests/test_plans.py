@@ -351,3 +351,12 @@ def test_domain_caps_pushes_window_group_limit(spark):
     p = plan_of(build(spark, "q_domain_caps"), mode="simple")
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+def test_agg_percentiles_has_no_buffered_percentile_state(spark):
+    """q_agg_percentiles (round-5 rewrite): exact quantiles must come
+    from the cent-bucket decomposition — no `percentile` aggregate
+    whose per-group state buffers every value (the r4 scale-killer).
+    The only window runs over domain-bounded per-bucket count rows."""
+    p = plan_of(build(spark, "q_agg_percentiles"), mode="formatted")
+    assert "percentile(" not in p.lower()
+    assert "Window" in p  # the cum/n running-sum over bucket counts
