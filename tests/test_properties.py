@@ -131,3 +131,57 @@ def test_incremental_lineage_stays_bounded(spark):
     assert rows["b"] == (52, 52.0)
     assert rows["a"] == (52, round(sum(float(i) for i in range(52)), 2))
     agg.publisher.drop()
+
+
+@PROP
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # group key
+            st.integers(min_value=0, max_value=500_000), # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bucket_quantiles_match_numpy(spark, data):
+    """The round-5 cent-bucket percentile decomposition must agree with
+    numpy's linear interpolation on arbitrary integer-cent data — an
+    oracle INDEPENDENT of DuckDB (method='linear' is the same
+    v_lo + frac*(v_hi - v_lo) definition as quantile_cont)."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(g, float(c)) for g, c in data], "g long, cents double"
+    )
+    counts = df.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.partitionBy("g").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    b = counts.select(
+        "g",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("n"),
+    )
+
+    def quantile(p):
+        h = (F.col("n") - 1) * F.lit(p)
+        k_lo = F.floor(h) + 1
+        k_hi = F.least(k_lo + 1, F.col("n"))
+        v_lo = F.min(F.when(F.col("cum") >= k_lo, F.col("cents")))
+        v_hi = F.min(F.when(F.col("cum") >= k_hi, F.col("cents")))
+        return v_lo + F.min(h - F.floor(h)) * (v_hi - v_lo)
+
+    got = {
+        r["g"]: (r["q25"], r["q50"], r["q75"])
+        for r in b.groupBy("g")
+        .agg(quantile(0.25).alias("q25"), quantile(0.50).alias("q50"), quantile(0.75).alias("q75"))
+        .collect()
+    }
+    by_g: dict = {}
+    for g, c in data:
+        by_g.setdefault(g, []).append(float(c))
+    for g, vals in by_g.items():
+        want = tuple(float(np.percentile(vals, q, method="linear")) for q in (25, 50, 75))
+        assert got[g] == want, (g, got[g], want)

@@ -78,3 +78,33 @@ def test_domain_caps_respects_cap(spark):
         assert r["n_kept"] <= r["n_docs"]
         assert r["kept_chars"] >= r["n_kept"] * 0  # non-negative volume
         assert r["admit_threshold"] is not None
+
+
+def test_canonicalizer_matches_urllib_reference(spark):
+    """Cross-check the Spark canonicalizer against an independent pure-
+    Python reference built on urllib.parse over every raw URL the
+    synthetic generator produces at sf0.001 — a third opinion besides
+    the DuckDB oracle."""
+    from urllib.parse import urlsplit
+
+    from presto_cached_examples_spark.llm.urls import _gen_urls
+    from tests.conftest import SF_TINY
+
+    def py_canon(u: str) -> str:
+        parts = urlsplit(u)
+        host = parts.netloc.lower()
+        host = host[4:] if host.startswith("www.") else host
+        path = parts.path
+        if path.endswith("/") and path != "/":
+            path = path[:-1]
+        params = sorted(p for p in parts.query.split("&") if p and not p.startswith("utm_"))
+        return "https://" + host + path + ("?" + "&".join(params) if params else "")
+
+    g = _gen_urls(spark, SF_TINY)
+    from pyspark.sql import functions as F2
+    from presto_cached_examples_spark.llm.urls import _canonical
+
+    rows = g.select("raw_url", _canonical(F2.col("raw_url")).alias("c")).collect()
+    assert rows
+    for r in rows:
+        assert r["c"] == py_canon(r["raw_url"]), (r["raw_url"], r["c"], py_canon(r["raw_url"]))
