@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.registry import register
-from presto_cached_examples_spark.sources.catalog import load_table
+from presto_cached_examples_spark.sources.catalog import load_table, source_fingerprint
 
 
 @register(
@@ -186,7 +186,11 @@ def _evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import re
 
+    # tag carries the SOURCE parquet's fingerprint: the snapshots gate
+    # on on-disk existence, so a fixture regeneration must land them in
+    # a fresh directory (see catalog.source_fingerprint)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{tag}_{source_fingerprint(sf_dir, 'orders')}"
     wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
     root = os.path.join(wh, f"evolved_orders_{tag}")
     p1, p2 = os.path.join(root, "snap1"), os.path.join(root, "snap2")
@@ -250,7 +254,11 @@ def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     import re
     import shutil
 
+    # tag carries the documents parquet's fingerprint — the _SUCCESS
+    # gate survives fixture regenerations, the fingerprinted path
+    # doesn't (see catalog.source_fingerprint)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{tag}_{source_fingerprint(sf_dir, 'documents')}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = re.sub(r"^file:/*", "/", wh)
     path = os.path.join(wh, f"{fmt}_documents_{tag}")

@@ -133,6 +133,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def source_fingerprint(sf_dir: str, name: str) -> str:
+    """Short content fingerprint (mtime+size) of a fixture parquet, for
+    derived-artifact directory names. Write-once helpers that gate on an
+    on-disk ``_SUCCESS`` marker (landed-format copies, evolved
+    snapshots) would silently serve STALE data after a fixture
+    regeneration — the round-3 NANOS→MICROS lesson — because the marker
+    survives in the persistent warehouse while the source changes
+    underneath it. Folding the source's stat into the directory name
+    makes a regenerated fixture land in a fresh directory instead."""
+    import os
+
+    st = os.stat(table_path(sf_dir, name))
+    return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
 #: Analyzed-relation cache — one schema-resolved DataFrame per (session,
 #: parquet path), the engine analog of a metastore's table-descriptor
 #: cache. Without it every query BUILD re-reads parquet footers on the
