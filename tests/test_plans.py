@@ -360,3 +360,25 @@ def test_agg_percentiles_has_no_buffered_percentile_state(spark):
     p = plan_of(build(spark, "q_agg_percentiles"), mode="formatted")
     assert "percentile(" not in p.lower()
     assert "Window" in p  # the cum/n running-sum over bucket counts
+
+def test_scan_orc_pushes_filter_and_prunes_columns(spark):
+    """q_scan_orc: the n_chars predicate must reach the ORC reader
+    (stripe-stat pruning) and only the referenced columns may be read —
+    the property that makes ORC the one landing format that behaves
+    like parquet at 100 TB (its docstring's claim, pinned here)."""
+    p = plan_of(build(spark, "q_scan_orc"))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed, f"n_chars not pushed: {pushed!r}"
+    rs = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" not in rs, f"text column not pruned from ORC scan: {rs}"
+
+
+def test_scan_csv_json_prune_nothing_but_stay_jvm(spark):
+    """The CSV/JSON landing legs cannot push/prune (their docstrings'
+    point) but must still be pure JVM plans with a two-phase agg."""
+    for name in ("q_scan_csv", "q_scan_json"):
+        p = plan_of(build(spark, name), mode="simple")
+        assert "HashAggregate" in p
+        for node in PYTHON_EVAL_NODES:
+            assert node not in p, f"{name}: {node} leaked into the plan"
