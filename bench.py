@@ -78,6 +78,10 @@ HEADLINE_V2 = [
     # round-5 additions (URL/domain curation family)
     "q_dedup_url",
     "q_domain_caps",
+    # round-6 additions (q_sim_topk_kmeans above trains the shared
+    # codebook; the sweep reuses it from _CODEBOOK_CACHE)
+    "q_ann_recall_sweep",
+    "q_dedup_incremental_bloom",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for
@@ -153,23 +157,34 @@ def main() -> None:
         return timings, spread
 
     # headline: best-of-3 (the cross-round comparability series — worth
-    # the extra pass); v2: best-of-2 (45 queries, trend line only)
+    # the extra pass); v2: best-of-2 (47 queries, trend line only; the
+    # spread column makes box-noise regressions self-diagnosing —
+    # VERDICT r5 saw two false alarms from spread-less v2 timings)
     timings, spread = run_set([n for n in HEADLINE if n in qs], runs=3)
-    timings_v2, _ = run_set([n for n in HEADLINE_V2 if n in qs], runs=2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "headline_v2_total_sec": round(sum(timings_v2.values()), 3),
-                "queries_v2": timings_v2,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    timings_v2, spread_v2 = run_set([n for n in HEADLINE_V2 if n in qs], runs=2)
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spread,
+        "headline_v2_total_sec": round(sum(timings_v2.values()), 3),
+        "queries_v2": timings_v2,
+        "queries_v2_spread": spread_v2,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Truncation-proof record (VERDICT r5 item 7: BENCH_r05.json lost
+    # its headline value to tail-truncated stdout capture): the full
+    # payload also lands as a file next to this script, committed with
+    # the round, BEFORE stdout printing can be clipped.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout — stdout line still carries everything
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -858,3 +858,99 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("rn") == 1).alias("is_canonical"),
     )
+
+
+# Bloom membership test for the standing corpus (VERDICT r5 item 9):
+# size m at ~16 bits per standing-corpus key.
+_FP_BLOOM_BITS = 65536
+_FP_BLOOM_K = 3
+
+
+@register(
+    "q_dedup_incremental_bloom",
+    category="llm-dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT n.doc_id, n.source, n.fp
+    FROM fp n
+    WHERE n.doc_id % {_SNAP_MOD} >= {_SNAP_NEW}
+      AND NOT EXISTS (
+        SELECT 1 FROM fp o
+        WHERE o.doc_id % {_SNAP_MOD} < {_SNAP_NEW} AND o.fp = n.fp
+      )
+    """,
+)
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_incremental's membership test at 100 TB scale: the
+    standing corpus's vocabulary fingerprints fold into a Bloom filter
+    (one broadcast row of OR-ed 64-bit words, {_FP_BLOOM_K} xxhash64
+    probes), and the new batch tests it MAP-SIDE. Bloom-negative docs
+    are definitely novel — they are emitted without ever touching a
+    join; only bloom-positive docs (true re-crawls + the ~p false
+    positives) reach the exact anti-join that removes false positives.
+    Result is bit-identical to the plain anti-join — Bloom filters have
+    no false negatives — so the oracle is q_dedup_incremental's SQL and
+    a hash match certifies the pruning dropped nothing.
+
+    Scale: this is the standing-corpus shape the plain anti-join can't
+    reach — at 10^10 corpus docs the fingerprint index is re-shuffled
+    by every batch's anti-join, while the Bloom build is one pass that
+    produces a fixed-size bit array (~15 bits/key; shard it by fp
+    prefix into per-bucket blocked filters once it outgrows a single
+    broadcast) and the batch-side probe is pure map work. The exact
+    anti-join still runs, but over the bloom-positive slice only —
+    |re-crawls| + p·|batch| rows instead of |batch| — so the shuffle
+    shrinks by the novelty rate, which for a healthy crawl is most of
+    the batch. Same fp discipline as q_dedup_incremental (md5 of the
+    sorted distinct-token vocabulary, engine-neutral).
+
+    Reference provenance: C1 tiered access (/root/reference/src/
+    PicoPlusPsram.cpp:14-29, README.md:3-6 — consult small/fast summary
+    state before touching the big/slow tier; the Bloom word map is the
+    2,880-byte RAM cache of this membership test)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    docs = d.select("doc_id", "source", fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % _SNAP_MOD >= _SNAP_NEW)
+    old = docs.filter(F.col("doc_id") % _SNAP_MOD < _SNAP_NEW)
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_FP_BLOOM_BITS))
+            for i in range(_FP_BLOOM_K)
+        ]
+
+    # build: per-word OR-mask aggregate -> ONE row holding the word map
+    bits = old.select(F.explode(F.array(*positions(F.col("fp")))).alias("pos")).select(
+        F.expr("pos DIV 64").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+    )
+    bloom = (
+        bits.groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom"))
+    )
+
+    probed = new.join(F.broadcast(bloom)).withColumns(
+        {f"pos{i}": p for i, p in enumerate(positions(F.col("fp")))}
+    )
+    maybe_seen = F.lit(True)
+    for i in range(_FP_BLOOM_K):
+        maybe_seen = maybe_seen & F.expr(
+            f"(coalesce(element_at(bloom, pos{i} DIV 64), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 64 AS INT))) != 0"
+        )
+    aux = ["bloom", *[f"pos{i}" for i in range(_FP_BLOOM_K)]]
+    novel_fast = probed.filter(~maybe_seen).drop(*aux)  # no join needed
+    verified = (
+        probed.filter(maybe_seen)
+        .drop(*aux)
+        .join(old.select("fp"), "fp", "left_anti")  # false positives only
+    )
+    cols = ["doc_id", "source", "fp"]
+    return novel_fast.select(*cols).unionAll(verified.select(*cols))

@@ -231,14 +231,15 @@ def q_decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the train-side probe hashes each gram instead of materializing
     it for the exchange.
 
-    A 64-bit collision would join a non-matching pair; over the ~1e6
-    distinct grams of the fixtures P(any collision) < 1e-7, and the
-    draw is deterministic — the oracle (string-joined ground truth)
-    passing at every SF certifies the hash join is collision-free on
-    these inputs. At petabyte gram counts, widen to two seeded hashes.
+    The join ROUTES on the hash and RE-VERIFIES on the gram string —
+    the same discipline as q_contamination_report below: the 8-byte
+    key does the hashing/probing work, the string only survives an
+    equality check on rows the hash already matched, so a 64-bit
+    collision costs one discarded row instead of a wrong pair. No
+    birthday-bound asterisk at any corpus size.
 
     Scale: identical to q_decontam — eval side broadcast, train scan
-    never shuffles — with ~4× less broadcast traffic per executor."""
+    never shuffles — with the hash as the probe key per executor."""
     # spread(): shingling + hashing is CPU-bound per row; under-split
     # fixture scans serialize it on one core (3.6 s -> ~0.6 s at sf0.1).
     # No-op at production split counts.
@@ -253,16 +254,18 @@ def q_decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select("doc_id", grams.alias("grams"))
     ev = (
         docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .select(F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g"))
-        .select("eval_id", F.xxhash64("g").alias("gh"))
+        .select(F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g_ev"))
+        .select("eval_id", "g_ev", F.xxhash64("g_ev").alias("gh"))
     )
     tr = (
         docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .select(F.col("doc_id").alias("train_id"), F.explode("grams").alias("g"))
-        .select("train_id", F.xxhash64("g").alias("gh"))
+        .select("train_id", "g", F.xxhash64("g").alias("gh"))
     )
     return (
         tr.join(F.broadcast(ev), "gh")
+        # hash routed the candidates; the string check settles them
+        .filter(F.col("g") == F.col("g_ev"))
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

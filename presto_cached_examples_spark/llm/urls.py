@@ -61,7 +61,10 @@ def _gen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_GEN_SQL`` (pure integer/string map-side work)."""
     d = load_table(spark, sf_dir, "documents")
     s = lambda c: c.cast("string")  # noqa: E731
-    page = (F.col("doc_id") / 4).cast("long") % 31
+    # `div` = exact integer division, matching DuckDB's integer `//`;
+    # the previous double-divide-then-truncate diverges for
+    # doc_id >= 2^53 (double precision) and negative ids (ADVICE r5).
+    page = F.expr("doc_id div 4") % 31
     raw = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
         F.lit("://"),

@@ -175,6 +175,26 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reap_stale_siblings(wh: str, prefix: str, keep: str) -> None:
+    """Remove warehouse directories sharing ``prefix`` other than
+    ``keep``. Fingerprinted artifact dirs (evolved_orders_*,
+    {fmt}_documents_*) gate staleness by putting the source fingerprint
+    in the NAME, so every fixture regeneration (or mtime touch) creates
+    a fresh directory — without this reaper the superseded siblings
+    would accumulate in the persistent warehouse forever (ADVICE r5)."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(wh)
+    except FileNotFoundError:
+        return
+    keep_name = os.path.basename(keep.rstrip("/"))
+    for e in entries:
+        if e.startswith(prefix) and e != keep_name:
+            shutil.rmtree(os.path.join(wh, e), ignore_errors=True)
+
+
 _EVOLVE_CUTOFF = "1998-01-01"  # snapshot 2 starts here and adds a column
 
 
@@ -189,12 +209,13 @@ def _evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # tag carries the SOURCE parquet's fingerprint: the snapshots gate
     # on on-disk existence, so a fixture regeneration must land them in
     # a fresh directory (see catalog.source_fingerprint)
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    tag = f"{tag}_{source_fingerprint(sf_dir, 'orders')}"
+    sftag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{sftag}_{source_fingerprint(sf_dir, 'orders')}"
     wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
     root = os.path.join(wh, f"evolved_orders_{tag}")
     p1, p2 = os.path.join(root, "snap1"), os.path.join(root, "snap2")
     if not (os.path.exists(p1) and os.path.exists(p2)):
+        _reap_stale_siblings(wh, f"evolved_orders_{sftag}_", root)
         o = load_table(spark, sf_dir, "orders")
         old = o.filter(F.col("o_orderdate") < F.lit(_EVOLVE_CUTOFF).cast("timestamp"))
         new = o.filter(F.col("o_orderdate") >= F.lit(_EVOLVE_CUTOFF).cast("timestamp"))
@@ -257,8 +278,8 @@ def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # tag carries the documents parquet's fingerprint — the _SUCCESS
     # gate survives fixture regenerations, the fingerprinted path
     # doesn't (see catalog.source_fingerprint)
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    tag = f"{tag}_{source_fingerprint(sf_dir, 'documents')}"
+    sftag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{sftag}_{source_fingerprint(sf_dir, 'documents')}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = re.sub(r"^file:/*", "/", wh)
     path = os.path.join(wh, f"{fmt}_documents_{tag}")
@@ -266,6 +287,7 @@ def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     key = (session_token(spark), path)
     if key not in _LANDED_DOCS_WRITTEN:
         if not os.path.exists(done):
+            _reap_stale_siblings(wh, f"{fmt}_documents_{sftag}_", path)
             shutil.rmtree(path, ignore_errors=True)
             w = load_table(spark, sf_dir, "documents").write.mode("overwrite")
             if fmt == "csv":

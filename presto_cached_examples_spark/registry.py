@@ -25,6 +25,66 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _ROUND_RE = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
 
 
+def _search_outside_literals(sql: str, pos: int) -> "re.Match[str] | None":
+    """Find the next ``ROUND(`` that is NOT inside a ``'...'`` string
+    literal or a ``--`` line comment. The paren-matching pass below
+    already skips literals; without the same discipline HERE, an oracle
+    containing ``ROUND(`` inside a quoted literal or comment would be
+    rewritten into corrupted SQL (ADVICE r5 item 1)."""
+    i = pos
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' escapes itself)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":  # line comment
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl + 1
+        else:
+            m = _ROUND_RE.match(sql, i)
+            if m:
+                return m
+            i += 1
+    return None
+
+
+def _paren_balance(sql: str) -> int:
+    """Net paren balance counting only parens outside string literals
+    and line comments — the transform's loud-failure invariant."""
+    bal = 0
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl
+            continue
+        elif c == "(":
+            bal += 1
+        elif c == ")":
+            bal -= 1
+        i += 1
+    return bal
+
+
 def neutralize_negative_zero(sql: str) -> str:
     """Rewrite every ``ROUND(...)`` in an oracle to ``(ROUND(...) + 0.0)``.
 
@@ -46,7 +106,7 @@ def neutralize_negative_zero(sql: str) -> str:
     out: list[str] = []
     pos = 0
     while True:
-        m = _ROUND_RE.search(sql, pos)
+        m = _search_outside_literals(sql, pos)
         if not m:
             out.append(sql[pos:])
             return "".join(out)
@@ -119,99 +179,26 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 5): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. The
-# driver has cumulatively confirmed 163 of the r4 surface (CORRECTNESS_r01
-# -r04; the only two reds ever — q_text_pmi / q_embed_outliers — were the
-# -0.0 ROUND divergence, fixed this round by `neutralize_negative_zero`).
-# This round's front, in priority order:
-# (a) the 24-query r4 overflow queue (_VERIFY_NEXT last round) — locally
-#     hash-verified every run, never driver-run,
-# (b) the 2 queries new in round 5 (URL/domain curation family),
-# (c) the 2 r4 hash-fails, re-fronted to prove the -0.0 fix at the
-#     driver's own hasher,
-# (d) q_agg_percentiles — rewritten this round from the buffer-everything
-#     exact `percentile` aggregate to the cent-bucket decomposition
-#     (same oracle),
-# (e) 21 of the 42 stalest r1 greens, oldest first: their last driver
-#     rows predate both the r3 fixture regeneration and the r4
-#     _TABLE_CACHE/spread() changes to the shared read path
-#     (sources/catalog.py), so the code under their green rows has
-#     shifted; q_agg_stats/q_agg_bitwise also still sit on pre-MICROS
-#     events rows. 24+2+2+1+21 = 50 exactly.
-# Still outside the window: the remaining 21 r1 greens + r2/r3 greens
-# (queued in _VERIFY_NEXT for round 6), all locally re-verified every
-# round by tests/test_oracle_parity.py and tools/check_oracles.py —
-# which since round 5 hashes raw float repr (driver-strength).
+# Verification rotation (round 6): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. Rounds
+# 1-5 cumulatively confirmed every registered query green (r5 front came
+# back 50/50 — the -0.0 ROUND divergence fixed by
+# `neutralize_negative_zero` was the only red class ever). This round
+# executes VERDICT r5 item 1: retire the stale evidence. The front, in
+# priority order:
+# (a) the 22 remaining r1 greens — their last driver rows predate both
+#     the r3 fixture regeneration and the r4 _TABLE_CACHE/spread()
+#     changes to the shared read path (sources/catalog.py),
+# (b) the 2 queries whose oracle SQL was regenerated by the r4
+#     _lloyd_sql refactor (results hash-equivalent, but the driver never
+#     hashed the regenerated text),
+# (c) 26 r2 greens, oldest first. 22+2+26 = 50 exactly.
+# Still outside the window: 1 r2 green (q_window_range_scalable) + the
+# r3 greens, queued in _VERIFY_NEXT for round 7 — all locally
+# re-verified every round by tests/test_oracle_parity.py and
+# tools/check_oracles.py, which hash raw float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # (a) r4 overflow queue — first driver rows
-    "q_path_trigrams",
-    "q_pareto_half",
-    "q_regression_zipf",
-    "q_embed_sq8",
-    "q_sample_weighted",
-    "q_scan_csv",
-    "q_scan_orc",
-    "q_contamination_report",
-    "q_mix_temperature",
-    "q_stream_interval_left",
-    "q_join_dpp",
-    "q_cdc_scd2",
-    "q_cohort_ltv",
-    "q_dedup_containment",
-    "q_layout_zorder",
-    "q_ann_pipeline",
-    "q_split_assign",
-    "q_regression_elasticity",
-    "q_dedup_cluster_resolve",
-    "q_concurrency_peak",
-    "q_bootstrap_ci",
-    "q_funnel_windowed",
-    "q_text_bigram_lm",
-    "q_label_join",
-    # (b) new in round 5
-    "q_dedup_url",
-    "q_domain_caps",
-    # (c) the r4 -0.0 hash-fails, fixed (neutralize_negative_zero)
-    "q_text_pmi",
-    "q_embed_outliers",
-    # (d) rewritten this round (cent-bucket exact percentiles)
-    "q_agg_percentiles",
-    # (e) stalest r1 greens, oldest first (shared read path changed
-    # under their green rows; q_agg_stats/q_agg_bitwise also pre-MICROS)
-    "q_scan_project",
-    "q_filter_basic",
-    "q_filter_like_null",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_agg_pricing",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_bitwise",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_window_rank",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 6: every query not in the r5 front whose
-# driver row is stale (r1/r2 vintage) or whose oracle SQL was
-# regenerated by a refactor, oldest evidence first. All are locally
-# hash-verified every run (tests/test_oracle_parity.py +
-# tools/check_oracles.py at driver strength).
-_VERIFY_NEXT: tuple[str, ...] = (
-    # remaining r1 greens (stale since the r3 fixture regen + r4 shared
-    # read-path changes)
+    # (a) remaining r1 greens, oldest first
     "q_window_frame",
     "q_window_running",
     "q_topk_group",
@@ -234,11 +221,10 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_top_unshipped",
     "q_returned_revenue",
     "q_filtered_revenue",
-    # oracle SQL regenerated by the r4 _lloyd_sql refactor (results
-    # hash-equivalent, but the driver never saw the regenerated text)
+    # (b) oracle SQL regenerated by the r4 _lloyd_sql refactor
     "q_sim_topk_kmeans",
     "q_dedup_embed",
-    # r2 greens, oldest first
+    # (c) r2 greens, oldest first
     "q_promo_share",
     "q_agg_stringagg",
     "q_window_lead",
@@ -261,6 +247,67 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_text_langstats",
     "q_text_quality",
     "q_text_langid",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_text_vocab",
+    "q_window_dist_scalable",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 7: the last r2-vintage row, any queries new
+# in round 6 (never driver-run), then r3 greens oldest-first. All are
+# locally hash-verified every run (tests/test_oracle_parity.py +
+# tools/check_oracles.py at driver strength).
+_VERIFY_NEXT: tuple[str, ...] = (
+    # last r2 green (its scalable twin is in the r6 front)
+    "q_window_range_scalable",
+    # new in round 6 — first driver rows
+    "q_ann_recall_sweep",
+    "q_dedup_incremental_bloom",
+    # r3 greens, oldest first (registration order within the r3 batch)
+    "q_join_range",
+    "q_agg_approx",
+    "q_join_asof_tol",
+    "q_json_funcs",
+    "q_sessionize",
+    "q_agg_percentiles_approx",
+    "q_fuzzy_match",
+    "q_volume_shipping",
+    "q_mkt_share",
+    "q_cust_order_dist",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    "q_disjunctive_revenue",
+    "q_sole_return_supplier",
+    "q_global_sales_opp",
+    "q_events_funnel",
+    "q_retention_cohort",
+    "q_events_rollup",
+    "q_sample_hash_topk",
+    "q_text_tfidf",
+    "q_text_repetition",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_mm_meta",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_decontam",
+    "q_decontam_hashed",
+    "q_text_normalize",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup_late",
+    "q_stream_enrich",
+    "udtf_explode_props",
 )
 
 
@@ -270,10 +317,23 @@ def register(name: str, oracle: str | None = None, category: str = "") -> Callab
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        neutralized = None
+        if oracle is not None:
+            neutralized = neutralize_negative_zero(oracle)
+            # Loud-failure guard (ADVICE r5 item 1): the transform only
+            # adds balanced "( ... + 0.0)" wrappers, so the net paren
+            # balance outside literals/comments must be unchanged. A
+            # mis-parse (e.g. a pathological literal) corrupts SQL here,
+            # at registration, not at oracle-run time.
+            if _paren_balance(neutralized) != _paren_balance(oracle):
+                raise ValueError(
+                    f"neutralize_negative_zero corrupted oracle for {name!r}: "
+                    "paren balance changed"
+                )
         _REGISTRY[name] = QuerySpec(
             name=name,
             fn=fn,
-            oracle=neutralize_negative_zero(oracle) if oracle is not None else None,
+            oracle=neutralized,
             category=category,
             doc=(fn.__doc__ or "").strip(),
         )

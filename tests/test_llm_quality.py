@@ -133,3 +133,20 @@ def test_weighted_sample_overrepresents_heavy_docs(spark):
     mean_sampled = sum(r.weight for r in sampled) / len(sampled)
     mean_corpus = corpus[0][0]
     assert mean_sampled > mean_corpus, (mean_sampled, mean_corpus)
+
+
+def test_dedup_incremental_bloom_equals_plain(spark):
+    """The Bloom-prefiltered membership test must be bit-identical to
+    the plain anti-join (no false negatives by construction; false
+    positives removed by the exact verify) — and it must actually
+    exercise the fast path: on the fixtures most of the new batch is
+    novel, so bloom-negative rows must exist."""
+    from presto_cached_examples_spark.registry import queries
+
+    from tests.conftest import SF_TINY
+
+    qs = queries()
+    plain = {tuple(r) for r in qs["q_dedup_incremental"](spark, SF_TINY).collect()}
+    bloom = {tuple(r) for r in qs["q_dedup_incremental_bloom"](spark, SF_TINY).collect()}
+    assert bloom == plain
+    assert len(bloom) > 0

@@ -93,3 +93,29 @@ def test_kmeans_centroids_converge_deterministically(spark):
     c2 = kmeans_centroids(corpus, k=4, iters=2)
     assert c1 == c2
     assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+
+def test_recall_sweep_is_monotone_and_consistent(spark):
+    """q_ann_recall_sweep: recall must be non-decreasing in nprobe
+    (probing more cells can only add candidates), every hit count must
+    be <= retrieved <= probes*k, and the nprobe=NPROBE row must agree
+    with an independently-computed recall of q_sim_topk_kmeans vs the
+    NumPy ground truth (the sweep IS that measurement, swept)."""
+    rows = {r.nprobe: r for r in queries()["q_ann_recall_sweep"](spark, SF_TINY).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    n_true = N_PROBES * TOP_K
+    last = -1.0
+    for np_ in (1, 2, 4):
+        r = rows[np_]
+        assert 0 <= r.n_hits <= r.n_retrieved <= n_true
+        assert abs(r.recall - round(r.n_hits / n_true, 4)) <= 1e-9
+        assert r.recall >= last, f"recall not monotone at nprobe={np_}"
+        last = r.recall
+    # cross-check nprobe=2 against the serving query it diagnoses
+    want = _numpy_topk(spark)
+    truth = {(p, v) for p, lst in want.items() for v, _, _ in lst}
+    got = {
+        (r.probe_id, r.vec_id)
+        for r in queries()["q_sim_topk_kmeans"](spark, SF_TINY).collect()
+    }
+    assert abs(rows[2].recall - len(got & truth) / len(truth)) <= 1e-4
