@@ -1141,21 +1141,34 @@ def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue". Per-decile headcount and min/max/avg spend.
 
     Scale: orders reduce to one cent-exact row per customer first
-    (two-phase hash aggregate), so the NTILE window ranks customers,
-    not orders. The unpartitioned window is the real cost at 100 TB —
+    (two-phase hash aggregate), so NTILE ranks customers, not orders.
     NTILE needs a global total ordering — which is exactly what this
-    query is FOR; the (spend DESC, custkey) tie-break makes bucket
-    boundaries deterministic on both engines. The final aggregate
-    collapses to 10 rows, cent-summed before dividing so avg_spend
-    can't drift."""
+    query is FOR — but since round 6 the ordering is the
+    range-partitioned decomposition (distwindows.global_rank: quantile
+    split points → bucket-partitioned row_number + <=64-row prefix
+    offsets), not a single-task unpartitioned window; the decile then
+    falls out of exact (rank, n) arithmetic (ntile_from_rank). The
+    (spend DESC, custkey) tie-break makes bucket boundaries
+    deterministic on both engines; same oracle, same rows, scalable
+    plan. The final aggregate collapses to 10 rows, cent-summed before
+    dividing so avg_spend can't drift."""
+    from presto_cached_examples_spark.operators.distwindows import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         (
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
         ).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
-    tiled = spend.select("o_custkey", "spend", F.ntile(10).over(w).alias("decile"))
+    ranked = global_rank(spend, "spend", "o_custkey", descending=True)
+    tiled = ranked.select(
+        "o_custkey",
+        "spend",
+        ntile_from_rank(F.col("rank"), F.col("n"), 10).alias("decile"),
+    )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("spend"), 2).alias("min_spend"),

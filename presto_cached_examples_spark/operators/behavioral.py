@@ -733,12 +733,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (R,F,M) cell — the classic CRM segmentation cube (<=125 cells).
 
     Scale: orders reduce to one row per customer first (two-phase hash
-    aggregate), so the three NTILE windows rank customers, not orders
-    — same argument as q_ntile_spend, and like it the global windows
-    are the query's purpose (range-partitioned sort at cluster scale).
-    Explicit custkey tie-breaks pin every quintile boundary; monetary
-    stays integer cents until the final ROUND."""
-    from pyspark.sql import Window
+    aggregate), so the three NTILE rankings rank customers, not orders.
+    Since round 6 each ranking runs through the range-partitioned
+    decomposition (distwindows.global_rank — quantile split points,
+    bucket-partitioned row_number, <=64-row prefix offsets) instead of
+    a single-task unpartitioned window; the quintile falls out of
+    exact (rank, n) arithmetic. Three chained rankings = three
+    bucket-keyed shuffles of the per-customer relation, no join
+    fan-out. Explicit custkey tie-breaks pin every quintile boundary;
+    monetary stays integer cents until the final ROUND."""
+    from presto_cached_examples_spark.operators.distwindows import (
+        global_rank,
+        ntile_from_rank,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -749,18 +756,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         (F.sum(cents) / 100.0).alias("monetary"),
     )
-    scored = rfm.select(
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-        .alias("m_score"),
-    )
+    scored = rfm
+    for col, desc, out in (
+        ("recency_days", False, "r_score"),
+        ("frequency", True, "f_score"),
+        ("monetary", True, "m_score"),
+    ):
+        scored = global_rank(scored, col, "o_custkey", descending=desc, quantile_source=rfm)
+        scored = scored.withColumn(
+            out, ntile_from_rank(F.col("rank"), F.col("n"), 5)
+        ).drop("rank", "n")
+    scored = scored.select("monetary", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(

@@ -173,3 +173,90 @@ def q_window_range_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_hi") - F.col("c_lo")).alias("n_within_100"),
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    descending: bool = False,
+    out_rank: str = "rank",
+    out_n: str = "n",
+    n_buckets: int = 64,
+    rel_err: float = 0.001,
+    quantile_source: DataFrame | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank by (value_col [DESC], tiebreak_col ASC)
+    with NO data-proportional window partition — the explicit form of
+    the range-partitioned sort a distributed engine uses for global
+    ORDER BY, kept inside the DataFrame API so the rank is exact and
+    the plan auditable.
+
+    Mechanics: split points from approxQuantile (a deterministic
+    Greenwald-Khanna pass — the "sample" step of RangePartitioning,
+    adaptive to skew where fixed-width buckets are not) define value
+    ranges; every row's bucket is a pure expression over the broadcast
+    split array (ties share a bucket by construction, so ranks never
+    straddle a boundary); rank = prefix-summed count of earlier buckets
+    + row_number within the bucket. The only window over raw rows is
+    partitioned by bucket (~n/n_buckets rows); the offset prefix-sum
+    runs over <= n_buckets rows. Results are invariant to the split
+    points themselves — they shape the plan, never the answer — so the
+    SQL oracles of callers are untouched. `quantile_source` lets a
+    caller chaining several rankings point the split-point pass at the
+    shallow base relation instead of the growing chain (same rows,
+    same distribution, cheaper eager pass).
+
+    At 100 TB: split points come from the same sampled pass Spark's
+    own range exchange does; n_buckets scales with cluster
+    parallelism. The approxQuantile collect is split-point-sized
+    (ingest-time artifact, like the k-means codebooks)."""
+    for tmp in ("__grk_bucket", "__grk_rin", "__grk_cnt", "__grk_off"):
+        assert tmp not in df.columns, f"column {tmp} collides with global_rank internals"
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    src = df if quantile_source is None else quantile_source
+    splits = sorted(set(src.approxQuantile(value_col, qs, rel_err)))
+    if splits:
+        arr = F.array(*[F.lit(float(s)) for s in splits])
+        v = F.col(value_col).cast("double")
+        # bucket id increases along the RANK direction; ties (v == split)
+        # always fall on the same side, so equal values share a bucket
+        cond = (lambda s: v < s) if descending else (lambda s: v > s)
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, s: acc + F.when(cond(s), 1).otherwise(0)
+        )
+    else:
+        bucket = F.lit(0)  # degenerate: all values equal
+    order = [
+        F.col(value_col).desc() if descending else F.col(value_col).asc(),
+        F.col(tiebreak_col).asc(),
+    ]
+    b = df.withColumn("__grk_bucket", bucket)
+    w_in = Window.partitionBy("__grk_bucket").orderBy(*order)
+    rows = b.withColumn("__grk_rin", F.row_number().over(w_in))
+    counts = b.groupBy("__grk_bucket").agg(F.count(F.lit(1)).alias("__grk_cnt"))
+    w_off = Window.orderBy("__grk_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__grk_bucket",
+        F.coalesce(F.sum("__grk_cnt").over(w_off), F.lit(0)).alias("__grk_off"),
+        F.sum("__grk_cnt").over(Window.partitionBy()).alias(out_n),
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__grk_bucket")
+        .withColumn(out_rank, F.col("__grk_off") + F.col("__grk_rin"))
+        .drop("__grk_bucket", "__grk_rin", "__grk_off")
+    )
+
+
+def ntile_from_rank(rank, n, k: int):
+    """NTILE(k) as arithmetic on an exact (rank, n) pair — Spark/DuckDB
+    semantics: the first n%k tiles take one extra row. Requires n >= k
+    (the otherwise-branch divides by base = n//k)."""
+    base, rem = F.floor(n / k), n % k
+    big = rem * (base + 1)
+    return (
+        F.when(rank <= big, F.floor((rank + base) / (base + 1)))
+        .otherwise(rem + F.floor((rank - big + base - 1) / base))
+        .cast("int")
+    )

@@ -265,6 +265,10 @@ _VERIFY_NEXT: tuple[str, ...] = (
     # new in round 6 — first driver rows
     "q_ann_recall_sweep",
     "q_dedup_incremental_bloom",
+    # rewritten in round 6 (global_rank range-bucket decomposition) —
+    # r4 rows predate the new plans; same oracles, locally re-verified
+    "q_ntile_spend",
+    "q_rfm_segments",
     # r3 greens, oldest first (registration order within the r3 batch)
     "q_join_range",
     "q_agg_approx",

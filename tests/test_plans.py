@@ -382,3 +382,95 @@ def test_scan_csv_json_prune_nothing_but_stay_jvm(spark):
         assert "HashAggregate" in p
         for node in PYTHON_EVAL_NODES:
             assert node not in p, f"{name}: {node} leaked into the plan"
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window discipline (VERDICT r5 item 4)
+#
+# A WindowExec with no PARTITION BY serializes its input through ONE
+# task — the classic silent scale-killer. Every current unpartitioned
+# window sits on an already-aggregated, domain-bounded relation (a
+# calendar day spine, a |languages|-row mixture table, per-tier rows),
+# which is scale-safe BY CONSTRUCTION — but nothing used to pin that: a
+# future query with a global window over a data-proportional relation
+# would sail through silently. This audit fails on any unpartitioned
+# Window outside the explicit allow-list below.
+#
+# Allow-list rationale (each case is bounded by a fixed domain or a
+# fixed fan-out, never by data volume). The list is EXACT: the audit
+# also fails when an entry stops planning an unpartitioned window
+# (test_window_allowlist_entries_still_unpartitioned), so every line
+# here corresponds to a real node in a real plan.
+#
+# NOT on the list anymore: q_ntile_spend and q_rfm_segments ranked a
+# data-proportional per-customer relation through a single-task NTILE
+# window until round 6 — the audit's first catch. Both now use
+# distwindows.global_rank (range-bucket decomposition; their remaining
+# unpartitioned windows are the <=64-row prefix-offset relations).
+# ---------------------------------------------------------------------------
+
+WINDOW_UNPARTITIONED_ALLOWED: dict[str, str] = {
+    "q_window_frame": "day-spine relation (|days| rows)",
+    "q_resample_interp": "daily revenue spine (|days| rows)",
+    "q_mix_temperature": "per-language mixture table (|langs| rows)",
+    "q_mix_weights": "per-language mixture table (|langs| rows)",
+    "q_regression_zipf": "vocabulary-bounded unigram ranks (|vocab| rows)",
+    "q_concurrency_peak": "per-day boundary prefix (|days| rows)",
+    "q_anomaly_zscore": "trailing z-window over the day spine (|days| rows)",
+    "q_path_trigrams": "global share over |event_types|^3 trigram rows",
+    "q_text_unigram_lm": "corpus-total window over |vocab| rows",
+    "q_sample_weighted": (
+        "rank<=25 pushes a TakeOrderedAndProject(25) BELOW the window "
+        "(LimitPushDownThroughWindow) — the unpartitioned window sees "
+        "exactly k rows (asserted in test_sample_weighted_pushes_topk)"
+    ),
+    "q_ntile_spend": "global_rank prefix offsets (<= 64 bucket rows)",
+    "q_rfm_segments": "global_rank prefix offsets (<= 64 bucket rows, x3)",
+}
+
+
+def test_sample_weighted_pushes_topk(spark):
+    """q_sample_weighted's allow-list entry depends on the rank<=25
+    filter pushing a distributed top-k (TakeOrderedAndProject) below
+    the unpartitioned window, so the window input is k rows — pin it
+    so a filter refactor can't silently drop the bound."""
+    p = plan_of(build(spark, "q_sample_weighted"))
+    assert "TakeOrderedAndProject" in p
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count logical Window nodes with an empty partitionSpec in the
+    optimized plan (optimized, not physical: WindowGroupLimit rewrites
+    and exchange placement don't change the partitionSpec we audit)."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    bad = 0
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            bad += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_unpartitioned_windows_outside_allowlist(spark, name):
+    n = _unpartitioned_windows(build(spark, name))
+    if name in WINDOW_UNPARTITIONED_ALLOWED:
+        return  # bounded by construction — documented above
+    assert n == 0, (
+        f"{name}: {n} unpartitioned Window node(s) in the optimized plan — "
+        "either partition it or add it to WINDOW_UNPARTITIONED_ALLOWED "
+        "with a domain-boundedness justification"
+    )
+
+
+def test_window_allowlist_entries_still_unpartitioned(spark):
+    """Keep the allow-list honest: drop entries whose queries no longer
+    plan an unpartitioned window."""
+    stale = [
+        n for n in WINDOW_UNPARTITIONED_ALLOWED if _unpartitioned_windows(build(spark, n)) == 0
+    ]
+    assert not stale, f"allow-list entries no longer needed: {stale}"
