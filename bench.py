@@ -82,6 +82,8 @@ HEADLINE_V2 = [
     # codebook; the sweep reuses it from _CODEBOOK_CACHE)
     "q_ann_recall_sweep",
     "q_dedup_incremental_bloom",
+    "q_quality_dsir",
+    "q_dedup_span",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

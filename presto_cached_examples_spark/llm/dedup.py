@@ -954,3 +954,78 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["doc_id", "source", "fp"]
     return novel_fast.select(*cols).unionAll(verified.select(*cols))
+
+
+_SPAN_N = 5  # n-gram width for duplicated-span measurement
+
+
+@register(
+    "q_dedup_span",
+    category="llm-dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, GREATEST(LEN(toks) - {_SPAN_N - 1}, 1))) AS i
+      FROM d
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + {_SPAN_N - 1}], ' ') AS gram
+      FROM pos
+    ),
+    df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           ROUND(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_fraction
+    FROM g JOIN df ON df.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profiling (the corpus-health metric behind
+    substring-dedup decisions, à la Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its distinct {n}-grams that occur in at least one
+    OTHER document. High dup_fraction = boilerplate/template/recrawl
+    content that exact- and near-dedup keep and substring dedup would
+    cut; the distribution over docs tells you whether that pass is
+    worth running at all.
+
+    Scale: per-doc distinct grams collapse map-side (array_distinct
+    inside the row) before the explode; gram document-frequency is a
+    two-phase hash aggregate on the gram string (uniform key — no
+    Zipf skew because DISTINCT-per-doc caps any gram's count at
+    |docs|); the join back is gram-keyed and the final aggregate keys
+    on doc_id. Nothing all-pairs anywhere — cost is O(total distinct
+    grams), the same class as q_decontam."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_SPAN_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_N)),
+        )
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+q_dedup_span.__doc__ = q_dedup_span.__doc__.replace("{n}", str(_SPAN_N))

@@ -680,3 +680,106 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp_share, 4).alias("temp_share"),
         F.round(temp_share / F.col("raw_share"), 4).alias("upsample_factor"),
     )
+
+
+# DSIR-style importance weights: hashed-unigram feature buckets, +1
+# smoothing. B is the feature-hash width (production: 10k-100k buckets
+# over n-gram features; the mechanics are identical).
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q_quality_dsir",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+      FROM toks WHERE tok <> ''
+    ),
+    rawb AS (SELECT b, COUNT(*) AS raw_k FROM bt GROUP BY b),
+    tgtb AS (SELECT b, COUNT(*) AS tgt_k FROM bt
+             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM bt) AS raw_total,
+             (SELECT COUNT(*) FROM bt WHERE lang = '{_DSIR_TARGET_LANG}') AS tgt_total
+    ),
+    buckets AS (
+      SELECT r.b,
+             LN((COALESCE(t.tgt_k, 0) + 1.0) / (tot.tgt_total + {_DSIR_BUCKETS}.0))
+               - LN((r.raw_k + 1.0) / (tot.raw_total + {_DSIR_BUCKETS}.0)) AS lr
+      FROM rawb r LEFT JOIN tgtb t ON t.b = r.b CROSS JOIN tot
+    ),
+    doc_b AS (SELECT doc_id, b, COUNT(*) AS k FROM bt GROUP BY doc_id, b)
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           ROUND(SUM(d.k * u.lr) / SUM(d.k), 4) AS log_ratio
+    FROM doc_b d JOIN buckets u ON u.b = d.b
+    GROUP BY d.doc_id
+    """,
+)
+def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its mean per-token log importance ratio ln(p_target/p_raw) under
+    two hashed-unigram bucket distributions — target = the {lang}
+    slice (the stand-in for a high-quality domain sample), raw = the
+    whole corpus — with +1 smoothing over {B} buckets. Positive means
+    "looks like the target domain"; the downstream sampler keeps docs
+    proportional to exp(score). Feature hashing is md5-derived, so
+    DuckDB replays the bucket assignment bit-for-bit.
+
+    Scale: token explode is map-side; (doc, bucket) counts collapse via
+    two-phase hash aggregate BEFORE any join; the bucket distribution
+    table is {B} rows — a broadcast — and totals are 1-row scalar
+    broadcasts, so the per-doc scoring join never shuffles anything
+    data-proportional except the (doc, bucket) count relation itself,
+    keyed on the uniform doc_id. At 100 TB the bucket table grows to
+    the production hash width (10k-100k rows) and stays broadcast-
+    sized; the target distribution is fit once at ingest."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_BUCKETS
+    )
+    bt = toks.select("doc_id", "lang", bucket.alias("b"))
+    doc_b = bt.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
+    rawb = bt.groupBy("b").agg(F.count(F.lit(1)).alias("raw_k"))
+    tgtb = (
+        bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_k"))
+    )
+    tot = bt.agg(
+        F.count(F.lit(1)).alias("raw_total"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("tgt_total"),
+    )
+    lr = F.log(
+        (F.coalesce(F.col("tgt_k"), F.lit(0)) + 1.0)
+        / (F.col("tgt_total") + float(_DSIR_BUCKETS))
+    ) - F.log((F.col("raw_k") + 1.0) / (F.col("raw_total") + float(_DSIR_BUCKETS)))
+    buckets = (
+        rawb.join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", lr.alias("lr"))
+    )
+    return (
+        doc_b.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * F.col("lr")) / F.sum("k"), 4).alias("log_ratio"),
+        )
+    )
+
+
+q_quality_dsir.__doc__ = q_quality_dsir.__doc__.replace(
+    "{lang}", _DSIR_TARGET_LANG
+).replace("{B}", str(_DSIR_BUCKETS))

@@ -265,6 +265,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     # new in round 6 — first driver rows
     "q_ann_recall_sweep",
     "q_dedup_incremental_bloom",
+    "q_quality_dsir",
+    "q_dedup_span",
     # rewritten in round 6 (global_rank range-bucket decomposition) —
     # r4 rows predate the new plans; same oracles, locally re-verified
     "q_ntile_spend",

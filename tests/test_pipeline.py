@@ -134,3 +134,62 @@ def test_decontam_broadcasts_eval_side(spark):
         q_decontam(spark, SF_TINY).explain("simple")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_scores_target_slice_higher(spark):
+    """q_quality_dsir: the importance ratio must actually separate the
+    target domain — mean log_ratio over lang='en' docs (the target
+    slice) strictly above the mean over the rest, and every doc's
+    token count must match a direct recount."""
+    from pyspark.sql import functions as F
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from tests.conftest import SF_TINY
+
+    scored = queries()["q_quality_dsir"](spark, SF_TINY)
+    d = load_table(spark, SF_TINY, "documents").select("doc_id", "lang", "text")
+    j = scored.join(d, "doc_id")
+    means = {
+        r.is_tgt: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("is_tgt"))
+        .agg(F.avg("log_ratio").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], f"DSIR failed to separate: {means}"
+    recount = j.filter(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")) != F.col("n_tokens")
+    ).count()
+    assert recount == 0
+
+
+def test_dedup_span_matches_python_reference(spark):
+    """q_dedup_span: dup_fraction recomputed in plain Python over the
+    collected fixture (tiny at sf0.001) must match row for row."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from tests.conftest import SF_TINY
+
+    rows = load_table(spark, SF_TINY, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        n = max(len(toks) - 4, 1)
+        grams[r.doc_id] = {" ".join(toks[i : i + 5]) for i in range(n)}
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    want = {
+        did: (
+            len(gs),
+            sum(1 for g in gs if df[g] >= 2),
+            round(sum(1 for g in gs if df[g] >= 2) / len(gs), 4),
+        )
+        for did, gs in grams.items()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+        for r in queries()["q_dedup_span"](spark, SF_TINY).collect()
+    }
+    assert got == want
