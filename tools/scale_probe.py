@@ -39,6 +39,10 @@ QUERIES = [
     "q_quality_tiers",
     "q_text_repetition",
     "q_decontam_hashed",
+    # round-6 additions
+    "q_dedup_span",
+    "q_quality_dsir",
+    "q_dedup_incremental_bloom",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
@@ -86,6 +90,22 @@ AGG_QUERIES = [
     "q_agg_percentiles",
 ]
 
+#: embeddings-family probes (10x vectors with fresh vec_ids; the probe
+#: set stays the fixed vec_id < 10 originals, so these measure SERVING
+#: cost against a growing corpus: the IVF join prunes by cell, ADC by
+#: code tables, embed-dedup by cell blocking. Copies are identical
+#: vectors, so q_dedup_embed's true-pair OUTPUT grows ~mult^2 per cell
+#: — read its ratio against that. k-means retrains on the big corpus;
+#: collects stay centroid-sized.)
+EMBED_QUERIES = [
+    "q_sim_topk_kmeans",
+    "q_ann_recall_sweep",
+    "q_sim_pq",
+    "q_sim_adc",
+    "q_dedup_embed",
+    "q_embed_centroids",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -94,7 +114,7 @@ def main() -> None:
     ap.add_argument(
         "--families",
         default="docs,events,graph,urls,agg",
-        help="comma list of docs/events/graph/urls/agg to probe",
+        help="comma list of docs/events/graph/urls/agg/embed to probe",
     )
     args = ap.parse_args()
 
@@ -155,9 +175,18 @@ def main() -> None:
             "l_shipdate",
         )
 
+    def big_embeddings_build(e):
+        n = e.count()
+        return e.crossJoin(F.broadcast(copies)).select(
+            (F.col("vec_id") + F.col("copy") * n).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+
     materialize("documents", big_docs_build)
     materialize("events", big_events_build)
     materialize("lineitem", big_lineitem_build)
+    materialize("embeddings", big_embeddings_build)
 
     qs = registry.queries()
 
@@ -176,6 +205,7 @@ def main() -> None:
         + (GRAPH_QUERIES if "graph" in fams else [])
         + (URL_QUERIES if "urls" in fams else [])
         + (AGG_QUERIES if "agg" in fams else [])
+        + (EMBED_QUERIES if "embed" in fams else [])
     )
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
     for name in names:
