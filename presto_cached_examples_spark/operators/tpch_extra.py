@@ -14,7 +14,7 @@ engines, LIMIT queries totally ordered with explicit tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
@@ -568,4 +568,331 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
         .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    category="subquery",
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             ROUND(AVG(l.l_extendedprice / l.l_quantity), 2) AS unit_cost
+      FROM lineitem l
+      JOIN (SELECT p_partkey FROM part
+            WHERE p_type = 'STANDARD' AND p_size <= 15) pp
+        ON pp.p_partkey = l.l_partkey
+      JOIN eu ON eu.s_suppkey = l.l_suppkey
+      WHERE l.l_quantity > 0
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_brand,
+           psm.unit_cost
+    FROM (SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+          FROM ps) psm
+    JOIN part p ON p.p_partkey = psm.l_partkey
+    JOIN eu ON eu.s_suppkey = psm.l_suppkey
+    WHERE psm.unit_cost = psm.min_cost
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each part in a
+    type/size slice, the European supplier(s) offering the lowest unit
+    cost, top-100 by account balance. The fixture has no partsupp, so
+    the part-supplier cost relation is DERIVED from lineitem
+    (per-(partkey, suppkey) average unit price, rounded to cents on
+    both engines so the min-equality compares identical doubles) — the
+    adaptation is documented; the correlated-MIN-subquery shape is
+    Q2's.
+
+    Scale: the part slice and the region supplier slice prune the
+    fact scan BEFORE the cost aggregate, so the derived partsupp is
+    built only for candidate (part, supplier) pairs — one shuffle on
+    a composite key. The correlated min is a PARTITIONED window min
+    over partkey rather than a decorrelated aggregate joined back:
+    Spark does not reuse the ps subtree across a self-join, so the
+    Q17-style join-back plan scans and aggregates the fact slice
+    twice, while the window reuses the grouped rows in place (per-part
+    supplier counts are bounded, so window state is tiny).
+    Nation/region are forced broadcasts, the SF-proportional slices
+    are left to AQE. The final LIMIT is TakeOrderedAndProject with a
+    (s_name, p_partkey)-unique total order."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(eu.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+                "unit_cost"
+            )
+        )
+    )
+    winners = ps.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .join(eu, winners.l_suppkey == eu.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_important_stock",
+    category="subquery",
+    oracle="""
+    WITH natl AS (
+      SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT l_partkey, ROUND(SUM(val), 2) AS part_value
+    FROM natl
+    GROUP BY l_partkey
+    HAVING ROUND(SUM(val), 2) > ROUND((SELECT SUM(val) FROM natl) * 0.001, 2)
+    ORDER BY part_value DESC, l_partkey
+    LIMIT 100
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose shipped value from
+    one nation's suppliers exceeds a fraction of that nation's total —
+    the fraction-of-a-global-aggregate HAVING shape. Value is modeled
+    as extendedprice x quantity over the derived lineitem partsupp
+    (no ps_availqty in the fixture; documented adaptation).
+
+    Scale: the nation filter prunes the supplier slice before the fact
+    join; the per-part aggregate and the global total come from ONE
+    shared slice (the CTE computes once, Spark reuses the same plan
+    subtree). The total is a 1-row aggregate crossed in as a broadcast
+    scalar — the accepted BNLJ-scalar pattern — and the threshold
+    compares cent-rounded values on both engines so summation-order
+    ULP drift cannot flip a borderline part. Top-100 is
+    TakeOrderedAndProject with a partkey tie-break."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    natl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(s.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+        )
+    )
+    per_part = natl.groupBy("l_partkey").agg(F.round(F.sum("val"), 2).alias("part_value"))
+    total = natl.agg(F.round(F.sum("val") * 0.001, 2).alias("thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_shipmode_priority",
+    category="aggregation",
+    oracle="""
+    SELECT CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) > 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-priority split: line counts by order
+    priority class, grouped by a derived shipping-speed class. The
+    fixture has no l_shipmode or commit/receipt dates, so the grouping
+    key is derived from the order-to-ship delay (> 60 days = SLOW) —
+    documented adaptation; the conditional-count-by-class shape is
+    Q12's.
+
+    Scale: the ship-date filter prunes the fact scan (pushed to
+    parquet); the join shuffles both fact tables on orderkey once and
+    the final aggregate has exactly 2 groups — partial map-side counts
+    collapse to nothing. Day arithmetic is integer datediff on both
+    engines, exact by construction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+                > 60,
+                "SLOW",
+            )
+            .otherwise("FAST")
+            .alias("ship_class"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q_parts_supplier_count",
+    category="aggregation",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier count per part attribute: distinct
+    suppliers able to supply each (brand, type, size) combination,
+    excluding an attribute slice and a NOT-IN supplier denylist
+    (negative account balance standing in for Q16's complaint
+    comment). The part-supplier relation is the DISTINCT projection of
+    lineitem (no partsupp in the fixture; documented adaptation).
+
+    Scale: the denylist is a tiny filtered slice applied as a
+    broadcast anti-join BEFORE the distinct, and the part attribute
+    filter prunes before the join. The distinct shuffles on
+    (partkey, suppkey) once; the final COUNT DISTINCT is keyed on the
+    bounded brand x type x size domain, so the output and the
+    final-stage state are fixed-size regardless of SF."""
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
+    return (
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_dominant_supplier",
+    category="subquery",
+    oracle="""
+    WITH yr AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') pp
+        ON pp.p_partkey = l.l_partkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS part_qty FROM yr GROUP BY l_partkey)
+    SELECT s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS dominant_parts
+    FROM yr
+    JOIN tot ON tot.l_partkey = yr.l_partkey
+    JOIN supplier s ON s.s_suppkey = yr.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE yr.qty > 0.5 * tot.part_qty
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential-promotion scan: suppliers who shipped
+    MORE THAN HALF of a part family's yearly volume for at least one
+    part, counted per supplier with their nation. Q20's
+    half-of-shipped-quantity threshold is kept; the availqty side is
+    the per-part total itself since the fixture has no partsupp
+    (documented adaptation; the nested-IN shape decorrelates to the
+    same per-part threshold join either way).
+
+    Scale: the p_name slice and ship-year filter prune the fact scan
+    first; both aggregates shuffle the pruned slice only, and the
+    threshold join is per-part (the tot side is one row per part —
+    AQE broadcasts while it fits). Quantities are integral doubles, so
+    the > 0.5x comparison is exact on both engines — no rounding
+    needed. Output is bounded by the supplier domain."""
+    pslice = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    yr = (
+        li.join(pslice, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = yr.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        yr.join(tot, yr.l_partkey == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .join(s, yr.l_suppkey == s.s_suppkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("dominant_parts"))
     )

@@ -267,6 +267,11 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_dedup_incremental_bloom",
     "q_quality_dsir",
     "q_dedup_span",
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_shipmode_priority",
+    "q_parts_supplier_count",
+    "q_dominant_supplier",
     # rewritten in round 6 (global_rank range-bucket decomposition) —
     # r4 rows predate the new plans; same oracles, locally re-verified
     "q_ntile_spend",

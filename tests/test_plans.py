@@ -474,3 +474,47 @@ def test_window_allowlist_entries_still_unpartitioned(spark):
         n for n in WINDOW_UNPARTITIONED_ALLOWED if _unpartitioned_windows(build(spark, n)) == 0
     ]
     assert not stale, f"allow-list entries no longer needed: {stale}"
+
+
+def test_min_cost_supplier_is_topk_no_cartesian(spark):
+    """q_min_cost_supplier: the correlated MIN decorrelates to joins
+    (no cartesian) and the LIMIT plans as distributed top-k."""
+    p = plan_of(build(spark, "q_min_cost_supplier"), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_important_stock_threshold_is_scalar_broadcast(spark):
+    """q_important_stock: the fraction-of-total threshold is a 1-row
+    broadcast scalar (the accepted BNLJ pattern), and the final LIMIT
+    is distributed top-k."""
+    p = plan_of(build(spark, "q_important_stock"), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_shipmode_priority_pushes_date_filter(spark):
+    """q_shipmode_priority: the ship-date range must reach the parquet
+    scan so a 100 TB fact table reads one year, not seven."""
+    p = plan_of(build(spark, "q_shipmode_priority"))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+
+
+def test_parts_supplier_count_denylist_is_broadcast_anti(spark):
+    """q_parts_supplier_count: the negative-balance denylist applies as
+    a broadcast anti-join before the distinct, never a shuffle."""
+    p = plan_of(build(spark, "q_parts_supplier_count"), mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dominant_supplier_prunes_fact_first(spark):
+    """q_dominant_supplier: ship-year filter reaches the lineitem scan
+    and the plan has no cartesian product."""
+    p = plan_of(build(spark, "q_dominant_supplier"))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    assert "CartesianProduct" not in p
