@@ -84,6 +84,12 @@ HEADLINE_V2 = [
     "q_dedup_incremental_bloom",
     "q_quality_dsir",
     "q_dedup_span",
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_shipmode_priority",
+    "q_parts_supplier_count",
+    "q_dominant_supplier",
+    "q_pii_scrub",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -783,3 +783,129 @@ def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_quality_dsir.__doc__ = q_quality_dsir.__doc__.replace(
     "{lang}", _DSIR_TARGET_LANG
 ).replace("{B}", str(_DSIR_BUCKETS))
+
+
+# PII scrub: redaction patterns (email / IPv4 / NANP-style 555 phone).
+# The fixture text is synthetic word salad with no PII, so — exactly as
+# q_dedup_url derives URLs — the raw column is DERIVED by injecting
+# deterministic PII spans from doc_id on BOTH engines; the scrubber
+# itself is generic and sees only the raw string. Patterns are written
+# in the common subset of Java regex (Spark) and RE2 (DuckDB):
+# literal classes, bounded repeats, \b word boundaries — no lookarounds.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+@register(
+    "q_pii_scrub",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH raw AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                          || '.' || CAST(doc_id % 250 AS VARCHAR)
+                          || '.' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END AS raw
+      FROM documents
+    ),
+    scrub AS (
+      SELECT source, raw,
+             LEN(regexp_extract_all(raw, '{_PII_EMAIL}')) AS e,
+             LEN(regexp_extract_all(raw, '{_PII_IP}')) AS i,
+             LEN(regexp_extract_all(raw, '{_PII_PHONE}')) AS ph,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IP}', '[IP]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS clean
+      FROM raw
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(i) AS BIGINT) AS n_ips,
+           CAST(SUM(ph) AS BIGINT) AS n_phones,
+           CAST(SUM(LEN(raw) - LEN(clean)) AS BIGINT) AS chars_redacted
+    FROM scrub
+    GROUP BY source
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction report: per source, documents containing
+    email / IPv4 / phone spans, per-pattern match counts, and the
+    character volume redacted by replacing each span with a fixed
+    token — the compliance scrub that runs before any training-data
+    release. The fixture has no PII, so deterministic spans are
+    injected from doc_id on both engines (q_dedup_url's derivation
+    pattern); the scrubber itself is generic regexp_replace.
+
+    Scale: one scan, all map-side — regexp count + replace are
+    JVM-side codegen expressions, no Python, no join; the only
+    shuffle is the final aggregate keyed on the bounded source
+    domain. Patterns use the Java-regex/RE2 common subset (no
+    lookarounds), so the same strings drive both engines; email is
+    replaced before IP/phone, and the replacement tokens contain no
+    digits, so the three passes cannot create or destroy one
+    another's matches."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+                F.lit("."),
+                (did % 97).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call 555-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(""),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IP,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    scrub = d.select("source", raw.alias("raw")).select(
+        "source",
+        "raw",
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IP)).alias("i"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).alias("ph"),
+        clean.alias("clean"),
+    )
+    return scrub.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("e") + F.col("i") + F.col("ph") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("i").cast("long").alias("n_ips"),
+        F.sum("ph").cast("long").alias("n_phones"),
+        F.sum(F.length("raw") - F.length("clean")).cast("long").alias("chars_redacted"),
+    )

@@ -272,6 +272,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_shipmode_priority",
     "q_parts_supplier_count",
     "q_dominant_supplier",
+    "q_pii_scrub",
     # rewritten in round 6 (global_rank range-bucket decomposition) —
     # r4 rows predate the new plans; same oracles, locally re-verified
     "q_ntile_spend",

