@@ -677,17 +677,22 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, ROUND(SUM(val), 2) AS part_value
     FROM natl
     GROUP BY l_partkey
-    HAVING ROUND(SUM(val), 2) > ROUND((SELECT SUM(val) FROM natl) * 0.001, 2)
+    HAVING ROUND(SUM(val), 2) >
+           ROUND((SELECT SUM(val) * 2.0 / COUNT(DISTINCT l_partkey) FROM natl), 2)
     ORDER BY part_value DESC, l_partkey
     LIMIT 100
     """,
 )
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-style important stock: parts whose shipped value from
-    one nation's suppliers exceeds a fraction of that nation's total —
-    the fraction-of-a-global-aggregate HAVING shape. Value is modeled
+    one nation's suppliers exceeds 2x the nation's MEAN per-part value
+    — the fraction-of-a-global-aggregate HAVING shape. Value is modeled
     as extendedprice x quantity over the derived lineitem partsupp
-    (no ps_availqty in the fixture; documented adaptation).
+    (no ps_availqty in the fixture; documented adaptation). TPC-H
+    scales Q11's fixed fraction by 1/SF so the result set stays
+    non-degenerate as the part domain grows; a mean-relative threshold
+    is the self-normalizing equivalent — no SF knob, meaningful output
+    at every scale (a fixed 0.001 fraction returned 0 rows at sf0.1).
 
     Scale: the nation filter prunes the supplier slice before the fact
     join; the per-part aggregate and the global total come from ONE
@@ -709,7 +714,9 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = natl.groupBy("l_partkey").agg(F.round(F.sum("val"), 2).alias("part_value"))
-    total = natl.agg(F.round(F.sum("val") * 0.001, 2).alias("thresh"))
+    total = natl.agg(
+        F.round(F.sum("val") * 2.0 / F.count_distinct("l_partkey"), 2).alias("thresh")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("thresh"))
