@@ -97,6 +97,19 @@ AGG_QUERIES = [
 #: vectors, so q_dedup_embed's true-pair OUTPUT grows ~mult^2 per cell
 #: — read its ratio against that. k-means retrains on the big corpus;
 #: collects stay centroid-sized.)
+#: TPC-H-analog probes over 10x lineitem (dims unscaled — supplier/
+#: part/nation keep fixture size, so these measure fact-side growth:
+#: the derived-partsupp aggregates, the threshold joins, and the
+#: distinct-pair shuffles all see 10x input rows on the same key
+#: domains). q_shipmode_priority is excluded: it joins orders, which
+#: the probe does not scale, so its semantics would change.
+TPCH_QUERIES = [
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_parts_supplier_count",
+    "q_dominant_supplier",
+]
+
 EMBED_QUERIES = [
     "q_sim_topk_kmeans",
     "q_ann_recall_sweep",
@@ -114,7 +127,7 @@ def main() -> None:
     ap.add_argument(
         "--families",
         default="docs,events,graph,urls,agg",
-        help="comma list of docs/events/graph/urls/agg/embed to probe",
+        help="comma list of docs/events/graph/urls/agg/embed/tpch to probe",
     )
     args = ap.parse_args()
 
@@ -183,6 +196,15 @@ def main() -> None:
             "label",
         )
 
+    # dimension tables are NOT scaled: the probes measure fact-side
+    # growth on fixed key domains. Symlink the 1x dims into the big
+    # dir so load_table resolves them there.
+    for dim in ("region", "nation", "supplier", "part", "customer", "orders"):
+        dst = os.path.join(big_dir, f"{dim}.parquet")
+        if not os.path.exists(dst):
+            os.makedirs(big_dir, exist_ok=True)
+            os.symlink(os.path.join(args.sf, f"{dim}.parquet"), dst)
+
     materialize("documents", big_docs_build)
     materialize("events", big_events_build)
     materialize("lineitem", big_lineitem_build)
@@ -206,6 +228,7 @@ def main() -> None:
         + (URL_QUERIES if "urls" in fams else [])
         + (AGG_QUERIES if "agg" in fams else [])
         + (EMBED_QUERIES if "embed" in fams else [])
+        + (TPCH_QUERIES if "tpch" in fams else [])
     )
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
     for name in names:
