@@ -1163,6 +1163,10 @@ def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
         ).alias("spend")
     )
+    # two actions read the customer-grain relation (the split-point
+    # sample pass and the final plan) — checkpoint it so orders
+    # aggregate once (the q_text_pmi pattern)
+    spend = spend.localCheckpoint(eager=True)
     ranked = global_rank(spend, "spend", "o_custkey", descending=True)
     tiled = ranked.select(
         "o_custkey",

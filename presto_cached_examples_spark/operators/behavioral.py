@@ -738,10 +738,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition (distwindows.global_rank — quantile split points,
     bucket-partitioned row_number, <=64-row prefix offsets) instead of
     a single-task unpartitioned window; the quintile falls out of
-    exact (rank, n) arithmetic. Three chained rankings = three
-    bucket-keyed shuffles of the per-customer relation, no join
-    fan-out. Explicit custkey tie-breaks pin every quintile boundary;
-    monetary stays integer cents until the final ROUND."""
+    exact (rank, n) arithmetic. The customer-grain relation is
+    localCheckpoint-ed (the q_text_pmi pattern): without it the
+    three ranking branches re-scan and re-aggregate orders per branch
+    (14 parquet scans in the static plan — fatal at 100 TB); with it,
+    every branch reads the one materialized base. Split points for
+    all three metrics come from ONE multi-column approxQuantile pass,
+    and the three rankings run as INDEPENDENT branches joined back on
+    custkey — parallel stage trees instead of a serial 3-exchange
+    chain (measured ~1.5x faster at sf0.1, same rows). Explicit
+    custkey tie-breaks pin every quintile boundary; monetary stays
+    integer cents until the final ROUND."""
     from presto_cached_examples_spark.operators.distwindows import (
         global_rank,
         ntile_from_rank,
@@ -756,16 +763,35 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         (F.sum(cents) / 100.0).alias("monetary"),
     )
-    scored = rfm
-    for col, desc, out in (
-        ("recency_days", False, "r_score"),
-        ("frequency", True, "f_score"),
-        ("monetary", True, "m_score"),
+    rfm = rfm.localCheckpoint(eager=True)
+    qs = [i / 64 for i in range(1, 64)]
+    all_splits = rfm.stat.approxQuantile(
+        ["recency_days", "frequency", "monetary"], qs, 0.001
+    )
+    scores = []
+    for (col, desc, out), col_splits in zip(
+        (
+            ("recency_days", False, "r_score"),
+            ("frequency", True, "f_score"),
+            ("monetary", True, "m_score"),
+        ),
+        all_splits,
     ):
-        scored = global_rank(scored, col, "o_custkey", descending=desc, quantile_source=rfm)
-        scored = scored.withColumn(
-            out, ntile_from_rank(F.col("rank"), F.col("n"), 5)
-        ).drop("rank", "n")
+        ranked = global_rank(
+            rfm.select("o_custkey", col),
+            col,
+            "o_custkey",
+            descending=desc,
+            splits=col_splits,
+        )
+        scores.append(
+            ranked.select(
+                "o_custkey", ntile_from_rank(F.col("rank"), F.col("n"), 5).alias(out)
+            )
+        )
+    scored = rfm.select("o_custkey", "monetary")
+    for s in scores:
+        scored = scored.join(s, "o_custkey")
     scored = scored.select("monetary", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -186,6 +186,7 @@ def global_rank(
     n_buckets: int = 64,
     rel_err: float = 0.001,
     quantile_source: DataFrame | None = None,
+    splits: "list[float] | None" = None,
 ) -> DataFrame:
     """Exact global 1-based rank by (value_col [DESC], tiebreak_col ASC)
     with NO data-proportional window partition — the explicit form of
@@ -206,7 +207,12 @@ def global_rank(
     SQL oracles of callers are untouched. `quantile_source` lets a
     caller chaining several rankings point the split-point pass at the
     shallow base relation instead of the growing chain (same rows,
-    same distribution, cheaper eager pass).
+    same distribution, cheaper eager pass). `splits` lets a caller
+    hand in pre-computed split points instead — e.g. ONE multi-column
+    `approxQuantile` call shared across several rankings of the same
+    relation (q_rfm_segments) — turning k rankings' k sample passes
+    into one; the split values still shape only the plan, never the
+    answer.
 
     At 100 TB: split points come from the same sampled pass Spark's
     own range exchange does; n_buckets scales with cluster
@@ -214,9 +220,11 @@ def global_rank(
     (ingest-time artifact, like the k-means codebooks)."""
     for tmp in ("__grk_bucket", "__grk_rin", "__grk_cnt", "__grk_off"):
         assert tmp not in df.columns, f"column {tmp} collides with global_rank internals"
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    src = df if quantile_source is None else quantile_source
-    splits = sorted(set(src.approxQuantile(value_col, qs, rel_err)))
+    if splits is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        src = df if quantile_source is None else quantile_source
+        splits = src.approxQuantile(value_col, qs, rel_err)
+    splits = sorted(set(splits))
     if splits:
         arr = F.array(*[F.lit(float(s)) for s in splits])
         v = F.col(value_col).cast("double")
