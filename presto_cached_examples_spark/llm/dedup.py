@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 # MinHash parameters: 64 permutations in 16 bands of 4 rows.
@@ -861,9 +862,30 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Bloom membership test for the standing corpus (VERDICT r5 item 9):
-# size m at ~16 bits per standing-corpus key.
-_FP_BLOOM_BITS = 65536
+# size m at ~16 bits per standing-corpus key. 65536 bits is the FLOOR
+# (right for the fixtures' ~2-4k standing fps); _bloom_bits scales it
+# with the measured corpus so the filter can't saturate at the scales
+# the query is motivated by (ADVICE r6 item 1 — a fixed 65536 degrades
+# to fp-rate ~1 past ~15-20k keys, silently turning the map-side
+# prefilter into a no-op; correctness was never at risk, the verify
+# anti-join removes all false positives).
+_FP_BLOOM_BITS_FLOOR = 65536
+_FP_BLOOM_BITS_PER_KEY = 16
 _FP_BLOOM_K = 3
+# Standing-corpus fingerprint count, memoized per (session, sf_dir) so
+# repeat builds don't re-count. The one count job at first build is a
+# parquet metadata aggregate (no row materialization) — the same
+# accepted build-time-action class as _HOURLY_TIER / global_rank
+# (NOTES "Decisions").
+_FP_OLD_COUNT: dict[tuple[str, str], int] = {}
+
+
+def _bloom_bits(n_keys: int) -> int:
+    """Next power of two >= _FP_BLOOM_BITS_PER_KEY bits per key, floored
+    at _FP_BLOOM_BITS_FLOOR. Power-of-two keeps pmod unbiased-enough and
+    the word map dense."""
+    need = max(_FP_BLOOM_BITS_FLOOR, _FP_BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    return 1 << (need - 1).bit_length()
 
 
 @register(
@@ -919,9 +941,16 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % _SNAP_MOD >= _SNAP_NEW)
     old = docs.filter(F.col("doc_id") % _SNAP_MOD < _SNAP_NEW)
 
+    # Size the filter from the measured standing corpus (memoized —
+    # one metadata-count job per session/sf, cf. _bloom_bits above).
+    ckey = (session_token(spark), sf_dir)
+    if ckey not in _FP_OLD_COUNT:
+        _FP_OLD_COUNT[ckey] = old.count()
+    n_bits = _bloom_bits(_FP_OLD_COUNT[ckey])
+
     def positions(col):
         return [
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_FP_BLOOM_BITS))
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
             for i in range(_FP_BLOOM_K)
         ]
 

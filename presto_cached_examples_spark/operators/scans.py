@@ -181,8 +181,16 @@ def _reap_stale_siblings(wh: str, prefix: str, keep: str) -> None:
     {fmt}_documents_*) gate staleness by putting the source fingerprint
     in the NAME, so every fixture regeneration (or mtime touch) creates
     a fresh directory — without this reaper the superseded siblings
-    would accumulate in the persistent warehouse forever (ADVICE r5)."""
+    would accumulate in the persistent warehouse forever (ADVICE r5).
+
+    The match is anchored: after ``prefix`` the remainder must be
+    exactly one ``source_fingerprint`` token (``<mtime_ns:x>_<size:x>``)
+    (ADVICE r6 — a bare startswith on ``evolved_orders_sf0_1_`` would
+    also reap ``..._sf0_1_bak_<fp>`` artifacts belonging to a DIFFERENT
+    fixture dir whose sftag extends this one, deleting another
+    fixture's still-valid warehouse dirs)."""
     import os
+    import re
     import shutil
 
     try:
@@ -190,8 +198,9 @@ def _reap_stale_siblings(wh: str, prefix: str, keep: str) -> None:
     except FileNotFoundError:
         return
     keep_name = os.path.basename(keep.rstrip("/"))
+    pat = re.compile(re.escape(prefix) + r"[0-9a-f]+_[0-9a-f]+$")
     for e in entries:
-        if e.startswith(prefix) and e != keep_name:
+        if pat.fullmatch(e) and e != keep_name:
             shutil.rmtree(os.path.join(wh, e), ignore_errors=True)
 
 

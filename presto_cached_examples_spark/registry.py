@@ -9,6 +9,19 @@ Discipline (SURVEY.md §5.2 / FIXTURES.md): every computed column is
 aliased identically on both sides; double-typed aggregates are wrapped
 in ROUND(x, 2) on both sides so summation-order ULP drift can't break
 the order-insensitive value hash.
+
+Build-time-action contract (ADVICE r6 item 4): builder functions are
+ALLOWED to run bounded, model-sized Spark jobs at plan-construction
+time when the query depends on a learned or measured artifact — k-means
+codebooks (llm/similarity._CODEBOOK_CACHE), range split points
+(operators/distwindows.global_rank's approxQuantile), the standing-
+corpus count that sizes the incremental-dedup Bloom filter, the
+bucketed/evolved warehouse materializations. All such artifacts are
+memoized per (session_token, sf_dir), so only the FIRST build per
+session pays; every later build is pure plan assembly
+(tests/test_round7_ops.py pins this with a job-group probe). Callers
+that need strictly action-free construction should warm the session
+once, or treat the first build as ingest.
 """
 
 from __future__ import annotations
@@ -179,90 +192,21 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 6): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. Rounds
-# 1-5 cumulatively confirmed every registered query green (r5 front came
-# back 50/50 — the -0.0 ROUND divergence fixed by
-# `neutralize_negative_zero` was the only red class ever). This round
-# executes VERDICT r5 item 1: retire the stale evidence. The front, in
-# priority order:
-# (a) the 22 remaining r1 greens — their last driver rows predate both
-#     the r3 fixture regeneration and the r4 _TABLE_CACHE/spread()
-#     changes to the shared read path (sources/catalog.py),
-# (b) the 2 queries whose oracle SQL was regenerated by the r4
-#     _lloyd_sql refactor (results hash-equivalent, but the driver never
-#     hashed the regenerated text),
-# (c) 26 r2 greens, oldest first. 22+2+26 = 50 exactly.
-# Still outside the window: 1 r2 green (q_window_range_scalable) + the
-# r3 greens, queued in _VERIFY_NEXT for round 7 — all locally
-# re-verified every round by tests/test_oracle_parity.py and
-# tools/check_oracles.py, which hash raw float repr (driver-strength).
+# Verification rotation (round 7): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. The r6
+# front came back 50/50 (CORRECTNESS_r06), retiring the r1/r2-vintage
+# staleness. This round executes VERDICT r6 items 1-2: the highest-value
+# slots are the 10 round-6 queries that have NEVER had a driver row, the
+# last remaining pre-r3-fixture green (q_window_range_scalable), and the
+# 2 round-6 rewrites whose r4 rows predate their new global_rank plans.
+# The remaining 37 slots refresh r3 greens oldest-first. Everything
+# outside the window is locally re-verified every round by
+# tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
+# float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # (a) remaining r1 greens, oldest first
-    "q_window_frame",
-    "q_window_running",
-    "q_topk_group",
-    "q_sort_limit",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_agg_corr",
-    "q_pivot",
-    "q_unpivot",
-    "q_window_firstlast",
-    "q_string_regexp",
-    "q_subquery_in",
-    "q_subquery_corr",
-    "q_agg_groupingid",
-    "q_agg_argminmax",
-    "q_date_series",
-    "q_values_cte",
-    "q_top_unshipped",
-    "q_returned_revenue",
-    "q_filtered_revenue",
-    # (b) oracle SQL regenerated by the r4 _lloyd_sql refactor
-    "q_sim_topk_kmeans",
-    "q_dedup_embed",
-    # (c) r2 greens, oldest first
-    "q_promo_share",
-    "q_agg_stringagg",
-    "q_window_lead",
-    "q_agg_decimal",
-    "q_exists_agg",
-    "q_null_ordering",
-    "q_histogram",
-    "q_cond_count",
-    "q_sample_stratified",
-    "q_join_salted",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_expr",
-    "q_array_funcs",
-    "q_subquery_scalar",
-    "udf_pack_pen",
-    "udaf_weighted_avg",
-    "q_text_tokens",
-    "q_text_langstats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_token_count",
-    "q_text_fingerprint",
-    "q_text_vocab",
-    "q_window_dist_scalable",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 7: the last r2-vintage row, any queries new
-# in round 6 (never driver-run), then r3 greens oldest-first. All are
-# locally hash-verified every run (tests/test_oracle_parity.py +
-# tools/check_oracles.py at driver strength).
-_VERIFY_NEXT: tuple[str, ...] = (
-    # last r2 green (its scalable twin is in the r6 front)
+    # last r2-vintage green — only driver row predates the r3 fixture regen
     "q_window_range_scalable",
-    # new in round 6 — first driver rows
+    # new in round 6 — first driver rows ever
     "q_ann_recall_sweep",
     "q_dedup_incremental_bloom",
     "q_quality_dsir",
@@ -315,11 +259,70 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_decontam_hashed",
     "q_text_normalize",
     "q_stream_tumbling",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 8 (VERDICT r6 item 8: from here on split the
+# 50 slots ~40 oldest-green refresh / ~10 new surface): the 5 r3 greens
+# that missed the r7 window, then r4 greens oldest-first (registration
+# order within the r4 batch). All locally hash-verified every run
+# (tests/test_oracle_parity.py + tools/check_oracles.py, driver
+# strength). New round-7 queries should be spliced ahead of this list.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_dedup_late",
     "q_stream_enrich",
     "udtf_explode_props",
+    # r4 greens, oldest first
+    "q_join_asof",
+    "q_window_lag",
+    "q_dedup_simhash",
+    "q_sim_topk_lsh",
+    "q_token_freq_cms",
+    "q_rolling_wau",
+    "q_profile_stats",
+    "q_rolling_wau_approx",
+    "q_intersect_all",
+    "q_except_all",
+    "q_lateral_topk",
+    "q_boilerplate_scrub",
+    "q_dedup_incremental",
+    "q_sim_pq",
+    "q_mm_phash",
+    "q_topk_skewed",
+    "q_sim_adc",
+    "q_stream_interval_join",
+    "q_rolling_retention",
+    "q_join_bucketed",
+    "q_graph_components",
+    "q_markov_transitions",
+    "q_anomaly_zscore",
+    "q_text_unigram_lm",
+    "q_mix_weights",
+    "q_event_runs",
+    "q_embed_centroids",
+    "q_resample_interp",
+    "q_quality_logistic",
+    "q_join_bloom",
+    "q_scan_pruned",
+    "q_curation_funnel",
+    "q_graph_pagerank",
+    "q_join_range_bucketed",
+    "q_stream_topk",
+    "q_scan_evolved",
+    "q_local_supplier_volume",
+    "q_product_profit",
+    "q_cdc_merge",
+    "q_attribution_linear",
+    "q_text_entropy",
+    "q_quality_tiers",
+    "q_graph_triangles",
+    "q_scan_json",
+    "q_winsorize",
+    "q_agg_mode",
 )
 
 

@@ -203,7 +203,10 @@ def main() -> None:
         dst = os.path.join(big_dir, f"{dim}.parquet")
         if not os.path.exists(dst):
             os.makedirs(big_dir, exist_ok=True)
-            os.symlink(os.path.join(args.sf, f"{dim}.parquet"), dst)
+            # abspath: a relative --sf would otherwise be stored
+            # verbatim and resolve relative to big_dir → dangling link
+            # (ADVICE r6 item 2).
+            os.symlink(os.path.abspath(os.path.join(args.sf, f"{dim}.parquet")), dst)
 
     materialize("documents", big_docs_build)
     materialize("events", big_events_build)
