@@ -90,6 +90,13 @@ HEADLINE_V2 = [
     "q_parts_supplier_count",
     "q_dominant_supplier",
     "q_pii_scrub",
+    # round-7 additions (q_embed_power_topvec trains via _POWER_CACHE
+    # at first build; bench timings see the warm serving cost)
+    "q_scrub_dup_spans",
+    "q_bpe_pair_stats",
+    "q_vocab_coverage",
+    "q_mix_schedule",
+    "q_embed_power_topvec",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -909,3 +909,208 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ph").cast("long").alias("n_phones"),
         F.sum(F.length("raw") - F.length("clean")).cast("long").alias("chars_redacted"),
     )
+
+
+_SPAN_SCRUB_N = 5  # duplicated-span width scrubbed (matches q_dedup_span)
+
+
+@register(
+    "q_scrub_dup_spans",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, LEN(toks) - {_SPAN_SCRUB_N - 1})) AS i
+      FROM d WHERE LEN(toks) >= {_SPAN_SCRUB_N}
+    ),
+    g AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i : i + {_SPAN_SCRUB_N - 1}], ' ') AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+      ) WHERE nd >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.i + t.off AS p
+      FROM g JOIN dup USING (gram),
+           UNNEST(generate_series(0, {_SPAN_SCRUB_N - 1})) AS t(off)
+    ),
+    tokpos AS (
+      SELECT doc_id, j, toks[j] AS tok
+      FROM d, UNNEST(generate_series(1, LEN(toks))) AS t(j)
+    ),
+    clean AS (
+      SELECT tp.doc_id,
+             array_to_string(LIST(tp.tok ORDER BY tp.j), ' ') AS clean_text,
+             COUNT(*) AS n_kept
+      FROM tokpos tp
+      LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.j
+      WHERE cov.p IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT d.doc_id,
+           LEN(d.toks) AS n_tokens,
+           CAST(LEN(d.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
+    """,
+)
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup ACTION (Lee et al. 2022): remove every
+    token covered by a {n}-gram that occurs in >= 2 distinct documents
+    corpus-wide, and reassemble each document from its surviving tokens
+    in order. q_dedup_span is the PROFILE of this pass; this operator
+    executes it — the difference between knowing a corpus is 30%
+    boilerplate and shipping one that isn't. Documents shorter than
+    {n} tokens pass through verbatim.
+
+    Scale: gram document-frequency is the same two-phase hash
+    aggregate as q_dedup_span (distinct-per-doc caps any gram's count,
+    so no Zipf skew); covered positions come from an equi-join on the
+    gram string followed by a bounded explode ({n} offsets per dup
+    gram); reassembly joins the per-doc covered-position SET (bounded
+    by doc length, KB-scale — same acceptance as q_boilerplate_scrub's
+    collect_list) back to the doc row and filters tokens by position
+    with a JVM higher-order function. Every shuffle key is doc_id or
+    the gram hash — uniform; nothing all-pairs.
+
+    Reference provenance: C4 snapshot rewrite (/root/reference/src/
+    demo.cpp:162-204 — rebuild the framebuffer from retained tiles;
+    the clean_text reassembly is that rebuild over retained tokens)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = _SPAN_SCRUB_N
+    pos = (
+        d.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(" ", F.expr(f"slice(toks, i, {n})")).alias("gram"),
+        )
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        pos.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    covset = cov.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    ps = F.coalesce(F.col("ps"), F.expr("CAST(array() AS array<int>)"))
+    return (
+        d.join(covset, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(ps).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "toks", lambda t, idx: ~F.array_contains(ps, idx + F.lit(1))
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+q_scrub_dup_spans.__doc__ = q_scrub_dup_spans.__doc__.replace(
+    "{n}", str(_SPAN_SCRUB_N)
+)
+
+
+@register(
+    "q_mix_schedule",
+    category="llm-pipeline",
+    oracle="""
+    WITH w AS (
+      SELECT source, sqrt(COUNT(*)) AS wt FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rnk
+      FROM documents d
+    ),
+    v AS (
+      SELECT r.doc_id, r.source, (r.rnk - 0.5) / w.wt AS vtime
+      FROM r JOIN w USING (source)
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, doc_id) AS BIGINT)
+             AS pos,
+           doc_id, source
+    FROM v
+    """,
+)
+def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave (stride scheduling):
+    each source advances a virtual clock at rate 1/sqrt(n_source) —
+    temperature-2 mixing, so small sources appear more often than their
+    share — and documents are emitted in global virtual-time order.
+    Within a source, order is a seeded shuffle (md5(doc_id)). The
+    output IS the epoch's data order: reproducible from nothing but
+    the corpus, no RNG state to checkpoint.
+
+    Scale: per-source rank is a PARTITIONED window (sources are the
+    partition key); sqrt of an integer count is correctly rounded IEEE
+    on both engines, and (rnk - 0.5)/wt involves no summation, so the
+    virtual times are bit-identical cross-engine. The global emit
+    order is NOT a single-task sort: `global_rank` range-partitions on
+    vtime (approxQuantile split points + per-bucket row_number +
+    prefix offsets), the same decomposition q_ntile_spend uses — the
+    split points shape the plan, never the answer.
+
+    Reference provenance: C5 round-robin tile scheduler
+    (/root/reference/src/demo.cpp:117-133 — interleaved bank emission;
+    the virtual clock generalizes it to weighted sources)."""
+    from presto_cached_examples_spark.operators.distwindows import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.sqrt(F.count(F.lit(1))).alias("wt"))
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rnk"),
+    )
+    v = r.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        ((F.col("rnk") - 0.5) / F.col("wt")).alias("vtime"),
+    )
+    # exact global order by (vtime, doc_id) without a global sort —
+    # vtime collides across equal-sized sources at equal rank, so the
+    # unique doc_id is the tie-break on BOTH engines.
+    ranked = global_rank(v, "vtime", "doc_id", out_rank="pos")
+    return ranked.select(
+        F.col("pos").cast("long").alias("pos"), "doc_id", "source"
+    )

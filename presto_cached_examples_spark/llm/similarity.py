@@ -22,6 +22,8 @@ replayed bit-for-bit too (_lsh_oracle).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1224,3 +1226,173 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_true"), 4).alias("recall"),
     )
+
+
+_POWER_ITERS = 4  # power-iteration steps for the top principal component
+
+#: Learned top-component memo, same lifetime discipline as
+#: _CODEBOOK_CACHE: (session, sf_dir) -> (mu, loadings, vtv).
+_POWER_CACHE: dict[tuple, tuple[list[float], list[float], float]] = {}
+
+
+def _power_sql(iters: int = _POWER_ITERS) -> str:
+    """CTE chain replaying `_power_topvec` in DuckDB: long-form corpus,
+    per-dim means rounded 6 dp, then `iters` unrolled power steps with
+    INFINITY-norm scaling — scale = MAX(ABS(s)) over the 64 rounded
+    per-dim sums, an order-independent reduction, so no cross-engine
+    summation-order risk ever reaches an output value (the per-dim
+    SUMs themselves are rounded to 6 dp first, the Lloyd-loop
+    acceptance). Generated so iters stays in lockstep with the Spark
+    constant."""
+    parts = [
+        """
+el AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, LEN(embedding))) AS t(i)
+),
+mu AS (SELECT dim, ROUND(AVG(x), 6) AS m FROM el GROUP BY dim),
+cl AS (
+  SELECT el.vec_id, el.dim, el.x - mu.m AS xc
+  FROM el JOIN mu ON mu.dim = el.dim
+),
+v0 AS (SELECT dim, 0.125 AS vv FROM mu)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT cl.vec_id, SUM(cl.xc * v.vv) AS p
+  FROM cl JOIN v{i - 1} v ON v.dim = cl.dim GROUP BY cl.vec_id
+),
+s{i} AS (
+  SELECT cl.dim, ROUND(SUM(cl.xc * p{i}.p), 6) AS s
+  FROM cl JOIN p{i} ON p{i}.vec_id = cl.vec_id GROUP BY cl.dim
+),
+v{i} AS (
+  SELECT dim, ROUND(s / (SELECT MAX(ABS(s)) FROM s{i}), 6) AS vv FROM s{i}
+)"""
+        )
+    return ",".join(parts)
+
+
+def _power_topvec(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[float], float]:
+    """Matrix-free power iteration for the corpus's top principal
+    component, as DataFrame jobs: per step, p = xc·v map-side, then one
+    (dim)-keyed aggregate s_d = Σ xc_d·p rounded to 6 dp — k×1 collects
+    of dim-sized rows, never row-sized (the kmeans_centroids
+    discipline). Scaling is by max|s| (order-independent — see
+    _power_sql); returns (mu, loadings, vᵀv) with vᵀv summed driver-
+    side in dim order and embedded as a LITERAL in both engines'
+    eigenvalue expressions, so it can't drift."""
+    key = (session_token(spark), sf_dir)
+    got = _POWER_CACHE.get(key)
+    if got is not None:
+        return got
+    c = _corpus(spark, sf_dir)
+    mu_rows = (
+        c.select(F.posexplode("v").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    mu = [r.m for r in sorted(mu_rows, key=lambda r: r.dim0)]
+    mulit = F.array(*[F.lit(m) for m in mu])
+    v = [0.125] * len(mu)
+    for _ in range(_POWER_ITERS):
+        vlit = F.array(*[F.lit(x) for x in v])
+        xc = F.zip_with("v", mulit, lambda a, b: a - b)
+        p = F.aggregate(
+            F.zip_with(xc, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, y: acc + y
+        )
+        s_rows = (
+            c.select(p.alias("p"), F.posexplode(xc).alias("dim0", "xc"))
+            .groupBy("dim0")
+            .agg(F.round(F.sum(F.col("xc") * F.col("p")), 6).alias("s"))
+            .collect()
+        )
+        s = [r.s for r in sorted(s_rows, key=lambda r: r.dim0)]
+        scale = max(abs(x) for x in s)
+        # round half-away-from-zero to 6 dp — SQL ROUND semantics, NOT
+        # Python's banker's round
+        v = [math.floor(abs(x / scale) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1) for x in s]
+    vtv = 0.0
+    for x in v:  # dim-order sum, embedded as a literal both sides
+        vtv += x * x
+    got = (mu, v, vtv)
+    _POWER_CACHE[key] = got
+    return got
+
+
+def _power_oracle() -> str:
+    return f"""
+    WITH {_power_sql()},
+    pe AS (
+      -- projections against the FINAL vector (p{_POWER_ITERS} used the
+      -- previous one — the engine's Rayleigh pass projects on v_final)
+      SELECT cl.vec_id, SUM(cl.xc * v.vv) AS p
+      FROM cl JOIN v{_POWER_ITERS} v ON v.dim = cl.dim GROUP BY cl.vec_id
+    ),
+    eig AS (
+      SELECT ROUND(SUM(p.p * p.p) / ((COUNT(*) - 1) * (
+               SELECT SUM(vv * vv) FROM v{_POWER_ITERS})), 4) AS eigval
+      FROM pe p
+    )
+    SELECT v.dim, mu.m AS mu, v.vv AS loading, eig.eigval
+    FROM v{_POWER_ITERS} v JOIN mu ON mu.dim = v.dim CROSS JOIN eig
+    """
+
+
+@register("q_embed_power_topvec", category="llm-similarity", oracle=_power_oracle())
+def q_embed_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by matrix-free
+    power iteration — encoder-health analysis at 100 TB: a dominant
+    component with a large explained-variance share means the encoder
+    collapsed (anisotropy); the loadings say WHICH dims. No dims×dims
+    covariance matrix is ever formed — each step is one corpus scan
+    computing p = xc·v map-side and a (dim)-keyed aggregate, so the
+    shuffled state is dim-sized, the collects are model-sized, and the
+    learned vector is memoized per session like the k-means codebooks
+    (_POWER_CACHE — warm builds are job-free).
+
+    Output: one row per dim — per-dim mean, infinity-norm-scaled
+    loading (max |loading| = 1), and the Rayleigh-quotient eigenvalue
+    of the final vector (constant column, sample covariance
+    normalization n-1). The DuckDB oracle replays every step
+    relationally (_power_sql); vᵀv enters both engines as the SAME
+    driver-computed literal, so the only cross-engine surfaces are
+    6-dp-rounded aggregates and exact max/division arithmetic.
+
+    Determinism: init is the exact constant 0.125 vector; scaling is
+    max|s| (order-independent); every aggregate that reaches an output
+    is rounded (the kmeans_centroids acceptance); ROUND half-away
+    semantics are replicated driver-side (math.floor(|x|·1e6 + .5)).
+
+    Reference provenance: C7 precomputed summary state
+    (/root/reference/README.md:3-6 — derive a small summary once,
+    consult it per frame; the cached component is that summary for
+    embedding QA)."""
+    mu, v, vtv = _power_topvec(spark, sf_dir)
+    c = _corpus(spark, sf_dir)
+    mulit = F.array(*[F.lit(m) for m in mu])
+    vlit = F.array(*[F.lit(x) for x in v])
+    xc = F.zip_with("v", mulit, lambda a, b: a - b)
+    p = F.aggregate(
+        F.zip_with(xc, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, y: acc + y
+    )
+    eig = c.select(p.alias("p")).agg(
+        F.round(
+            F.sum(F.col("p") * F.col("p")) / ((F.count(F.lit(1)) - 1) * F.lit(vtv)), 4
+        ).alias("eigval")
+    )
+    dims = (
+        c.sparkSession.range(1)
+        .select(F.posexplode(F.arrays_zip(mulit, vlit)).alias("dim0", "mv"))
+        .select(
+            (F.col("dim0") + 1).cast("long").alias("dim"),
+            F.col("mv")["0"].alias("mu"),
+            F.col("mv")["1"].alias("loading"),
+        )
+    )
+    return dims.join(F.broadcast(eig))  # 1-row eigenvalue cross join

@@ -1045,3 +1045,169 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram_surprisal"),
         )
     )
+
+
+_BPE_TOPN = 20  # merge candidates reported (one trainer iteration)
+_EOW = "</w>"  # classic BPE end-of-word marker
+
+
+@register(
+    "q_bpe_pair_stats",
+    category="llm-text",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS w, COUNT(*) AS n
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS lhs,
+             CASE WHEN i < LEN(w) THEN substr(w, i + 1, 1) ELSE '{_EOW}' END AS rhs,
+             n
+      FROM w, UNNEST(generate_series(1, LEN(w))) AS t(i)
+    )
+    SELECT lhs, rhs, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs, rhs
+    LIMIT {_BPE_TOPN}
+    """,
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of a BPE tokenizer trainer: frequency-weighted
+    adjacent-symbol pair counts over the corpus word vocabulary (Sennrich
+    et al. 2016) — the top pair is the first merge a trainer would
+    learn. Words carry the classic `</w>` end-of-word marker, so
+    (last-char, </w>) pairs compete with intra-word pairs exactly as in
+    the reference algorithm. Top-{_BPE_TOPN} is fully deterministic:
+    integer counts, ties broken (lhs, rhs) ascending.
+
+    Scale: the word vocabulary aggregate collapses the corpus to
+    |vocab| rows BEFORE any per-character work, so the explode is over
+    vocab x word-length, not corpus tokens — at 100 TB the token
+    stream's heavy hitters (Zipf) cost one row each here. Pair counts
+    are a two-phase hash aggregate on a (char, char) key — bounded
+    domain, no skew problem — and the top-{_BPE_TOPN} plans as
+    TakeOrderedAndProject (bounded, no global sort).
+
+    Reference provenance: C7 summary tables (/root/reference/README.md:
+    3-6 — precomputed aggregates consulted instead of raw data; the
+    vocab-with-counts relation is that tier for the char-pair pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = w.select(
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        F.col("w"),
+    ).select(
+        F.expr("substring(w, i, 1)").alias("lhs"),
+        F.when(
+            F.col("i") < F.length("w"), F.expr("substring(w, i + 1, 1)")
+        )
+        .otherwise(F.lit(_EOW))
+        .alias("rhs"),
+        "n",
+    )
+    return (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+        .limit(_BPE_TOPN)
+    )
+
+
+q_bpe_pair_stats.__doc__ = q_bpe_pair_stats.__doc__.replace(
+    "{_BPE_TOPN}", str(_BPE_TOPN)
+)
+
+_COVER_VOCAB_N = 256  # learned vocabulary size for the coverage report
+
+
+@register(
+    "q_vocab_coverage",
+    category="llm-text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, tok
+      FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_COVER_VOCAB_N}
+      )
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           ROUND(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS coverage,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: learn a top-{_COVER_VOCAB_N} corpus
+    vocabulary (count desc, token asc — fully deterministic), then
+    measure per-source token coverage and OOV rate against it. The
+    gate a tokenizer-sanity check runs before training: a source whose
+    OOV rate spikes is mis-encoded, wrongly language-tagged, or
+    adversarial.
+
+    Scale: the vocabulary is a two-phase hash aggregate + bounded
+    top-{_COVER_VOCAB_N} (TakeOrderedAndProject — no global sort); the
+    coverage pass joins the token stream against the {_COVER_VOCAB_N}-row
+    vocab BROADCAST, so it's one scan + map-side probe + per-source
+    aggregate. Nothing grows with corpus size except the two scans.
+
+    Reference provenance: C1 tiered membership (/root/reference/src/
+    PicoPlusPsram.cpp:14-29 — small resident summary consulted per
+    access; the broadcast vocab is that summary for the token stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_COVER_VOCAB_N)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+q_vocab_coverage.__doc__ = q_vocab_coverage.__doc__.replace(
+    "{_COVER_VOCAB_N}", str(_COVER_VOCAB_N)
+)

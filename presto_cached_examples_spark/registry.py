@@ -270,6 +270,12 @@ DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
 # (tests/test_oracle_parity.py + tools/check_oracles.py, driver
 # strength). New round-7 queries should be spliced ahead of this list.
 _VERIFY_NEXT: tuple[str, ...] = (
+    # new in round 7 — never driver-run (local driver-strength green)
+    "q_scrub_dup_spans",
+    "q_bpe_pair_stats",
+    "q_vocab_coverage",
+    "q_mix_schedule",
+    "q_embed_power_topvec",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -28,6 +28,7 @@ def test_codebook_queries_build_without_jobs_when_warm(spark):
         "q_ann_recall_sweep",
         "q_dedup_embed",
         "q_dedup_incremental_bloom",  # memoized standing-corpus count
+        "q_embed_power_topvec",  # memoized power-iteration component
     )
     # Warm every cache (codebooks, bloom count) — may run jobs.
     for name in warm:
@@ -99,3 +100,169 @@ def test_reaper_is_anchored_to_fingerprint_token(tmp_path):
     assert not os.path.exists(stale), "true stale sibling must be reaped"
     assert os.path.exists(other_fixture), "other fixture's artifacts reaped"
     assert os.path.exists(unrelated), "non-fingerprint dir reaped"
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators — behavior pins beyond the oracle hash
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_dup_spans_removes_exactly_covered_tokens(spark):
+    """Python reference replay: every token covered by a corpus-
+    duplicated 5-gram is removed, every other token survives in order,
+    and short docs pass through verbatim."""
+    from presto_cached_examples_spark.llm.pipeline import _SPAN_SCRUB_N
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_TINY, "documents").collect()
+    }
+    n = _SPAN_SCRUB_N
+    df: dict[str, set] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            df.setdefault(" ".join(toks[i : i + n]), set()).add(did)
+    dup = {g for g, ids in df.items() if len(ids) >= 2}
+    out = {r.doc_id: r for r in queries()["q_scrub_dup_spans"](spark, SF_TINY).collect()}
+    assert set(out) == set(docs)
+    any_removed = False
+    for did, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i : i + n]) in dup:
+                covered.update(range(i, i + n))
+        keep = [t for j, t in enumerate(toks) if j not in covered]
+        r = out[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == len(covered), did
+        assert r.clean_text == " ".join(keep), did
+        any_removed = any_removed or bool(covered)
+    assert any_removed, "no doc had a duplicated span — vacuous fixture"
+
+
+def test_bpe_pair_stats_top_pair_matches_reference(spark):
+    """Python BPE-trainer replay of the weighted pair counts; the
+    engine's top row must be the true argmax and counts must match."""
+    from collections import Counter
+
+    from presto_cached_examples_spark.llm.text import _EOW
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    wc = Counter()
+    for r in load_table(spark, SF_TINY, "documents").collect():
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    pc = Counter()
+    for w, cnt in wc.items():
+        syms = list(w) + [_EOW]
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += cnt
+    rows = queries()["q_bpe_pair_stats"](spark, SF_TINY).collect()
+    assert len(rows) == 20
+    # engine ties break (lhs, rhs) asc — recompute argmax that way
+    top_count = max(pc.values())
+    want_top = min(k for k, v in pc.items() if v == top_count)
+    assert (rows[0].lhs, rows[0].rhs) == want_top
+    for r in rows:
+        assert pc[(r.lhs, r.rhs)] == r.pair_count
+    # descending, deterministic ordering
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_coverage_bounds_and_consistency(spark):
+    """coverage + oov_rate == 1 (4 dp), n_covered <= n_tokens, and the
+    corpus-wide coverage of a 256-token vocab must be non-trivial."""
+    from presto_cached_examples_spark.registry import queries
+
+    rows = queries()["q_vocab_coverage"](spark, SF_TINY).collect()
+    assert rows
+    tot = cov = 0
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_tokens
+        assert abs((r.coverage + r.oov_rate) - 1.0) <= 2e-4
+        tot += r.n_tokens
+        cov += r.n_covered
+    assert cov / tot > 0.5, "top-256 vocab covers <50% — fixture drift?"
+
+
+def test_mix_schedule_is_a_permutation_and_interleaves(spark):
+    """Positions are exactly 1..N once each; within every source the
+    md5 order is respected; and in any prefix each source's share
+    tracks its sqrt-weight (stride-scheduling bound: every source
+    appears in the first ceil(2 * total_weight / w_s) positions)."""
+    import hashlib
+    import math as m
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    rows = sorted(
+        queries()["q_mix_schedule"](spark, SF_TINY).collect(), key=lambda r: r.pos
+    )
+    n = len(rows)
+    assert [r.pos for r in rows] == list(range(1, n + 1))
+    docs = load_table(spark, SF_TINY, "documents").collect()
+    assert n == len(docs)
+    from collections import Counter
+
+    src_n = Counter(r.source for r in docs)
+    # per-source emit order must follow md5(doc_id)
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.doc_id)
+    for s, ids in per_src.items():
+        want = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        assert ids == want, s
+    # stride bound: source s's first emission is at vtime 0.5/sqrt(n_s);
+    # every other source emits at most ceil(vtime * sqrt(n_t)) docs first
+    first_pos = {}
+    for r in rows:
+        first_pos.setdefault(r.source, r.pos)
+    for s, np_ in src_n.items():
+        vt = 0.5 / m.sqrt(np_)
+        bound = 1 + sum(
+            min(int(vt * m.sqrt(nt) + 0.5) + 1, nt) for t, nt in src_n.items() if t != s
+        )
+        assert first_pos[s] <= bound, (s, first_pos[s], bound)
+
+
+def test_embed_power_topvec_properties(spark):
+    """Infinity-norm scaling (max |loading| == 1), eigval positive and
+    no larger than total variance, and the component is a better
+    variance direction than any single axis (it dominates the max
+    per-dim variance)."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    import numpy as np
+
+    rows = sorted(
+        queries()["q_embed_power_topvec"](spark, SF_TINY).collect(),
+        key=lambda r: r.dim,
+    )
+    loadings = np.array([r.loading for r in rows])
+    assert abs(np.abs(loadings).max() - 1.0) < 1e-9
+    eig = rows[0].eigval
+    assert all(r.eigval == eig for r in rows)
+    X = np.array(
+        [r.embedding for r in load_table(spark, SF_TINY, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    # rayleigh quotient of the reported (unnormalized) vector
+    want = float(loadings @ cov @ loadings / (loadings @ loadings))
+    assert abs(eig - want) < 5e-3
+    assert eig > 0
+    # vs numpy's true top eigenvalue: power iteration with 4 steps on
+    # near-isotropic data needn't converge tightly; just sanity-bound it
+    top = float(np.linalg.eigvalsh(cov)[-1])
+    assert eig <= top + 1e-6
+    assert eig >= 0.5 * cov.diagonal().max()
