@@ -97,6 +97,10 @@ HEADLINE_V2 = [
     "q_vocab_coverage",
     "q_mix_schedule",
     "q_embed_power_topvec",
+    "q_text_kn_bigram",
+    "q_quality_ppl_filter",
+    "q_count_dp",
+    "q_dataset_card",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

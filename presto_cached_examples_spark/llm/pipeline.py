@@ -1114,3 +1114,284 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("pos").cast("long").alias("pos"), "doc_id", "source"
     )
+
+
+# Perplexity filter: keep docs whose add-1 bigram surprisal is at most
+# mean + _PPL_SIGMAS * stddev of the corpus distribution (CCNet-style
+# tail cut; the z-threshold form keeps the cut self-normalizing as the
+# corpus distribution drifts — the q_important_stock lesson).
+_PPL_SIGMAS = 1.0
+
+_PPL_SURPRISAL_SQL = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    doc_big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS k
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+      GROUP BY doc_id, w1, w2
+    ),
+    bc AS (SELECT w1, w2, SUM(k) AS n_big FROM doc_big GROUP BY w1, w2),
+    uc AS (SELECT w1, SUM(n_big) AS n_w1 FROM bc GROUP BY w1),
+    vsize AS (SELECT COUNT(DISTINCT w2) AS v FROM bc),
+    p AS (
+      SELECT bc.w1, bc.w2,
+             (bc.n_big + 1.0) / (uc.n_w1 + vs.v) AS cond_p
+      FROM bc JOIN uc ON uc.w1 = bc.w1 CROSS JOIN vsize vs
+    ),
+    surp AS (
+      SELECT d.doc_id,
+             ROUND(SUM(d.k * -LN(p.cond_p)) / SUM(d.k), 4) AS s
+      FROM doc_big d JOIN p ON p.w1 = d.w1 AND p.w2 = d.w2
+      GROUP BY d.doc_id
+    )
+"""
+
+
+@register(
+    "q_quality_ppl_filter",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH {_PPL_SURPRISAL_SQL},
+    thr AS (
+      SELECT ROUND(AVG(s) + {_PPL_SIGMAS} * STDDEV_SAMP(s), 4) AS thr FROM surp
+    ),
+    verdict AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN su.s IS NULL OR su.s <= t.thr THEN 1 ELSE 0 END AS keep
+      FROM documents d
+      LEFT JOIN surp su ON su.doc_id = d.doc_id
+      CROSS JOIN thr t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 4) AS retention
+    FROM verdict GROUP BY source
+    """,
+)
+def q_quality_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filtering ACTION (Wenzek et al. 2020, CCNet): score
+    every document with the corpus's own add-1 bigram LM (the
+    q_text_bigram_lm statistic), cut the high-surprisal tail at
+    mean + {s}sigma, and report per-source retention — the curation step
+    that drops machine-garbled and boilerplate-fragment text. The
+    threshold is a z-score, not a constant, so the cut survives corpus
+    drift; docs too short to have bigrams carry no evidence and are
+    kept. (A production run scores with an EXTERNAL clean-corpus LM;
+    the corpus-self-scored form is the same plan with the model tables
+    read instead of derived.)
+
+    Scale: the model tables (bc/uc) are vocabulary-bounded aggregates;
+    per-doc scoring is the same gram-keyed join as q_text_bigram_lm;
+    the threshold is a 1-row broadcast scalar (the q_important_stock
+    pattern); the verdict pass is one scan + broadcast join. Rounding
+    discipline: per-doc surprisal and the threshold are both rounded
+    to 4 dp before the comparison, so the keep/drop decision compares
+    IDENTICAL doubles on both engines.
+
+    Reference provenance: C1 tier admission (/root/reference/src/
+    PicoPlusPsram.cpp:14-29 — cheap summary statistic gates what
+    reaches the slow tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    doc_big = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    doc_big = doc_big.localCheckpoint(eager=False)
+    bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
+    bc = bc.localCheckpoint(eager=False)  # |V|^2-bounded, feeds 2 branches
+    uc = bc.groupBy("w1").agg(F.sum("n_big").alias("n_w1"))
+    vsize = bc.agg(F.countDistinct("w2").alias("v"))
+    p = (
+        bc.join(F.broadcast(uc), "w1")
+        .join(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            ((F.col("n_big") + 1.0) / (F.col("n_w1") + F.col("v"))).alias("cond_p"),
+        )
+    )
+    surp = (
+        doc_big.join(F.broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("k") * -F.log("cond_p")) / F.sum("k"), 4).alias("s")
+        )
+    )
+    thr = surp.agg(
+        F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
+    )
+    keep = F.when(
+        F.col("s").isNull() | (F.col("s") <= F.col("thr")), 1
+    ).otherwise(0)
+    return (
+        d.select("doc_id", "source")
+        .join(surp, "doc_id", "left")
+        .join(F.broadcast(thr))
+        .select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("retention"),
+        )
+    )
+
+
+q_quality_ppl_filter.__doc__ = q_quality_ppl_filter.__doc__.replace(
+    "{s}", str(_PPL_SIGMAS)
+)
+
+_DP_SCALE = 1.0  # Laplace scale b (epsilon = sensitivity / b = 1)
+
+
+@register(
+    "q_count_dp",
+    category="llm-pipeline",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    u AS (
+      SELECT source, n,
+             ((('0x' || substr(md5(source), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0) AS u
+      FROM c
+    )
+    SELECT source,
+           ROUND(n + (CASE WHEN u < 0.5 THEN 1 ELSE -1 END)
+                     * {_DP_SCALE} * LN(1 - 2 * ABS(u - 0.5)), 3)
+             AS dp_count
+    FROM u
+    """,
+)
+def q_count_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts: true count +
+    Laplace(b={b}) noise (epsilon=1 for a count query) — the release
+    primitive for publishing corpus statistics without exposing
+    individual membership. The noise draw is SEEDED: u ~ U(0,1) from
+    the first 8 md5 nibbles of the source name (+0.5 ulp shift keeps u
+    strictly inside (0,1)), inverse-CDF'd through the Laplace quantile
+    -b*sgn(u-.5)*ln(1-2|u-.5|), so the report is reproducible and the
+    DuckDB oracle replays it bit-for-bit (the q_sample_weighted
+    -LN(u) precedent; a production release would swap the md5 seed for
+    a secret one — one expression).
+
+    Scale: one hash aggregate + pure map-side noise arithmetic;
+    nothing else. Rounded to 3 dp, absorbing cross-libm LN ulp drift.
+
+    Reference provenance: NS (privacy release layer; no reference
+    counterpart)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    sgn = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = -sgn * _DP_SCALE * F.log(1 - 2 * F.abs(u - 0.5))
+    return c.select("source", F.round(F.col("n") + noise, 3).alias("dp_count"))
+
+
+q_count_dp.__doc__ = q_count_dp.__doc__.replace("{b}", str(_DP_SCALE))
+
+
+@register(
+    "q_dataset_card",
+    category="llm-pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id, lang, n_chars,
+             LEN(string_split(text, ' ')) AS n_toks,
+             md5(text) AS fp
+      FROM documents
+    ),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS nl FROM base GROUP BY source, lang
+    ),
+    toplang AS (
+      SELECT source, lang AS top_lang, nl FROM (
+        SELECT source, lang, nl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY nl DESC, lang) AS r
+        FROM lc
+      ) WHERE r = 1
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(b.n_toks) AS BIGINT) AS n_tokens,
+           ROUND(AVG(b.n_chars), 2) AS avg_chars,
+           COUNT(DISTINCT b.lang) AS n_langs,
+           MIN(t.top_lang) AS top_lang,
+           ROUND(MIN(t.nl) * 1.0 / COUNT(*), 4) AS top_lang_share,
+           ROUND(1.0 - COUNT(DISTINCT b.fp) * 1.0 / COUNT(*), 4)
+             AS exact_dup_rate
+    FROM base b JOIN toplang t ON t.source = b.source
+    GROUP BY b.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet table a training-data
+    release ships (Gebru et al. 2021 "Datasheets for Datasets"): doc
+    and token volume, average length, language inventory with the
+    dominant language and its share (deterministic tie-break: count
+    desc, lang asc), and the exact-duplicate rate from text md5
+    fingerprints. One relation that answers "what IS this source"
+    before any mixing decision.
+
+    Scale: one scan computing per-doc token counts and fingerprints
+    map-side; the language mode is a (source, lang)-keyed aggregate +
+    a source-partitioned top-1 window (WindowGroupLimit); the main
+    aggregate is source-keyed with one COUNT(DISTINCT fp) (two-phase,
+    the fp key is uniform md5). All shuffle keys are source-bounded.
+
+    Reference provenance: C9 self-reporting (/root/reference/
+    README.md:14-21 — the demo publishes its own timing/fps card)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("fp"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    toplang = (
+        lc.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("nl").desc(), "lang")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "nl")
+    )
+    return (
+        base.join(F.broadcast(toplang), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("top_lang").alias("top_lang"),
+            F.round(F.min("nl") / F.count(F.lit(1)), 4).alias("top_lang_share"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 4
+            ).alias("exact_dup_rate"),
+        )
+    )

@@ -1211,3 +1211,103 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_vocab_coverage.__doc__ = q_vocab_coverage.__doc__.replace(
     "{_COVER_VOCAB_N}", str(_COVER_VOCAB_N)
 )
+
+
+_KN_D = 0.75  # absolute-discount constant (standard Kneser-Ney default)
+_KN_TOPN = 50  # reported head of the smoothed bigram table
+
+
+@register(
+    "q_text_kn_bigram",
+    category="llm-text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c12
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+      GROUP BY w1, w2
+    ),
+    uni AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1fwd FROM big GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1back FROM big GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n_bigram_types FROM big),
+    kn AS (
+      SELECT b.w1, b.w2, b.c12,
+             ROUND(
+               (GREATEST(b.c12 - {_KN_D}, 0) / u.c1)
+               + ({_KN_D} * u.n1fwd / u.c1) * (ct.n1back * 1.0 / t.n_bigram_types),
+               6) AS p_kn
+      FROM big b
+      JOIN uni u ON u.w1 = b.w1
+      JOIN cont ct ON ct.w2 = b.w2
+      CROSS JOIN tot t
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, p_kn
+    FROM kn ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOPN}
+    """,
+)
+def q_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model estimation (Kneser & Ney
+    1995; Chen & Goodman 1999) — the classic n-gram LM smoother, whose
+    statistics are NATURALLY relational: c(w1,w2), the left context
+    mass c(w1), the forward type count N1+(w1,·), the CONTINUATION
+    count N1+(·,w2) ("in how many distinct contexts does w2 complete a
+    bigram"), and the bigram-type total. p_kn = max(c12-D,0)/c1 +
+    (D·N1+(w1,·)/c1)·(N1+(·,w2)/|bigram types|), D={_KN_D}. Reported:
+    the top-{_KN_TOPN} bigrams by count (deterministic tie-break), with
+    their smoothed probabilities — the head of the model a perplexity
+    scorer would consume.
+
+    Scale: everything is a hash aggregate over bigram keys (uniform
+    after the per-doc count collapse); the three model tables join back
+    to `big` on its own keys — at 100 TB this is the same
+    shuffle-bounded shape as q_text_pmi, and the model tables are
+    vocabulary-bounded, orders smaller than the corpus. Top-{_KN_TOPN}
+    plans as TakeOrderedAndProject.
+
+    Reference provenance: C7 summary tables (/root/reference/README.md:
+    3-6 — small derived tables consulted instead of raw data)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    big = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    big = big.localCheckpoint(eager=False)  # model-sized; feeds 4 branches
+    uni = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    p_kn = F.round(
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0)) / F.col("c1")
+        + (_KN_D * F.col("n1fwd") / F.col("c1"))
+        * (F.col("n1back") / F.col("n_bigram_types")),
+        6,
+    )
+    return (
+        big.join(uni, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), p_kn.alias("p_kn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPN)
+    )
+
+
+q_text_kn_bigram.__doc__ = q_text_kn_bigram.__doc__.replace(
+    "{_KN_D}", str(_KN_D)
+).replace("{_KN_TOPN}", str(_KN_TOPN))

@@ -276,6 +276,10 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_mix_schedule",
     "q_embed_power_topvec",
+    "q_text_kn_bigram",
+    "q_quality_ppl_filter",
+    "q_count_dp",
+    "q_dataset_card",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

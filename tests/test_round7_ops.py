@@ -266,3 +266,102 @@ def test_embed_power_topvec_properties(spark):
     top = float(np.linalg.eigvalsh(cov)[-1])
     assert eig <= top + 1e-6
     assert eig >= 0.5 * cov.diagonal().max()
+
+
+def test_kn_bigram_probabilities_are_valid(spark):
+    """p_kn in (0, 1]; the discounted-ML term never exceeds raw ML; and
+    a Python replay of the KN formula matches every reported row."""
+    from collections import Counter
+
+    from presto_cached_examples_spark.llm.text import _KN_D
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    big = Counter()
+    for r in load_table(spark, SF_TINY, "documents").collect():
+        t = r.text.split(" ")
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] += 1
+    c1 = Counter()
+    n1fwd = Counter()
+    n1back = Counter()
+    for (a, b), c in big.items():
+        c1[a] += c
+        n1fwd[a] += 1
+        n1back[b] += 1
+    T = len(big)
+    rows = queries()["q_text_kn_bigram"](spark, SF_TINY).collect()
+    assert len(rows) == 50
+    for r in rows:
+        want = (
+            max(big[(r.w1, r.w2)] - _KN_D, 0) / c1[r.w1]
+            + (_KN_D * n1fwd[r.w1] / c1[r.w1]) * (n1back[r.w2] / T)
+        )
+        assert abs(r.p_kn - round(want, 6)) <= 1e-9, (r.w1, r.w2)
+        assert 0 < r.p_kn <= 1
+        assert r.c12 == big[(r.w1, r.w2)]
+
+
+def test_ppl_filter_cuts_only_the_high_tail(spark):
+    """Retention must be < 1 somewhere (the cut bites) and total kept
+    docs must equal docs minus those above the mean+sigma threshold."""
+    from presto_cached_examples_spark.registry import queries
+
+    rows = queries()["q_quality_ppl_filter"](spark, SF_TINY).collect()
+    assert rows
+    n = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0 < kept <= n
+    assert kept < n, "threshold cut nothing — vacuous"
+    assert kept / n > 0.6, "a mean+1sigma cut should keep the bulk"
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_count_dp_noise_is_laplace_and_seeded(spark):
+    """dp_count differs from the true count (noise applied), noise
+    magnitude is plausible for b=1, and a rerun is identical."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    rows = {r.source: r.dp_count for r in queries()["q_count_dp"](spark, SF_TINY).collect()}
+    again = {r.source: r.dp_count for r in queries()["q_count_dp"](spark, SF_TINY).collect()}
+    assert rows == again
+    true = {
+        r.source: r.n
+        for r in load_table(spark, SF_TINY, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(rows) == set(true)
+    noises = [rows[s] - true[s] for s in true]
+    assert any(abs(x) > 1e-3 for x in noises)
+    # Laplace(1): P(|X| > 12) ~ 6e-6 — 20 sources should all be inside
+    assert all(abs(x) < 12 for x in noises)
+
+
+def test_dataset_card_reconciles_with_raw_table(spark):
+    """Volume metrics must reconcile against direct recomputation and
+    the dominant language must really dominate."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    rows = {r.source: r for r in queries()["q_dataset_card"](spark, SF_TINY).collect()}
+    assert set(rows) == set(by_src)
+    for s, rs in by_src.items():
+        card = rows[s]
+        assert card.n_docs == len(rs)
+        assert card.n_tokens == sum(len(r.text.split(" ")) for r in rs)
+        from collections import Counter
+
+        langs = Counter(r.lang for r in rs)
+        top = min((l for l, c in langs.items() if c == max(langs.values())))
+        assert card.top_lang == top
+        assert card.n_langs == len(langs)
+        assert 0 <= card.exact_dup_rate < 1

@@ -43,6 +43,11 @@ QUERIES = [
     "q_dedup_span",
     "q_quality_dsir",
     "q_dedup_incremental_bloom",
+    # round-7 additions
+    "q_scrub_dup_spans",
+    "q_bpe_pair_stats",
+    "q_vocab_coverage",
+    "q_mix_schedule",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
@@ -117,6 +122,8 @@ EMBED_QUERIES = [
     "q_sim_adc",
     "q_dedup_embed",
     "q_embed_centroids",
+    # round-7 addition
+    "q_embed_power_topvec",
 ]
 
 
