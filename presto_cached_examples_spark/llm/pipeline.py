@@ -1193,7 +1193,7 @@ def q_quality_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference provenance: C1 tier admission (/root/reference/src/
     PicoPlusPsram.cpp:14-29 — cheap summary statistic gates what
     reaches the slow tier)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     doc_big = (
         d.select(
@@ -1233,6 +1233,9 @@ def q_quality_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("k") * -F.log("cond_p")) / F.sum("k"), 4).alias("s")
         )
     )
+    # (doc_id, s) is |docs|-sized and feeds BOTH the threshold scalar
+    # and the verdict join — checkpoint so the scoring pipeline runs once
+    surp = surp.localCheckpoint(eager=False)
     thr = surp.agg(
         F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
     )

@@ -1268,7 +1268,7 @@ def q_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference provenance: C7 summary tables (/root/reference/README.md:
     3-6 — small derived tables consulted instead of raw data)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     big = (
         d.select(
