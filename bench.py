@@ -101,6 +101,7 @@ HEADLINE_V2 = [
     "q_quality_ppl_filter",
     "q_count_dp",
     "q_dataset_card",
+    "q_mm_audio_stats",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

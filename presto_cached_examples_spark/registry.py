@@ -280,6 +280,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_quality_ppl_filter",
     "q_count_dp",
     "q_dataset_card",
+    "q_mm_audio_stats",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

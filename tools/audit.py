@@ -34,6 +34,7 @@ PANDAS_ALLOWED = {
     "q_mm_resize",
     "q_mm_frames",
     "q_mm_phash",
+    "q_mm_audio_stats",
 }
 PYTHON_EVAL_NODES = (
     "BatchEvalPython",
