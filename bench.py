@@ -102,6 +102,7 @@ HEADLINE_V2 = [
     "q_count_dp",
     "q_dataset_card",
     "q_mm_audio_stats",
+    "q_mm_video_meta",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

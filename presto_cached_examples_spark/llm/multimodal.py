@@ -654,3 +654,201 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo.cpp:100-116 — fixed-rate sample buffers processed in place)."""
     a = audio_table(spark, sf_dir).select("doc_id", "payload")
     return a.mapInPandas(extract_audio_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL MP4 container-metadata parse, stdlib-only. The ISO BMFF
+# box structure (ftyp/moov/mvhd/trak) is length-prefixed binary — no
+# codec needed to read duration/timescale/track count, which is
+# exactly the catalog pass a video corpus runs before any (ffmpeg)
+# frame decode. Frame decode itself remains a loud stub.
+# ---------------------------------------------------------------------------
+
+_MP4_TIMESCALE = 1000  # synthesis timescale (units per second)
+
+
+def _parse_mp4_boxes(payload: bytes, start: int = 0, end: int | None = None):
+    """Iterate (box_type, body_start, body_end) over an ISO BMFF box
+    sequence. Length-prefixed: 4-byte big-endian size + 4-byte type;
+    size==1 means 64-bit largesize follows. Malformed sizes fail
+    loudly."""
+    import struct
+
+    end = len(payload) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize header for {btype!r} at {pos}")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box {btype!r} at {pos} (size {size})")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _decode_mp4_meta(payload: bytes):
+    """Parse a real MP4 (ISO BMFF) container's metadata: major brand
+    from ftyp, duration/timescale from moov/mvhd (v0 or v1), and the
+    track count from moov/trak boxes. Returns (brand, timescale,
+    duration_units, n_tracks). Works on any genuine .mp4 — the only
+    thing it does NOT do is decode frames (needs ffmpeg; loud stub)."""
+    import struct
+
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    for btype, body, bend in _parse_mp4_boxes(payload):
+        if btype == b"ftyp":
+            brand = payload[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ityp, ibody, _iend in _parse_mp4_boxes(payload, body, bend):
+                if ityp == b"mvhd":
+                    version = payload[ibody]
+                    if version == 1:
+                        timescale, duration = struct.unpack_from(
+                            ">IQ", payload, ibody + 4 + 16
+                        )
+                    else:
+                        _c, _m, timescale, duration = struct.unpack_from(
+                            ">IIII", payload, ibody + 4
+                        )
+                elif ityp == b"trak":
+                    n_tracks += 1
+    if brand is None or timescale is None:
+        raise ValueError("not an MP4: missing ftyp or moov/mvhd")
+    return brand, timescale, duration, n_tracks
+
+
+def synthesize_mp4_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: wrap each document as a minimal WELL-FORMED
+    MP4 — ftyp('isom') + moov(mvhd v0 + one trak per lang-derived
+    track count) + mdat carrying the text bytes. Deterministic:
+    duration-units = n_chars (timescale 1000 → n_chars ms),
+    track count = 1 + (doc_id % 2). _decode_mp4_meta and any
+    box-walking tool parse it as a real container."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    for pdf in it:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            n_tracks = 1 + (int(doc_id) % 2)
+            mvhd = box(
+                b"mvhd",
+                b"\x00\x00\x00\x00"  # version 0 + flags
+                + struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, len(data))
+                + b"\x00" * 80,  # rate/volume/matrix/next_track (unused)
+            )
+            traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+            payload = (
+                box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+                + box(b"moov", mvhd + traks)
+                + box(b"mdat", data)
+            )
+            payloads.append(payload)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": "video/mp4",
+            }
+        )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video view of documents: every doc as a minimal well-formed
+    MP4 container (see synthesize_mp4_batches)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    return d.select("doc_id", "text").mapInPandas(
+        synthesize_mp4_batches, schema=AUDIO_TABLE_SCHEMA
+    )
+
+
+def extract_video_meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real ISO-BMFF box walk per payload."""
+    import math
+
+    out_cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(payload)
+            brand, timescale, duration, n_tracks = _decode_mp4_meta(p)
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "brand": brand,
+                    "timescale": timescale,
+                    # SQL ROUND semantics (half away from zero)
+                    "duration_sec": math.floor(duration / timescale * 1e4 + 0.5)
+                    / 1e4,
+                    "n_tracks": n_tracks,
+                    "n_bytes": len(p),
+                }
+            )
+        yield pd.DataFrame(out, columns=out_cols)
+
+
+#: Synthesized container overhead in bytes: ftyp(20) + moov header(8)
+#: + mvhd(108) + 8 per empty trak + mdat header(8).
+_MP4_FIXED = 20 + 8 + 108 + 8
+
+
+@register(
+    "q_mm_video_meta",
+    category="llm-multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           'isom' AS brand,
+           {_MP4_TIMESCALE} AS timescale,
+           ROUND(octet_length(ENCODE(text)) * 1.0 / {_MP4_TIMESCALE}, 4)
+             AS duration_sec,
+           CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+           CAST(octet_length(ENCODE(text)) + {_MP4_FIXED}
+                + 8 * (1 + doc_id % 2) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video catalog pass over MP4 payloads — REAL ISO-BMFF container
+    parse, not a byte stand-in: the payloads are well-formed MP4s
+    (ftyp + moov/mvhd + trak boxes + mdat), `_decode_mp4_meta` walks
+    the length-prefixed box tree for brand/timescale/duration/track
+    count, and a genuine .mp4 from the wild parses through the same
+    path (v0 and v1 mvhd). This is the stats/triage pass a video
+    corpus runs BEFORE spending ffmpeg decode compute; frame decode
+    itself remains a loud NotImplementedError stub.
+
+    Scale posture: Arrow-batched mapInPandas with a fixed declared
+    schema; parallelism is the scan's split count; only fixed-width
+    metadata leaves the worker. The synthesized containers are
+    deterministic functions of (doc_id, text), so DuckDB replays every
+    output column arithmetically.
+
+    Reference provenance: C2 header-first tile walk (/root/reference/
+    src/demo.cpp:60-79 — fixed-layout headers consulted before bulk
+    pixel access)."""
+    v = video_table(spark, sf_dir).select("doc_id", "payload")
+    return v.mapInPandas(extract_video_meta, schema=VIDEO_META_SCHEMA)

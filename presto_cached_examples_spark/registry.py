@@ -281,6 +281,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_count_dp",
     "q_dataset_card",
     "q_mm_audio_stats",
+    "q_mm_video_meta",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

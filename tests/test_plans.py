@@ -32,6 +32,7 @@ PANDAS_ALLOWED = {
     "q_mm_frames",
     "q_mm_phash",
     "q_mm_audio_stats",
+    "q_mm_video_meta",
 }
 
 PYTHON_EVAL_NODES = (

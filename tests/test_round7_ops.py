@@ -430,3 +430,70 @@ def test_mm_audio_stats_reconciles_with_text_bytes(spark):
         want_rms = math.sqrt(sum(x * x for x in cent) / len(cent))
         assert abs(r.rms - want_rms) < 1e-3
         assert r.peak == max(abs(x) for x in cent)
+
+
+def test_mp4_box_parser_is_genuine():
+    """_decode_mp4_meta must parse real ISO-BMFF structure: v0 and v1
+    mvhd, 64-bit largesize boxes, nested trak counting — and fail
+    loudly on a truncated box."""
+    import struct
+
+    import pytest
+
+    from presto_cached_examples_spark.llm.multimodal import (
+        _decode_mp4_meta,
+        _parse_mp4_boxes,
+    )
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    # v1 mvhd (64-bit times) + 3 traks + a largesize mdat
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 90000, 123456789)
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd_v1 + b"".join(box(b"trak", b"") for _ in range(3)))
+    data = b"x" * 32
+    large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(data)) + data
+    payload = box(b"ftyp", b"mp42" + struct.pack(">I", 0)) + moov + large_mdat
+    brand, timescale, duration, n_tracks = _decode_mp4_meta(payload)
+    assert (brand, timescale, duration, n_tracks) == ("mp42", 90000, 123456789, 3)
+    kinds = [t for t, _, _ in _parse_mp4_boxes(payload)]
+    assert kinds == [b"ftyp", b"moov", b"mdat"]
+
+    with pytest.raises(ValueError):
+        _decode_mp4_meta(payload[:-40])  # truncated largesize box
+
+
+def test_mm_video_meta_reconciles(spark):
+    """Payloads must be well-formed MP4s and the reported metadata must
+    reconcile with the synthesis rule (duration = n_chars ms, tracks =
+    1 + doc_id % 2)."""
+    from presto_cached_examples_spark.llm.multimodal import (
+        _MP4_TIMESCALE,
+        _decode_mp4_meta,
+        video_table,
+    )
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    texts = {
+        r.doc_id: r.text for r in load_table(spark, SF_TINY, "documents").collect()
+    }
+    for r in video_table(spark, SF_TINY).take(5):
+        p = bytes(r.payload)
+        assert p[4:8] == b"ftyp"
+        brand, ts, dur, trk = _decode_mp4_meta(p)
+        assert brand == "isom" and ts == _MP4_TIMESCALE
+        assert dur == len(texts[r.doc_id])
+        assert trk == 1 + (r.doc_id % 2)
+        assert texts[r.doc_id].encode() in p  # mdat carries the bytes
+    rows = {r.doc_id: r for r in queries()["q_mm_video_meta"](spark, SF_TINY).collect()}
+    assert set(rows) == set(texts)
+    for did, text in texts.items():
+        r = rows[did]
+        assert r.n_tracks == 1 + (did % 2)
+        assert abs(r.duration_sec - len(text) / _MP4_TIMESCALE) < 1e-9
