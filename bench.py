@@ -103,6 +103,7 @@ HEADLINE_V2 = [
     "q_dataset_card",
     "q_mm_audio_stats",
     "q_mm_video_meta",
+    "q_curation_pipeline",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1122,6 +1122,14 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus distribution drifts — the q_important_stock lesson).
 _PPL_SIGMAS = 1.0
 
+def _ppl_surprisal_sql(src: str = "documents") -> str:
+    """CTE chain `toks..surp` scoring each doc of relation ``src``
+    (doc_id, text, ...) with the corpus's own add-1 bigram LM —
+    parameterized so q_curation_pipeline can score the DEDUPED
+    survivors with a survivor-trained model."""
+    return _PPL_SURPRISAL_SQL.replace("FROM documents", f"FROM {src}", 1)
+
+
 _PPL_SURPRISAL_SQL = """
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1146,6 +1154,57 @@ _PPL_SURPRISAL_SQL = """
       GROUP BY d.doc_id
     )
 """
+
+
+def _doc_surprisal(d: DataFrame) -> DataFrame:
+    """Per-doc add-1 bigram surprisal (doc_id, s) over relation ``d``
+    (doc_id, text, ...) — the engine half of _ppl_surprisal_sql. The
+    model tables are vocabulary-bounded and broadcast; doc_big and the
+    scored relation are checkpointed because both feed two consumers
+    (bc+surp, thr+verdict). Docs with < 2 tokens have no bigrams and
+    are ABSENT from the result (LEFT-join them as no-evidence)."""
+    toks = F.split("text", " ")
+    doc_big = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    doc_big = doc_big.localCheckpoint(eager=False)
+    bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
+    bc = bc.localCheckpoint(eager=False)  # |V|^2-bounded, feeds 2 branches
+    uc = bc.groupBy("w1").agg(F.sum("n_big").alias("n_w1"))
+    vsize = bc.agg(F.countDistinct("w2").alias("v"))
+    p = (
+        bc.join(F.broadcast(uc), "w1")
+        .join(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            ((F.col("n_big") + 1.0) / (F.col("n_w1") + F.col("v"))).alias("cond_p"),
+        )
+    )
+    surp = (
+        doc_big.join(F.broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("k") * -F.log("cond_p")) / F.sum("k"), 4).alias("s")
+        )
+    )
+    # (doc_id, s) is |docs|-sized and feeds BOTH the threshold scalar
+    # and the verdict join — checkpoint so the scoring pipeline runs once
+    return surp.localCheckpoint(eager=False)
 
 
 @register(
@@ -1194,48 +1253,7 @@ def q_quality_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     PicoPlusPsram.cpp:14-29 — cheap summary statistic gates what
     reaches the slow tier)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split("text", " ")
-    doc_big = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.w1", "bg.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    doc_big = doc_big.localCheckpoint(eager=False)
-    bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
-    bc = bc.localCheckpoint(eager=False)  # |V|^2-bounded, feeds 2 branches
-    uc = bc.groupBy("w1").agg(F.sum("n_big").alias("n_w1"))
-    vsize = bc.agg(F.countDistinct("w2").alias("v"))
-    p = (
-        bc.join(F.broadcast(uc), "w1")
-        .join(F.broadcast(vsize))
-        .select(
-            "w1",
-            "w2",
-            ((F.col("n_big") + 1.0) / (F.col("n_w1") + F.col("v"))).alias("cond_p"),
-        )
-    )
-    surp = (
-        doc_big.join(F.broadcast(p), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(F.col("k") * -F.log("cond_p")) / F.sum("k"), 4).alias("s")
-        )
-    )
-    # (doc_id, s) is |docs|-sized and feeds BOTH the threshold scalar
-    # and the verdict join — checkpoint so the scoring pipeline runs once
-    surp = surp.localCheckpoint(eager=False)
+    surp = _doc_surprisal(d)
     thr = surp.agg(
         F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
     )
@@ -1398,3 +1416,128 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
     )
+
+
+def _curation_pipeline_oracle() -> str:
+    """The composed curation oracle: exact dedup (keep min doc_id per
+    text md5) -> survivor-trained surprisal + mean+sigma cut ->
+    stride-scheduled training order. Generated so the stage SQL stays
+    in lockstep with the standalone operators' oracles."""
+    surp = _ppl_surprisal_sql("surv")
+    return f"""
+    WITH surv AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(text) ORDER BY doc_id) AS rd
+        FROM documents
+      ) WHERE rd = 1
+    ),
+    {surp},
+    thr AS (
+      SELECT ROUND(AVG(s) + {_PPL_SIGMAS} * STDDEV_SAMP(s), 4) AS thr FROM surp
+    ),
+    kept AS (
+      SELECT sv.doc_id, sv.source
+      FROM surv sv
+      LEFT JOIN surp su ON su.doc_id = sv.doc_id
+      CROSS JOIN thr t
+      WHERE su.s IS NULL OR su.s <= t.thr
+    ),
+    w AS (SELECT source, sqrt(COUNT(*)) AS wt FROM kept GROUP BY source),
+    r AS (
+      SELECT k.doc_id, k.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY k.source
+               ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+      FROM kept k
+    ),
+    v AS (
+      SELECT r.doc_id, r.source, (r.rnk - 0.5) / w.wt AS vtime
+      FROM r JOIN w USING (source)
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, doc_id) AS BIGINT) AS pos,
+           doc_id, source
+    FROM v
+    """
+
+
+@register("q_curation_pipeline", category="llm-pipeline", oracle=_curation_pipeline_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation path in one lazy plan — the batch twin of
+    q_ann_pipeline's composed-serving showpiece, for the data-curation
+    side: (1) exact dedup keeps the min-doc_id canonical per text md5;
+    (2) the SURVIVORS train the add-1 bigram LM that scores them, and
+    the mean+{s}sigma surprisal cut drops the garbled tail (training
+    the filter after dedup matters — duplicate mass would bias the LM
+    toward boilerplate and protect it from the cut); (3) the kept docs
+    are stride-scheduled into the reproducible training order
+    (1/sqrt(n_source) virtual clocks over POST-FILTER counts). Output
+    is the final (pos, doc_id, source) epoch order a trainer consumes.
+
+    One action executes the whole chain; no stage materializes outside
+    the plan (the LM tables and threshold are broadcast scalars, the
+    only checkpoints are the |V|^2 model table and the |docs| score
+    relation, both also present in the standalone operators).
+
+    Scale: dedup is one hash shuffle on md5(text); scoring is the
+    q_quality_ppl_filter shape; scheduling is the q_mix_schedule
+    shape (range-partitioned global_rank, no global sort). Each stage
+    was scale-probed standalone; composition adds joins on doc_id
+    only.
+
+    Reference provenance: C6 chained pipeline (/root/reference/src/
+    demo.cpp:206-231 — capture -> transform -> publish as one loop;
+    this is that chain for corpus curation)."""
+    from presto_cached_examples_spark.operators.distwindows import global_rank
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    surv = (
+        d.select(
+            "doc_id",
+            "source",
+            "text",
+            F.row_number()
+            .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+            .alias("rd"),
+        )
+        .filter(F.col("rd") == 1)
+        .drop("rd")
+    )
+    surv = surv.localCheckpoint(eager=False)  # feeds LM training AND verdict
+    surp = _doc_surprisal(surv)
+    thr = surp.agg(
+        F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
+    )
+    kept = (
+        surv.select("doc_id", "source")
+        .join(surp, "doc_id", "left")
+        .join(F.broadcast(thr))
+        .filter(F.col("s").isNull() | (F.col("s") <= F.col("thr")))
+        .select("doc_id", "source")
+    )
+    kept = kept.localCheckpoint(eager=False)  # feeds weights AND ranks
+    w = kept.groupBy("source").agg(F.sqrt(F.count(F.lit(1))).alias("wt"))
+    r = kept.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rnk"),
+    )
+    v = r.join(F.broadcast(w), "source").select(
+        "doc_id", "source", ((F.col("rnk") - 0.5) / F.col("wt")).alias("vtime")
+    )
+    ranked = global_rank(v, "vtime", "doc_id", out_rank="pos")
+    return ranked.select(
+        F.col("pos").cast("long").alias("pos"), "doc_id", "source"
+    )
+
+
+q_curation_pipeline.__doc__ = q_curation_pipeline.__doc__.replace(
+    "{s}", str(_PPL_SIGMAS)
+)

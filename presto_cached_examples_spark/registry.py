@@ -282,6 +282,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_dataset_card",
     "q_mm_audio_stats",
     "q_mm_video_meta",
+    "q_curation_pipeline",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -429,6 +429,7 @@ WINDOW_UNPARTITIONED_ALLOWED: dict[str, str] = {
     "q_ntile_spend": "global_rank prefix offsets (<= 64 bucket rows)",
     "q_rfm_segments": "global_rank prefix offsets (<= 64 bucket rows, x3)",
     "q_mix_schedule": "global_rank prefix offsets (<= 64 bucket rows)",
+    "q_curation_pipeline": "global_rank prefix offsets (<= 64 bucket rows)",
 }
 
 

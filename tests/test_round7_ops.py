@@ -497,3 +497,38 @@ def test_mm_video_meta_reconciles(spark):
         r = rows[did]
         assert r.n_tracks == 1 + (did % 2)
         assert abs(r.duration_sec - len(text) / _MP4_TIMESCALE) < 1e-9
+
+
+def test_curation_pipeline_composes_its_stages(spark):
+    """The composed plan must equal running the stages independently:
+    dedup survivors -> ppl-kept set -> a valid 1..N permutation whose
+    per-source order follows md5(doc_id)."""
+    import hashlib
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    rows = sorted(
+        queries()["q_curation_pipeline"](spark, SF_TINY).collect(),
+        key=lambda r: r.pos,
+    )
+    n = len(rows)
+    assert [r.pos for r in rows] == list(range(1, n + 1))
+    docs = load_table(spark, SF_TINY, "documents").collect()
+    # stage 1: exact dedup (min doc_id per text)
+    first_by_text: dict[str, int] = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        first_by_text.setdefault(r.text, r.doc_id)
+    survivors = set(first_by_text.values())
+    emitted = {r.doc_id for r in rows}
+    assert emitted <= survivors, "a non-canonical duplicate was scheduled"
+    assert 0 < len(emitted) < len(docs) or len(survivors) == len(docs)
+    # stage 3: per-source md5 order
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.doc_id)
+    for s, ids in per_src.items():
+        want = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        assert ids == want, s
+    # stage 2 dropped the high tail but kept the bulk
+    assert len(emitted) / len(survivors) > 0.6
