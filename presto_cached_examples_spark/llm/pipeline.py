@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 # Chunking: window of 32 tokens advancing by 24 (8-token overlap keeps
@@ -1418,6 +1419,14 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Range-split points for the curation schedule's global_rank, memoized
+#: per (session, sf) like the k-means codebooks — the split values
+#: shape the plan, never the answer, so reusing them across builds is
+#: free; the first build's sampling pass doubles as the checkpoint
+#: materialization for surv/surp/kept.
+_CURATION_SPLITS: dict[tuple, list] = {}
+
+
 def _curation_pipeline_oracle() -> str:
     """The composed curation oracle: exact dedup (keep min doc_id per
     text md5) -> survivor-trained surprisal + mean+sigma cut ->
@@ -1504,6 +1513,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rd") == 1)
         .drop("rd")
     )
+    # explicit repartition after the dedup window: AQE coalesces the
+    # small post-window output to 1-2 partitions at RUNTIME (static
+    # count is already 32, so spread() can't see it), which would
+    # serialize the CPU-heavy bigram explode inside _doc_surprisal —
+    # the q_dedup_ngram lesson; AQE honors user-numbered repartitions
+    surv = surv.repartition(spark.sparkContext.defaultParallelism)
     surv = surv.localCheckpoint(eager=False)  # feeds LM training AND verdict
     surp = _doc_surprisal(surv)
     thr = surp.agg(
@@ -1532,7 +1547,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = r.join(F.broadcast(w), "source").select(
         "doc_id", "source", ((F.col("rnk") - 0.5) / F.col("wt")).alias("vtime")
     )
-    ranked = global_rank(v, "vtime", "doc_id", out_rank="pos")
+    skey = (session_token(spark), sf_dir)
+    if skey not in _CURATION_SPLITS:
+        _CURATION_SPLITS[skey] = v.approxQuantile(
+            "vtime", [i / 64 for i in range(1, 64)], 0.001
+        )
+    ranked = global_rank(
+        v, "vtime", "doc_id", out_rank="pos", splits=_CURATION_SPLITS[skey]
+    )
     return ranked.select(
         F.col("pos").cast("long").alias("pos"), "doc_id", "source"
     )
