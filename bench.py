@@ -104,6 +104,8 @@ HEADLINE_V2 = [
     "q_mm_audio_stats",
     "q_mm_video_meta",
     "q_curation_pipeline",
+    "q_basket_rules",
+    "q_sample_kcenter",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

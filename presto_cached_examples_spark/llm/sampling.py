@@ -185,3 +185,137 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_KCENTER_K = 8  # coreset size
+
+#: Greedy k-center selection memo, (session, sf) -> [(vec_id, v, radius)].
+_KCENTER_CACHE: dict = {}
+
+
+def _kcenter_dist_sql(v: str, c: str) -> str:
+    """Squared L2 for the oracle replay (the _dist_sql formulation)."""
+    return (
+        f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c})"
+    )
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    """Unrolled greedy farthest-point CTE chain replaying
+    _kcenter_select: md5-seeded start, then k-1 argmax-of-min-distance
+    steps (ties by vec_id). Generated so k stays in lockstep."""
+    parts = [
+        """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sel1 AS (
+  SELECT vec_id, v, 1 AS ord, 0.0 AS d FROM (
+    SELECT vec_id, v FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)
+),
+selall1 AS MATERIALIZED (SELECT vec_id, v FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""
+m{i} AS MATERIALIZED (
+  SELECT c.vec_id, MIN({_kcenter_dist_sql('c.v', 's.v')}) AS md
+  FROM e c CROSS JOIN selall{i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{i - 1})
+  GROUP BY c.vec_id
+),
+sel{i} AS (
+  SELECT e.vec_id, e.v, {i} AS ord, m.md AS d
+  FROM m{i} m JOIN e ON e.vec_id = m.vec_id
+  ORDER BY m.md DESC, e.vec_id LIMIT 1
+),
+selall{i} AS MATERIALIZED (
+  SELECT vec_id, v FROM selall{i - 1}
+  UNION ALL SELECT vec_id, v FROM sel{i}
+)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT ord, vec_id, d FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT CAST(ord AS INT) AS sel_order, vec_id, ROUND(d, 4) AS radius2
+    FROM ({union})
+    """
+
+
+def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
+    """Greedy farthest-point traversal (Gonzalez 1985) as DataFrame
+    jobs: seed = md5-min vector; each step keeps a map-side min-
+    distance column over the LITERAL selected centers and collects the
+    single argmax row (ties by vec_id) — k model-sized collects total,
+    memoized per session (the codebook discipline). The selected set
+    2-approximates the optimal k-center cover; `radius2` traces the
+    squared coverage radius as the budget grows."""
+    from presto_cached_examples_spark.llm.similarity import _corpus, _dist2_to
+    from presto_cached_examples_spark.session import session_token
+
+    key = (session_token(spark), sf_dir, k)
+    got = _KCENTER_CACHE.get(key)
+    if got is not None:
+        return got
+    c = _corpus(spark, sf_dir).select("vec_id", "v")
+    seed = (
+        c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(1).collect()[0]
+    )
+    sel = [(int(seed.vec_id), [float(x) for x in seed.v], 0.0)]
+    for _ in range(k - 1):
+        dists = [_dist2_to(v) for _vid, v, _d in sel]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            c.filter(~F.col("vec_id").isin([vid for vid, _v, _d in sel]))
+            .select("vec_id", "v", mind.alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((int(row.vec_id), [float(x) for x in row.v], float(row.md)))
+    _KCENTER_CACHE[key] = sel
+    return sel
+
+
+@register("q_sample_kcenter", category="llm-sampling", oracle=_kcenter_oracle())
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset selection: greedy k-center (farthest-point)
+    over the embedding corpus — the labeling-budget / eval-set
+    selection that maximizes coverage instead of sampling uniformly
+    (active-learning's classic CoreSet strategy, Sener & Savarese
+    2018). Emits the {k} selected vectors in selection order with the
+    squared coverage radius at each step (the budget-vs-coverage
+    curve a curator reads to pick k).
+
+    Scale: each greedy step is ONE corpus scan with a map-side
+    min-distance over <= {k} literal centers and a distributed top-1
+    (TakeOrdered) — no pairwise matrix, no shuffle beyond the top-1;
+    collects are single-row. The selection is memoized per session
+    (warm builds are job-free); the output relation recomputes
+    nothing — it filters the corpus to the selected ids and attaches
+    order/radius from broadcast literals.
+
+    Reference provenance: C1 budgeted placement (/root/reference/src/
+    PicoPlusPsram.cpp:14-29 — a bounded fast tier chosen for coverage
+    of the access pattern)."""
+    from presto_cached_examples_spark.llm.similarity import _corpus
+
+    sel = _kcenter_select(spark, sf_dir)
+    ids = [vid for vid, _v, _d in sel]
+    ord_map = F.create_map(
+        *[F.lit(x) for pair in ((vid, i + 1) for i, (vid, _v, _d) in enumerate(sel)) for x in pair]
+    )
+    rad_map = F.create_map(
+        *[F.lit(x) for pair in ((vid, d) for vid, _v, d in sel) for x in pair]
+    )
+    c = _corpus(spark, sf_dir).select("vec_id")
+    return c.filter(F.col("vec_id").isin(ids)).select(
+        ord_map[F.col("vec_id")].cast("int").alias("sel_order"),
+        "vec_id",
+        F.round(rad_map[F.col("vec_id")], 4).alias("radius2"),
+    )

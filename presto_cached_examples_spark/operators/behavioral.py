@@ -1288,3 +1288,113 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("full_conversion"),
         )
     )
+
+
+_BASKET_MIN_PAIR = 2  # minimum pair support (co-ordered baskets)
+_BASKET_TOPN = 50
+
+
+@register(
+    "q_basket_rules",
+    category="behavioral",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+    item AS (SELECT l_partkey AS p, COUNT(*) AS np FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS nab
+      FROM b x JOIN b y
+        ON y.l_orderkey = x.l_orderkey AND y.l_partkey > x.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, nab FROM pair
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, nab FROM pair
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.nab AS BIGINT) AS n_both,
+           ROUND(r.nab * 1.0 / ia.np, 4) AS confidence,
+           ROUND(r.nab * 1.0 * n.n_baskets / (ia.np * ic.np), 4) AS lift
+    FROM rules r
+    JOIN item ia ON ia.p = r.antecedent
+    JOIN item ic ON ic.p = r.consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {_BASKET_TOPN}
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994 shape):
+    treat each order as a basket of distinct parts, mine pairs with
+    support >= {m} baskets, and emit both rule directions with
+    confidence n_ab/n_a and lift N*n_ab/(n_a*n_b) — top {t} by lift
+    (deterministic tie-break). The recommender / co-placement primer
+    over the same co-purchase structure the graph family analyzes.
+
+    Scale: baskets collapse to per-order sorted part SETS in one
+    shuffle; pairs expand MAP-SIDE from each bounded set (the
+    copurchase_pairs HOF formulation — measured ~3x cheaper than the
+    self-join at sf0.1, and the quadratic term is per-basket, never
+    global); item supports are one hash aggregate; the rule join keys
+    on part ids (uniform); top-{t} plans as TakeOrderedAndProject on
+    the ROUNDED lift so both engines order identical doubles.
+
+    Reference provenance: C7 derived summary tables
+    (/root/reference/README.md:3-6)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = ps.localCheckpoint(eager=False)  # feeds N, item supports, pairs
+    n = ps.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = ps.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pair = (
+        ps.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _BASKET_MIN_PAIR)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "nab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "nab"
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("np").alias("na"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("np").alias("nc"))
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("nab").cast("long").alias("n_both"),
+            F.round(F.col("nab") / F.col("na"), 4).alias("confidence"),
+            F.round(
+                F.col("nab") * F.col("n_baskets") / (F.col("na") * F.col("nc")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(_BASKET_TOPN)
+    )
+
+
+q_basket_rules.__doc__ = q_basket_rules.__doc__.replace(
+    "{m}", str(_BASKET_MIN_PAIR)
+).replace("{t}", str(_BASKET_TOPN))

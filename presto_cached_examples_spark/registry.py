@@ -283,6 +283,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_mm_audio_stats",
     "q_mm_video_meta",
     "q_curation_pipeline",
+    "q_basket_rules",
+    "q_sample_kcenter",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

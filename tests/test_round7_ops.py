@@ -532,3 +532,86 @@ def test_curation_pipeline_composes_its_stages(spark):
         assert ids == want, s
     # stage 2 dropped the high tail but kept the bulk
     assert len(emitted) / len(survivors) > 0.6
+
+
+def test_basket_rules_match_reference_counts(spark):
+    """Python replay of supports/confidence/lift for the reported
+    rules; lift must be symmetric between the two directions of a
+    pair and the list must be lift-descending."""
+    from collections import Counter
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_TINY, "lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    N = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for ps in baskets.values():
+        for p in ps:
+            item[p] += 1
+        ss = sorted(ps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                pair[(a, b)] += 1
+    import math
+
+    def r4(x):  # SQL half-away-from-zero rounding, not Python banker's
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    rows = queries()["q_basket_rules"](spark, SF_TINY).collect()
+    assert rows
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        a, b = r.antecedent, r.consequent
+        nab = pair[(min(a, b), max(a, b))]
+        assert nab == r.n_both and nab >= 2
+        assert abs(r.confidence - r4(nab / item[a])) <= 1e-9
+        assert abs(r.lift - r4(nab * N / (item[a] * item[b]))) <= 1e-9
+
+
+def test_kcenter_is_greedy_farthest_point(spark):
+    """Numpy replay of the greedy traversal: same selection order,
+    same radii; radii must be non-increasing after step 2 (the
+    coverage-curve property of farthest-point)."""
+    import hashlib
+
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.sampling import _KCENTER_K
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_TINY, "embeddings").collect()
+    }
+    seed = min(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    sel = [seed]
+    radii = [0.0]
+    while len(sel) < _KCENTER_K:
+        best = None
+        for vid, v in vecs.items():
+            if vid in sel:
+                continue
+            md = min(float(((v - vecs[s]) ** 2).sum()) for s in sel)
+            if best is None or md > best[1] or (md == best[1] and vid < best[0]):
+                if best is None or md > best[1]:
+                    best = (vid, md)
+                elif vid < best[0]:
+                    best = (vid, md)
+        sel.append(best[0])
+        radii.append(best[1])
+    rows = sorted(
+        queries()["q_sample_kcenter"](spark, SF_TINY).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [r.vec_id for r in rows] == sel
+    for r, want in zip(rows[1:], radii[1:]):
+        assert abs(r.radius2 - round(want, 4)) <= 1e-3
+    rs = [r.radius2 for r in rows[1:]]
+    assert rs == sorted(rs, reverse=True), "coverage radius must shrink"
