@@ -29,6 +29,8 @@ def test_codebook_queries_build_without_jobs_when_warm(spark):
         "q_dedup_embed",
         "q_dedup_incremental_bloom",  # memoized standing-corpus count
         "q_embed_power_topvec",  # memoized power-iteration component
+        "q_sample_kcenter",  # memoized greedy selection
+        "q_curation_pipeline",  # memoized range-split points
     )
     # Warm every cache (codebooks, bloom count) — may run jobs.
     for name in warm:
