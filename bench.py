@@ -180,6 +180,18 @@ def main() -> None:
             spread[name] = round(max(samples) - min(samples), 3)
         return timings, spread
 
+    # Pre-fork the Python worker pool before any timed run: the first
+    # Arrow mapInPandas query in a loaded session otherwise absorbs
+    # interpreter/pool startup for all its tasks (round-7 saw
+    # q_mm_audio_stats read 11-44s in-bench vs 0.9s isolated) — a real
+    # cluster pre-forks workers, so the bench should measure the
+    # engine, not the cold pool.
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     # headline: best-of-3 (the cross-round comparability series — worth
     # the extra pass); v2: best-of-2 (47 queries, trend line only; the
     # spread column makes box-noise regressions self-diagnosing —
