@@ -106,6 +106,8 @@ HEADLINE_V2 = [
     "q_curation_pipeline",
     "q_basket_rules",
     "q_sample_kcenter",
+    "q_dedup_embed_sweep",
+    "q_snapshot_diff",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

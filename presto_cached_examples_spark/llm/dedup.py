@@ -1058,3 +1058,129 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_span.__doc__ = q_dedup_span.__doc__.replace("{n}", str(_SPAN_N))
+
+
+_EMBED_SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35)
+
+
+def _dedup_embed_sweep_oracle() -> str:
+    """DuckDB replay of the threshold sweep: the identical blocked
+    candidate set scored once, then per-threshold pair/doc counts."""
+    from presto_cached_examples_spark.llm.similarity import (
+        _KMEANS_NPROBE,
+        _kmeans_cells_sql,
+    )
+
+    branches = "\n    UNION ALL ".join(
+        f"""SELECT {t} AS threshold,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT vec_b) AS n_dup_candidates
+    FROM scored WHERE cosine >= {t}"""
+        for t in _EMBED_SWEEP_THRESHOLDS
+    )
+    return f"""
+WITH {_kmeans_cells_sql()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM rc a JOIN rc b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.r <= {_KMEANS_NPROBE} AND b.r <= {_KMEANS_NPROBE}
+),
+scored AS MATERIALIZED (
+  SELECT p.vec_a, p.vec_b,
+         ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cosine
+  FROM pairs p
+  JOIN nv na ON na.vec_id = p.vec_a
+  JOIN nv nb ON nb.vec_id = p.vec_b
+)
+{branches}
+"""
+
+
+@register(
+    "q_dedup_embed_sweep", category="llm-dedup", oracle=_dedup_embed_sweep_oracle()
+)
+def q_dedup_embed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for embedding near-dedup — q_dedup_embed's
+    tuning twin, the q_ann_recall_sweep pattern applied to curation:
+    score the SAME k-means-blocked candidate pairs once, then report
+    pair count and affected-doc count at each candidate threshold.
+    The curve a curator reads to pick the cosine cut (too low deletes
+    distinct content, too high ships duplicates); on the near-random
+    fixtures the counts fall off steeply across 0.20-0.35 —
+    real near-dup corpora show the elbow near 0.9.
+
+    Scale: identical candidate generation to q_dedup_embed (cell-
+    blocked, ids-only shuffle, pair-deduped); the sweep adds ONE
+    conditional aggregation over the scored pairs — thresholds share
+    the scan instead of re-running the pipeline per knob. n_dup_
+    candidates counts DISTINCT vec_b (the would-be-dropped side under
+    keep-lowest-id resolution).
+
+    Reference provenance: C9 measure-then-tune (/root/reference/
+    README.md:14-21 — published operating curves drive the knob)."""
+    from presto_cached_examples_spark.llm.similarity import (
+        _KMEANS_NPROBE,
+        _cell_ranking,
+        _corpus,
+        _corpus_centroids,
+    )
+
+    e = _corpus(spark, sf_dir)
+    cents = _corpus_centroids(spark, sf_dir)
+    cells = e.select(
+        "vec_id",
+        F.explode(F.slice(_cell_ranking(cents), 1, _KMEANS_NPROBE)).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = e.select("vec_id", "v", "nrm")
+    scored = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # one scoring pass, N thresholds
+    out = None
+    for t in _EMBED_SWEEP_THRESHOLDS:
+        branch = scored.filter(F.col("cosine") >= t).agg(
+            F.lit(t).alias("threshold"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("vec_b").alias("n_dup_candidates"),
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out

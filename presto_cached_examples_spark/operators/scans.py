@@ -568,3 +568,107 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("long").alias("y_max"),
         )
     )
+
+
+# Snapshot diff: v2 simulates the next day's table version with
+# deterministic mutations — ~10% price updates, ~5% deletes, plus a
+# re-keyed 2% insert batch. All derived from o_orderkey so both
+# engines build bit-identical versions.
+_DIFF_UPD_MOD, _DIFF_DEL_MOD, _DIFF_INS_MOD = 10, 20, 50
+
+
+@register(
+    "q_snapshot_diff",
+    category="scan",
+    oracle=f"""
+    WITH v1 AS (
+      -- raw doubles: per-row ROUND at half-cent boundaries differs
+      -- across engines (the q_scan_project caveat); identical IEEE
+      -- multiplies are bit-identical, so compare unrounded values and
+      -- round only the aggregate
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 3
+                  THEN o_totalprice * 1.05 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} <> 7
+      UNION ALL
+      SELECT -o_orderkey AS k, o_totalprice * 0.37 AS price
+      FROM orders WHERE o_orderkey % {_DIFF_INS_MOD} = 11
+    ),
+    joined AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'deleted'
+                  WHEN v1.price <> v2.price THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(v2.price, 0) - COALESCE(v1.price, 0) AS delta
+      FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(delta), 2) AS price_delta
+    FROM joined GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the lakehouse maintenance pass that
+    classifies every key across two snapshots as added / deleted /
+    changed / unchanged and totals the value drift, the audit a
+    nightly pipeline publishes before promoting a new table version
+    (and the verification step behind incremental-materialization
+    correctness). v2 is derived in-plan with deterministic mutations
+    (5% price bumps on key%10=3, deletes on key%20=7, a re-keyed
+    discounted insert batch — x0.37, deliberately NOT x0.5: an exact
+    binary halving of 2-dp prices parks aggregate sums on half-cent
+    ROUND boundaries where engines legitimately disagree) so both engines diff bit-identical versions; with
+    real snapshots the two CTEs become two table reads — same plan.
+
+    Scale: ONE full outer join on the key (sort-merge on a uniform
+    key), per-row classification map-side, then a 4-group aggregate —
+    the minimal shape a snapshot diff can have. No window, no skew
+    (keys are unique), and column pruning reaches both scans (only
+    key + compared columns are read).
+
+    Reference provenance: C3/C4 double-buffer swap (/root/reference/
+    src/demo.cpp:162-204 — old and new framebuffer coexist; the diff
+    is what a promotion gate computes between them)."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 7)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % _DIFF_UPD_MOD == 3,
+                F.col("o_totalprice") * 1.05,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % _DIFF_INS_MOD == 11).select(
+                (-F.col("o_orderkey")).alias("k"),
+                (F.col("o_totalprice") * 0.37).alias("price"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("b.k") == F.col("a.k"), "full_outer")
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "deleted")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("b.price"), F.lit(0.0)) - F.coalesce(
+        F.col("a.price"), F.lit(0.0)
+    )
+    return (
+        j.select(status.alias("status"), delta.alias("delta"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("delta"), 2).alias("price_delta"),
+        )
+    )

@@ -285,6 +285,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_curation_pipeline",
     "q_basket_rules",
     "q_sample_kcenter",
+    "q_dedup_embed_sweep",
+    "q_snapshot_diff",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -617,3 +617,45 @@ def test_kcenter_is_greedy_farthest_point(spark):
         assert abs(r.radius2 - round(want, 4)) <= 1e-3
     rs = [r.radius2 for r in rows[1:]]
     assert rs == sorted(rs, reverse=True), "coverage radius must shrink"
+
+
+def test_embed_sweep_counts_are_monotone_and_match_base(spark):
+    """Counts must be non-increasing in the threshold, and the 0.25 row
+    must match q_dedup_embed's emitted pair count exactly."""
+    from presto_cached_examples_spark.registry import queries
+
+    rows = {r.threshold: r for r in queries()["q_dedup_embed_sweep"](spark, SF_TINY).collect()}
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo].n_pairs >= rows[hi].n_pairs
+        assert rows[lo].n_dup_candidates >= rows[hi].n_dup_candidates
+    base = queries()["q_dedup_embed"](spark, SF_TINY).collect()
+    assert rows[0.25].n_pairs == len(base)
+    assert rows[0.25].n_dup_candidates == len({r.vec_b for r in base})
+
+
+def test_snapshot_diff_reconciles(spark):
+    """Status counts must reconcile with the mutation rules applied to
+    the raw orders table."""
+    from presto_cached_examples_spark.operators.scans import (
+        _DIFF_DEL_MOD,
+        _DIFF_INS_MOD,
+        _DIFF_UPD_MOD,
+    )
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    keys = [r.o_orderkey for r in load_table(spark, SF_TINY, "orders").select("o_orderkey").collect()]
+    n = len(keys)
+    want_added = sum(1 for k in keys if k % _DIFF_INS_MOD == 11)
+    want_deleted = sum(1 for k in keys if k % _DIFF_DEL_MOD == 7)
+    want_changed = sum(
+        1 for k in keys if k % _DIFF_DEL_MOD != 7 and k % _DIFF_UPD_MOD == 3
+    )
+    rows = {r.status: r for r in queries()["q_snapshot_diff"](spark, SF_TINY).collect()}
+    assert rows["added"].n_rows == want_added
+    assert rows["deleted"].n_rows == want_deleted
+    assert rows["changed"].n_rows == want_changed
+    assert rows["unchanged"].n_rows == n - want_deleted - want_changed
+    assert rows["deleted"].price_delta < 0 < rows["changed"].price_delta
+    assert rows["unchanged"].price_delta == 0.0
