@@ -185,3 +185,100 @@ def test_bucket_quantiles_match_numpy(spark, data):
     for g, vals in by_g.items():
         want = tuple(float(np.percentile(vals, q, method="linear")) for q in (25, 50, 75))
         assert got[g] == want, (g, got[g], want)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 binary parsers — pure-function fuzz (no Spark jobs, so these
+# can afford many more examples than the engine-level properties)
+# ---------------------------------------------------------------------------
+
+PURE = settings(max_examples=200, deadline=None, derandomize=True)
+
+
+@PURE
+@given(
+    raw=st.binary(min_size=0, max_size=512),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    nch=st.integers(min_value=1, max_value=2),
+    width=st.sampled_from([1, 2]),
+)
+def test_wav_roundtrip_property(raw, rate, nch, width):
+    """Any PCM payload wave can write, _decode_wav must read back with
+    identical rate/channels/width and exact sample values."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_wav
+
+    frame = nch * width
+    raw = raw[: len(raw) - (len(raw) % frame)] if frame else raw
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    r, c, wd, samples = _decode_wav(buf.getvalue())
+    assert (r, c, wd) == (rate, nch, width)
+    if width == 1:
+        want = (np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128).tolist()
+    else:
+        want = np.frombuffer(raw, dtype="<i2").astype(np.int32).tolist()
+    assert samples.tolist() == want
+
+
+@PURE
+@given(
+    bodies=st.lists(
+        st.tuples(
+            st.sampled_from([b"free", b"skip", b"wide", b"mdat"]),
+            st.binary(min_size=0, max_size=64),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    timescale=st.integers(min_value=1, max_value=1_000_000),
+    duration=st.integers(min_value=0, max_value=2**31 - 1),
+    n_tracks=st.integers(min_value=0, max_value=5),
+    v1=st.booleans(),
+)
+def test_mp4_parser_property(bodies, timescale, duration, n_tracks, v1):
+    """A well-formed box tree with arbitrary sibling boxes around
+    ftyp/moov must parse to exactly the written metadata; truncating
+    the payload anywhere inside a box must raise, never mis-parse."""
+    import struct
+
+    import pytest
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_mp4_meta
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    if v1:
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+    moov = box(b"moov", mvhd + b"".join(box(b"trak", b"") for _ in range(n_tracks)))
+    payload = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    for btype, body in bodies:
+        payload += box(btype, body)
+    payload += moov
+    brand, ts, dur, trk = _decode_mp4_meta(payload)
+    assert (brand, ts, dur, trk) == ("isom", timescale, duration, n_tracks)
+    # truncation inside the final box must fail loudly
+    if len(payload) > 9:
+        with pytest.raises(ValueError):
+            _decode_mp4_meta(payload[:-5])
