@@ -108,6 +108,13 @@ HEADLINE_V2 = [
     "q_sample_kcenter",
     "q_dedup_embed_sweep",
     "q_snapshot_diff",
+    # late round-7 batch (quality rules, length panel, embed health,
+    # graph degree histogram)
+    "q_quality_gopher",
+    "q_doc_length_hist",
+    "q_embed_dim_stats",
+    "q_embed_label_margin",
+    "q_graph_degree_stats",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1396,3 +1396,180 @@ def q_embed_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dims.join(F.broadcast(eig))  # 1-row eigenvalue cross join
+
+
+_LOW_VAR_STD = 0.01  # a dimension this flat carries no signal
+
+
+@register(
+    "q_embed_dim_stats",
+    category="llm-similarity",
+    oracle=f"""
+    WITH elem AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(AVG(val), 4) AS mean_val,
+           ROUND(STDDEV_SAMP(val), 4) AS std_val,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val,
+           ROUND(STDDEV_SAMP(val), 4) < {_LOW_VAR_STD} AS low_var
+    FROM elem GROUP BY dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — mean/std/min/max for each
+    of the vector's coordinates, with a low-variance flag
+    (std < {_LOW_VAR_STD} after the shared 4 dp rounding). The
+    encoder-health panel that catches dead dimensions (a projection
+    head stuck at zero), mean-shifted batches, and clipped activations
+    before any of them poison an ANN index or a cosine threshold —
+    complements q_embed_outliers (per-VECTOR norms) with the
+    per-COORDINATE view.
+
+    Scale: posexplode is map-side and the aggregate keys on the
+    dimension index, so the shuffle carries at most dim x partitions
+    partial rows (two-phase hash aggregate) — output bounded by the
+    embedding width no matter the corpus size. The flag compares the
+    ROUNDED std on both engines, so ULP-level summation-order drift
+    cannot flip it.
+
+    Reference provenance: C5 per-channel health readout
+    (/root/reference/src/PicoPlusPsram.cpp:31-58 — fixed-size
+    per-bank summary maintained under a streaming fill)."""
+    e = _corpus(spark, sf_dir)
+    elem = e.select(F.posexplode("v").alias("dim", "val"))
+    std4 = F.round(F.stddev_samp("val"), 4)
+    return elem.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.round(F.avg("val"), 4).alias("mean_val"),
+        std4.alias("std_val"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+        (std4 < _LOW_VAR_STD).alias("low_var"),
+    )
+
+
+q_embed_dim_stats.__doc__ = q_embed_dim_stats.__doc__.replace(
+    "{_LOW_VAR_STD}", str(_LOW_VAR_STD)
+)
+
+
+@register(
+    "q_embed_label_margin",
+    category="llm-similarity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    elem AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS val
+      FROM e
+    ),
+    cent AS (
+      SELECT label, LIST(avg_val ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, ROUND(AVG(val), 6) AS avg_val
+        FROM elem GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    cn AS (
+      SELECT label AS clabel, centroid,
+             sqrt(list_dot_product(centroid, centroid)) AS cnorm
+      FROM cent
+    ),
+    scored AS (
+      SELECT nv.vec_id, nv.label, cn.clabel,
+             list_dot_product(nv.v, cn.centroid) / (nv.nrm * cn.cnorm)
+               AS cos_c
+      FROM nv CROSS JOIN cn
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN cos_c END) AS own_cos,
+             MAX(CASE WHEN clabel <> label THEN cos_c END) AS other_cos
+      FROM scored GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(own_cos - other_cos), 4) AS avg_margin,
+           ROUND(MIN(own_cos - other_cos), 4) AS min_margin,
+           CAST(SUM(CASE WHEN ROUND(own_cos - other_cos, 4) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+    FROM per_vec GROUP BY label
+    """,
+)
+def q_embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separation margins in embedding space: each vector's
+    cosine to its OWN label centroid minus its best cosine to any
+    OTHER label's centroid, aggregated per label (mean margin, worst
+    margin, count of negative-margin = nearest-centroid-misassigned
+    vectors). The supervision-quality screen a curation pipeline runs
+    on labeled contrastive data: a label whose margin distribution
+    hugs zero is noisy or duplicated, and n_misassigned is the direct
+    relabeling workload estimate.
+
+    Determinism: centroids freeze at 6 dp per dimension (the
+    q_sim_topk_kmeans oracle discipline) before any cosine is taken,
+    so summation-order drift in the per-dim means cannot reach the
+    margins; the misassignment flag compares the 4 dp-ROUNDED margin.
+
+    Scale: centroid construction keys on (label, pos) — two-phase,
+    output |labels| x dim; the margin pass is the corpus scanned ONCE
+    against the |labels|-row centroid relation broadcast (map-side
+    nested loop over a model-sized side — the q_sim_topk shape), then
+    one aggregate keyed on vec_id (bounded fan-in = |labels|) and one
+    keyed on label.
+
+    Reference provenance: C1 residency classes with per-class QA
+    (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+    e = _corpus(spark, sf_dir)
+    elem = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        elem.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("pairs", lambda p: p["avg_val"]).alias("centroid"),
+        )
+    )
+    cent = cent.select(
+        "clabel", "centroid", _norm(F.col("centroid")).alias("cnorm")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (_dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * F.col("cnorm"))).alias(
+            "cos_c"
+        ),
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos_c"))).alias(
+            "own_cos"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos_c"))).alias(
+            "other_cos"
+        ),
+    )
+    margin = F.col("own_cos") - F.col("other_cos")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(margin), 4).alias("avg_margin"),
+        F.round(F.min(margin), 4).alias("min_margin"),
+        F.sum(F.when(F.round(margin, 4) < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_misassigned"),
+    )

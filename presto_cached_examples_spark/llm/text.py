@@ -1311,3 +1311,190 @@ def q_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_kn_bigram.__doc__ = q_text_kn_bigram.__doc__.replace(
     "{_KN_D}", str(_KN_D)
 ).replace("{_KN_TOPN}", str(_KN_TOPN))
+
+
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 90
+_GOPHER_STOPWORDS = ("the", "a")
+_GOPHER_MIN_STOPS = 2
+
+
+@register(
+    "q_quality_gopher",
+    category="llm-text",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n,
+             length(text) - (len(string_split(text, ' ')) - 1) AS sumc,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a'))) AS sw
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                  THEN 0 ELSE 1 END AS wc_v,
+             CASE WHEN 2 * sumc BETWEEN 8 * n AND 10 * n
+                  THEN 0 ELSE 1 END AS mwl_v,
+             CASE WHEN sw >= {_GOPHER_MIN_STOPS} THEN 0 ELSE 1 END AS stop_v,
+             CASE WHEN 5 * nd >= 2 * n THEN 0 ELSE 1 END AS ttr_v
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN wc_v + mwl_v + stop_v + ttr_v = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN wc_v + mwl_v + stop_v + ttr_v = 0
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS retention,
+           CAST(SUM(wc_v) AS BIGINT) AS wc_viol,
+           CAST(SUM(mwl_v) AS BIGINT) AS mwl_viol,
+           CAST(SUM(stop_v) AS BIGINT) AS stop_viol,
+           CAST(SUM(ttr_v) AS BIGINT) AS ttr_viol
+    FROM flags GROUP BY source
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    adapted to the fixture's vocabulary): per-source retention under
+    four document rules — word count in [{_GOPHER_MIN_WORDS},
+    {_GOPHER_MAX_WORDS}], mean word length in [4, 5], at least
+    {_GOPHER_MIN_STOPS} stopword hits ('the'/'a' — the fixture's only
+    function words), and type-token ratio >= 0.4 — plus per-rule
+    violation counts so a curator sees WHICH rule is cutting a source
+    before trusting the retention number.
+
+    Every rule compares integers (mean word length as the
+    cross-multiplication 8n <= 2*sum_chars <= 10n, TTR as 5*distinct
+    >= 2n), so there is no float boundary for engines to disagree on;
+    sum-of-word-lengths is derived as length(text) - (n-1) — exact for
+    the single-space fixture join and never re-walks the token array.
+
+    Scale: one scan, all rules map-side HOFs over the split array, one
+    partial-aggregated groupBy(source). Nothing grows with the corpus
+    except the scan itself — the same posture as q_text_quality, which
+    this complements with the published-ruleset shape.
+
+    Reference provenance: C7 validity gates before publish
+    (/root/reference/src/demo.cpp:131-154 — render only after the
+    frame passes its own sanity checks; the retention gate is that
+    check for training corpora)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    t = F.split("text", " ")
+    n = F.size(t)
+    sumc = F.length("text") - (n - F.lit(1))
+    nd = F.size(F.array_distinct(t))
+    sw = F.size(F.filter(t, lambda w: w.isin(*_GOPHER_STOPWORDS)))
+    wc_v = F.when(n.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS), 0).otherwise(1)
+    mwl_v = F.when(
+        (2 * sumc >= 8 * n) & (2 * sumc <= 10 * n), 0
+    ).otherwise(1)
+    stop_v = F.when(sw >= _GOPHER_MIN_STOPS, 0).otherwise(1)
+    ttr_v = F.when(5 * nd >= 2 * n, 0).otherwise(1)
+    flags = d.select(
+        "source",
+        wc_v.alias("wc_v"),
+        mwl_v.alias("mwl_v"),
+        stop_v.alias("stop_v"),
+        ttr_v.alias("ttr_v"),
+    )
+    kept = F.when(
+        F.col("wc_v") + F.col("mwl_v") + F.col("stop_v") + F.col("ttr_v")
+        == 0,
+        1,
+    ).otherwise(0)
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("retention"),
+        F.sum("wc_v").cast("long").alias("wc_viol"),
+        F.sum("mwl_v").cast("long").alias("mwl_viol"),
+        F.sum("stop_v").cast("long").alias("stop_viol"),
+        F.sum("ttr_v").cast("long").alias("ttr_viol"),
+    )
+
+
+q_quality_gopher.__doc__ = q_quality_gopher.__doc__.replace(
+    "{_GOPHER_MIN_WORDS}", str(_GOPHER_MIN_WORDS)
+).replace("{_GOPHER_MAX_WORDS}", str(_GOPHER_MAX_WORDS)).replace(
+    "{_GOPHER_MIN_STOPS}", str(_GOPHER_MIN_STOPS)
+)
+
+
+_LEN_BUCKET = 10  # decade buckets over the fixture's 10-99 word range
+
+
+@register(
+    "q_doc_length_hist",
+    category="llm-text",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    b AS (
+      SELECT lang,
+             CAST((n // {_LEN_BUCKET}) * {_LEN_BUCKET} AS INT) AS bucket_lo,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM d GROUP BY lang, bucket_lo
+    ),
+    tot AS (SELECT lang, SUM(n_docs) AS lang_docs FROM b GROUP BY lang)
+    SELECT b.lang, b.bucket_lo, b.n_docs, b.n_tokens,
+           ROUND(b.n_docs * 1.0 / t.lang_docs, 4) AS share,
+           ROUND(SUM(b.n_docs) OVER (
+                   PARTITION BY b.lang ORDER BY b.bucket_lo
+                 ) * 1.0 / t.lang_docs, 4) AS cum_share
+    FROM b JOIN tot t ON t.lang = b.lang
+    """,
+)
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram — decade buckets of the
+    word count with within-language share and cumulative share. The
+    length-distribution panel every training-data report opens with
+    (sequence packing efficiency, truncation losses, and source drift
+    all read straight off this curve).
+
+    Scale: lengths are map-side (size of split — the array is never
+    shuffled); the histogram aggregate keys on (lang, bucket), output
+    bounded by |langs| x |buckets| regardless of corpus size. The
+    cumulative window runs on that aggregated relation — dozens of
+    rows — partitioned by lang, so the unbounded-window discipline
+    (tests/test_plans.py) is satisfied on model-sized data, not row
+    data. share divides two exact longs (identical doubles on both
+    engines) and rounds at 4 dp.
+
+    Reference provenance: C7 summary tables sized by config, not data
+    (/root/reference/src/demo.cpp:99-121 — fixed-bucket layout filled
+    from a streaming pass)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    n = F.size(F.split("text", " "))
+    b = (
+        d.select("lang", n.alias("n"))
+        .groupBy(
+            "lang",
+            (F.floor(F.col("n") / _LEN_BUCKET) * _LEN_BUCKET)
+            .cast("int")
+            .alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    tot = b.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    w = Window.partitionBy("lang").orderBy("bucket_lo")
+    return (
+        b.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "bucket_lo",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("lang_docs"), 4).alias("share"),
+            F.round(
+                F.sum("n_docs").over(w) / F.col("lang_docs"), 4
+            ).alias("cum_share"),
+        )
+    )

@@ -443,3 +443,78 @@ def _register_triangles_query():
 
 
 _register_triangles_query()
+
+
+_DEGREE_STATS_ORACLE = (
+    "WITH " + _PR_EDGES_SQL.strip() + """,
+hist AS (
+  SELECT CAST(POWER(2, FLOOR(LOG2(d))) AS INT) AS bucket_lo,
+         COUNT(*) AS n_nodes,
+         CAST(MIN(d) AS BIGINT) AS min_deg,
+         CAST(MAX(d) AS BIGINT) AS max_deg
+  FROM deg GROUP BY bucket_lo
+)
+SELECT h.bucket_lo, h.n_nodes, h.min_deg, h.max_deg,
+       ROUND(h.n_nodes * 1.0 / n.n_nodes, 4) AS share
+FROM hist h CROSS JOIN n
+"""
+)
+
+
+def _register_degree_stats_query():
+    from pyspark.sql import SparkSession
+
+    from presto_cached_examples_spark.registry import register
+
+    @register(
+        "q_graph_degree_stats", category="graph", oracle=_DEGREE_STATS_ORACLE
+    )
+    def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Degree distribution of the part co-purchase graph —
+        power-of-two degree buckets with node counts, bucket degree
+        range, and node share. The first thing a graph pipeline checks
+        before running components/PageRank/triangles at scale: a heavy
+        tail here is exactly the skew that dictates salting or hub
+        isolation in the join-based iterations, and the histogram is
+        the evidence for that decision rather than a guess.
+
+        Scale: consumes the SAME session-memoized copurchase_pairs
+        relation as the other graph queries (one materialization per
+        session); the degree aggregate keys on node id (two-phase),
+        and the histogram collapses to at most ~64 power-of-two rows
+        joined against a 1-row broadcast total. LOG2 of an integer
+        degree has an exact floor on both engines except AT exact
+        powers of two, where log2 is itself exact — no float boundary
+        in the bucketing.
+
+        Reference provenance: C5 fixed-bucket occupancy summary
+        (/root/reference/src/PicoPlusPsram.cpp:31-58)."""
+        pairs = copurchase_pairs(spark, sf_dir)
+        sym = pairs.unionByName(
+            pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        )
+        deg = sym.groupBy(F.col("pa").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        total = deg.agg(F.count(F.lit(1)).alias("total_nodes"))
+        hist = deg.groupBy(
+            F.pow(F.lit(2.0), F.floor(F.log2("d")))
+            .cast("int")
+            .alias("bucket_lo")
+        ).agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        return hist.join(F.broadcast(total)).select(
+            "bucket_lo",
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+            F.round(F.col("n_nodes") / F.col("total_nodes"), 4).alias(
+                "share"
+            ),
+        )
+
+
+_register_degree_stats_query()

@@ -287,6 +287,11 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_sample_kcenter",
     "q_dedup_embed_sweep",
     "q_snapshot_diff",
+    "q_quality_gopher",
+    "q_doc_length_hist",
+    "q_embed_dim_stats",
+    "q_embed_label_margin",
+    "q_graph_degree_stats",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

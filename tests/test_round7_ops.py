@@ -659,3 +659,131 @@ def test_snapshot_diff_reconciles(spark):
     assert rows["unchanged"].n_rows == n - want_deleted - want_changed
     assert rows["deleted"].price_delta < 0 < rows["changed"].price_delta
     assert rows["unchanged"].price_delta == 0.0
+
+
+def test_quality_gopher_replays_rules(spark):
+    """Per-source retention and violation counts must match a Python
+    replay of the four rules over the raw table."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").select("source", "text").collect()
+    want = {}
+    for r in docs:
+        t = r.text.split(" ")
+        n = len(t)
+        sumc = len(r.text) - (n - 1)
+        sw = sum(1 for w in t if w in ("the", "a"))
+        nd = len(set(t))
+        v = [
+            0 if 20 <= n <= 90 else 1,
+            0 if 8 * n <= 2 * sumc <= 10 * n else 1,
+            0 if sw >= 2 else 1,
+            0 if 5 * nd >= 2 * n else 1,
+        ]
+        agg = want.setdefault(r.source, [0, 0, 0, 0, 0, 0])  # docs, kept, 4 viols
+        agg[0] += 1
+        agg[1] += 1 if sum(v) == 0 else 0
+        for i, x in enumerate(v):
+            agg[2 + i] += x
+    rows = {r.source: r for r in queries()["q_quality_gopher"](spark, SF_TINY).collect()}
+    assert set(rows) == set(want)
+    for src, (n_docs, kept, wc, mwl, stop, ttr) in want.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_kept, r.wc_viol, r.mwl_viol, r.stop_viol, r.ttr_viol) == (
+            n_docs, kept, wc, mwl, stop, ttr,
+        )
+        assert r.retention == round(kept / n_docs, 4)
+
+
+def test_doc_length_hist_shares_sum_to_one(spark):
+    """Within each language the bucket shares must sum to 1 and the
+    cumulative share must be non-decreasing, ending at 1."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+
+    by_lang = defaultdict(list)
+    for r in queries()["q_doc_length_hist"](spark, SF_TINY).collect():
+        by_lang[r.lang].append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.bucket_lo)
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+        cums = [r.cum_share for r in rows]
+        assert cums == sorted(cums)
+        assert abs(cums[-1] - 1.0) < 1e-9
+        for r in rows:
+            assert r.bucket_lo % 10 == 0
+            assert r.n_tokens >= r.n_docs * r.bucket_lo
+
+
+def test_embed_dim_stats_bounds(spark):
+    """One row per dimension; each row's mean must sit inside
+    [min, max] and the flag must agree with the rounded std."""
+    from presto_cached_examples_spark.registry import queries
+
+    rows = queries()["q_embed_dim_stats"](spark, SF_TINY).collect()
+    assert len(rows) == 64
+    assert sorted(r.dim for r in rows) == list(range(64))
+    for r in rows:
+        assert r.min_val <= r.mean_val <= r.max_val
+        assert r.std_val >= 0
+        assert r.low_var == (r.std_val < 0.01)
+
+
+def test_embed_label_margin_matches_numpy(spark):
+    """Margins must match a numpy replay with 6dp-rounded centroids."""
+    import numpy as np
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF_TINY, "embeddings").collect()
+    vecs = {r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64)) for r in raw}
+    labels = sorted({l for l, _ in vecs.values()})
+    cents = {
+        lab: np.round(
+            np.mean([v for l, v in vecs.values() if l == lab], axis=0), 6
+        )
+        for lab in labels
+    }
+    margins = {lab: [] for lab in labels}
+    for _vid, (lab, v) in vecs.items():
+        nrm = float(np.sqrt(v @ v))
+        cos = {
+            cl: float(v @ c) / (nrm * float(np.sqrt(c @ c)))
+            for cl, c in cents.items()
+        }
+        own = cos[lab]
+        other = max(c for cl, c in cos.items() if cl != lab)
+        margins[lab].append(own - other)
+    rows = {r.label: r for r in queries()["q_embed_label_margin"](spark, SF_TINY).collect()}
+    assert set(rows) == set(labels)
+    for lab in labels:
+        m = margins[lab]
+        r = rows[lab]
+        assert r.n_vecs == len(m)
+        assert abs(r.avg_margin - round(sum(m) / len(m), 4)) <= 1e-4
+        assert abs(r.min_margin - round(min(m), 4)) <= 1e-4
+        assert r.n_misassigned == sum(1 for x in m if round(x, 4) < 0)
+
+
+def test_graph_degree_stats_reconciles(spark):
+    """Bucket populations must cover every node exactly once, bucket
+    ranges must respect the power-of-two boundaries, and shares must
+    sum to 1."""
+    from presto_cached_examples_spark.operators.graph import copurchase_pairs
+    from presto_cached_examples_spark.registry import queries
+
+    pairs = copurchase_pairs(spark, SF_TINY).collect()
+    deg = {}
+    for r in pairs:
+        deg[r.pa] = deg.get(r.pa, 0) + 1
+        deg[r.pb] = deg.get(r.pb, 0) + 1
+    rows = queries()["q_graph_degree_stats"](spark, SF_TINY).collect()
+    assert sum(r.n_nodes for r in rows) == len(deg)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.bucket_lo & (r.bucket_lo - 1) == 0  # power of two
+        assert r.bucket_lo <= r.min_deg <= r.max_deg < 2 * r.bucket_lo

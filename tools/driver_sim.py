@@ -29,6 +29,11 @@ def main() -> int:
         action="store_true",
         help="only the first DRIVER_WINDOW queries (the verification front)",
     )
+    ap.add_argument(
+        "names",
+        nargs="*",
+        help="subset of query names (default: all, or the front with --front-only)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -52,6 +57,11 @@ def main() -> int:
 
     qs, osql = E.queries(), E.oracle_sql()
     names = list(qs)[: registry.DRIVER_WINDOW] if args.front_only else list(qs)
+    if args.names:
+        unknown = sorted(set(args.names) - set(qs))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = [n for n in names if n in set(args.names)]
     n_pass = n_fail = 0
     for name in names:
         try:
