@@ -115,6 +115,9 @@ HEADLINE_V2 = [
     "q_embed_dim_stats",
     "q_embed_label_margin",
     "q_graph_degree_stats",
+    "q_events_autocorr",
+    "q_events_mad",
+    "q_source_jaccard",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

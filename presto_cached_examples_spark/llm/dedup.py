@@ -1184,3 +1184,82 @@ def q_dedup_embed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionAll(branch)
     return out
+
+
+@register(
+    "q_source_jaccard",
+    category="llm-dedup",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           sa.n + sb.n - i.n_inter AS n_union,
+           ROUND(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap: Jaccard similarity of the
+    distinct-token sets of every pair of sources that share at least
+    one token, via the inverted-index (token-equi-join) formulation —
+    never a source x source cross join. The corpus-composition screen
+    that catches a crawler registering the same site under two source
+    tags, or a mirrored dump entering twice: doc-level dedup misses it
+    when the mirrors chunk differently, but their vocabularies stay
+    near-identical.
+
+    Scale: the (source, token) relation is bounded by
+    |sources| x |vocab| — the aggregate-first discipline — and the
+    pair counts come from joining that relation to itself on the
+    TOKEN, so fan-out per token is the number of sources containing
+    it, never the corpus. For web-scale source counts the standard
+    df-cap refinement (drop tokens present in nearly every source
+    from candidate generation, PPJoin-style, at the cost of exactness
+    on near-universal tokens) bounds the hot-token fan-out; at the
+    fixture's vocabulary every token is near-universal, so the exact
+    form is kept and the quadratic term is |sources|^2, which is the
+    OUTPUT size of this query by definition.
+
+    Reference provenance: C1 cross-bank residency comparison
+    (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    b = st.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        st.join(
+            b,
+            (F.col("tok_b") == F.col("tok"))
+            & (F.col("source") < F.col("src_b")),
+        )
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            uni.alias("n_union"),
+            F.round(F.col("n_inter") / uni, 4).alias("jaccard"),
+        )
+    )

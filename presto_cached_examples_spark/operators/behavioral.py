@@ -1398,3 +1398,158 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_basket_rules.__doc__ = q_basket_rules.__doc__.replace(
     "{m}", str(_BASKET_MIN_PAIR)
 ).replace("{t}", str(_BASKET_TOPN))
+
+
+_AC_MAX_LAG = 7
+
+
+@register(
+    "q_events_autocorr",
+    category="behavioral",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, d
+    ),
+    lagged AS (
+      SELECT a.event_type, s.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {_AC_MAX_LAG})) AS lag) s
+      JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.d = a.d + CAST(s.lag AS INT)
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           COUNT(*) AS n_pairs,
+           ROUND(CORR(x, y), 4) AS autocorr
+    FROM lagged GROUP BY event_type, lag
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{_AC_MAX_LAG} autocorrelation of each event type's daily
+    count series (Pearson correlation of the series against itself
+    shifted k days). The seasonality screen a capacity planner or
+    anomaly-detector runs first: a weekly cycle shows up as a lag-7
+    peak, a trending series as slowly-decaying positive lags, and a
+    healthy Poisson stream as noise around zero.
+
+    Scale: the raw stream collapses to the (type, day) aggregate
+    FIRST — everything after runs on a relation bounded by
+    |types| x |days| regardless of event volume. The lag fan-out is a
+    bounded explode ({_AC_MAX_LAG} rows per day) and the shifted join
+    keys on (type, day+k), both model-sized; CORR aggregates with
+    partial combine. Rounds at 4 dp on both engines.
+
+    Reference provenance: C8 periodic self-measurement
+    (/root/reference/src/demo.cpp:156-170 — frame-time series kept and
+    compared against its own history)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = daily.select(
+        "event_type",
+        "d",
+        F.col("cnt").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(_AC_MAX_LAG))).alias("lag"),
+    )
+    shifted = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("d").alias("d_b"),
+        F.col("cnt").alias("y"),
+    )
+    pairs = lags.join(
+        shifted,
+        (F.col("event_type_b") == F.col("event_type"))
+        & (F.col("d_b") == F.date_add("d", F.col("lag"))),
+    )
+    return pairs.groupBy("event_type", F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("x", "y"), 4).alias("autocorr"),
+    )
+
+
+q_events_autocorr.__doc__ = q_events_autocorr.__doc__.replace(
+    "{_AC_MAX_LAG}", str(_AC_MAX_LAG)
+)
+
+
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_MULT = 2.0  # flag beyond 2 robust sigmas
+
+
+@register(
+    "q_events_mad",
+    category="behavioral",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, d
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(cnt) AS med FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type, ANY_VALUE(m.med) AS med,
+             MEDIAN(ABS(d.cnt - m.med)) AS mad
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.d AS day, d.cnt,
+           ROUND(s.med, 1) AS med,
+           ROUND(s.mad, 1) AS mad,
+           ROUND(ABS(d.cnt - s.med) / ({_MAD_K} * s.mad), 4) AS dev_ratio
+    FROM daily d JOIN mad s USING (event_type)
+    WHERE s.mad > 0
+      AND ABS(d.cnt - s.med) > {_MAD_MULT} * {_MAD_K} * s.mad
+    """,
+)
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days per event type: median/MAD of the daily
+    count series, flagging days whose deviation exceeds
+    {_MAD_MULT} x {_MAD_K} x MAD (the 2-robust-sigma rule). The
+    outage/incident screen q_anomaly_zscore's mean/stddev version is
+    NOT safe to run on — one bad day inflates a stddev and hides
+    itself, while the median/MAD pair stays anchored (50% breakdown
+    point). Days divide by exact .0/.5 medians of integer counts, so
+    both engines agree before any rounding.
+
+    Scale: identical posture to q_events_autocorr — the only
+    event-volume-proportional work is the first (type, day) aggregate;
+    medians run per type over the bounded day series (exact
+    percentile on a model-sized group, NOT a data-sized sort), and the
+    flag join broadcasts the |types|-row stats relation.
+
+    Reference provenance: C8 watchdog thresholds
+    (/root/reference/src/demo.cpp:156-170)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    med = daily.groupBy("event_type").agg(F.median("cnt").alias("med"))
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.median(F.abs(F.col("cnt") - F.col("med"))).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("cnt") - F.col("med"))
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (dev > _MAD_MULT * _MAD_K * F.col("mad")))
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "cnt",
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+            F.round(dev / (_MAD_K * F.col("mad")), 4).alias("dev_ratio"),
+        )
+    )
+
+
+q_events_mad.__doc__ = q_events_mad.__doc__.replace(
+    "{_MAD_K}", str(_MAD_K)
+).replace("{_MAD_MULT}", str(_MAD_MULT))

@@ -292,6 +292,9 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_embed_dim_stats",
     "q_embed_label_margin",
     "q_graph_degree_stats",
+    "q_events_autocorr",
+    "q_events_mad",
+    "q_source_jaccard",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -787,3 +787,84 @@ def test_graph_degree_stats_reconciles(spark):
     for r in rows:
         assert r.bucket_lo & (r.bucket_lo - 1) == 0  # power of two
         assert r.bucket_lo <= r.min_deg <= r.max_deg < 2 * r.bucket_lo
+
+
+def test_events_autocorr_matches_numpy(spark):
+    """Lag correlations must match numpy's corrcoef on the daily
+    series, and every (type, lag) cell must be present."""
+    import numpy as np
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").collect()
+    daily = {}
+    for r in ev:
+        k = (r.event_type, r.ts.date())
+        daily[k] = daily.get(k, 0) + 1
+    types = sorted({t for t, _ in daily})
+    rows = {(r.event_type, r.lag): r for r in queries()["q_events_autocorr"](spark, SF_TINY).collect()}
+    assert set(rows) == {(t, k) for t in types for k in range(1, 8)}
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        for lag in range(1, 8):
+            xs, ys = [], []
+            for d in days:
+                d2 = d + __import__("datetime").timedelta(days=lag)
+                if (t, d2) in daily:
+                    xs.append(daily[(t, d)])
+                    ys.append(daily[(t, d2)])
+            r = rows[(t, lag)]
+            assert r.n_pairs == len(xs)
+            want = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(r.autocorr - round(want, 4)) <= 1e-4
+
+
+def test_events_mad_flags_match_replay(spark):
+    """Flagged days must be exactly those beyond 2 x 1.4826 x MAD of
+    the per-type median, with median/MAD replayed via numpy."""
+    import numpy as np
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").collect()
+    daily = {}
+    for r in ev:
+        k = (r.event_type, r.ts.date())
+        daily[k] = daily.get(k, 0) + 1
+    want = set()
+    for t in {tt for tt, _ in daily}:
+        series = {d: c for (tt, d), c in daily.items() if tt == t}
+        med = float(np.median(list(series.values())))
+        mad = float(np.median([abs(c - med) for c in series.values()]))
+        if mad > 0:
+            for d, c in series.items():
+                if abs(c - med) > 2.0 * 1.4826 * mad:
+                    want.add((t, d))
+    got = {(r.event_type, r.day.date()) for r in queries()["q_events_mad"](spark, SF_TINY).collect()}
+    assert got == want
+
+
+def test_source_jaccard_matches_python_sets(spark):
+    """Every emitted pair must match Python set arithmetic on the
+    per-source vocabularies; zero-overlap pairs must be absent."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").select("source", "text").collect()
+    vocab = {}
+    for r in docs:
+        vocab.setdefault(r.source, set()).update(w for w in r.text.split(" ") if w)
+    rows = {(r.src_a, r.src_b): r for r in queries()["q_source_jaccard"](spark, SF_TINY).collect()}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            uni = len(vocab[a] | vocab[b])
+            assert (r.n_inter, r.n_union) == (inter, uni)
+            assert r.jaccard == round(inter / uni, 4)
