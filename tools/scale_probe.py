@@ -48,6 +48,9 @@ QUERIES = [
     "q_bpe_pair_stats",
     "q_vocab_coverage",
     "q_mix_schedule",
+    "q_quality_gopher",
+    "q_doc_length_hist",
+    "q_source_jaccard",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
@@ -61,6 +64,9 @@ EVENT_QUERIES = [
     "q_attribution_linear",
     "q_cdc_scd2",
     "q_stream_interval_join",
+    # round-7 additions
+    "q_events_autocorr",
+    "q_events_mad",
 ]
 
 #: lineitem-family probes (10x orders over the SAME part space — the
@@ -74,6 +80,7 @@ GRAPH_QUERIES = [
     "q_graph_components",
     "q_graph_pagerank",
     "q_graph_triangles",
+    "q_graph_degree_stats",
 ]
 
 #: URL-curation probes (documents-derived; canonical-URL/domain key
@@ -122,8 +129,10 @@ EMBED_QUERIES = [
     "q_sim_adc",
     "q_dedup_embed",
     "q_embed_centroids",
-    # round-7 addition
+    # round-7 additions
     "q_embed_power_topvec",
+    "q_embed_dim_stats",
+    "q_embed_label_margin",
 ]
 
 
