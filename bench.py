@@ -118,6 +118,9 @@ HEADLINE_V2 = [
     "q_events_autocorr",
     "q_events_mad",
     "q_source_jaccard",
+    "q_dedup_soft",
+    "q_returns_wilson",
+    "q_order_gaps",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1263,3 +1263,68 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_inter") / uni, 4).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_dedup_soft",
+    category="llm-dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' '))::BIGINT AS n_tokens,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+    ),
+    cl AS (SELECT fp AS cfp, COUNT(*) AS csize FROM fp GROUP BY fp)
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(1.0 / c.csize), 4) AS effective_docs,
+           ROUND(SUM(f.n_tokens * 1.0 / c.csize), 2) AS effective_tokens,
+           ROUND(COUNT(*) / SUM(1.0 / c.csize), 4) AS dup_inflation
+    FROM fp f JOIN cl c ON c.cfp = f.fp
+    GROUP BY f.source
+    """,
+)
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication accounting (the down-weight-don't-drop
+    strategy, SoftDeDup): each document carries weight 1/cluster_size
+    where clusters form on the sorted-vocabulary md5 fingerprint (the
+    q_dedup_incremental key — non-vacuous on this fixture, whose
+    near-dups are word-order scrambles with identical vocabularies).
+    Per source: raw vs EFFECTIVE doc/token counts and the duplication
+    inflation factor — the number a data-mixing recipe divides by when
+    it keeps duplicates but doesn't want them to dominate the loss.
+
+    Scale: fingerprints are map-side; cluster sizes are one hash
+    aggregate keyed on the fingerprint; the weight join keys on the
+    same uniformly-distributed md5 (no skew beyond true cluster skew,
+    which IS the signal), and the final aggregate keys on source.
+    Nothing is quadratic — this is exact-dedup cost plus one join.
+
+    Reference provenance: C1 weighted residency accounting
+    (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    fp = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("fp"),
+    )
+    cl = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("csize"))
+    w = F.lit(1.0) / F.col("csize")
+    return (
+        fp.join(cl, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum(w), 4).alias("effective_docs"),
+            F.round(F.sum(F.col("n_tokens") * w), 2).alias("effective_tokens"),
+            F.round(F.count(F.lit(1)) / F.sum(w), 4).alias("dup_inflation"),
+        )
+    )

@@ -1526,3 +1526,96 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("m"), F.lit(0.025)), 2).alias("ci_lo"),
         F.round(F.percentile(F.col("m"), F.lit(0.975)), 2).alias("ci_hi"),
     )
+
+
+_WILSON_Z = 1.96  # 95% two-sided normal quantile
+
+
+@register(
+    "q_returns_wilson",
+    category="analytics",
+    oracle=f"""
+    WITH r AS (
+      SELECT n.n_name AS nation,
+             COUNT(*) AS n_items,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, n_items, n_returned,
+           ROUND(n_returned * 1.0 / n_items, 4) AS p_hat,
+           ROUND((n_returned * 1.0 / n_items
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_items)
+                  - {_WILSON_Z} * SQRT(
+                      (n_returned * 1.0 / n_items)
+                      * (1 - n_returned * 1.0 / n_items) / n_items
+                      + {_WILSON_Z} * {_WILSON_Z}
+                        / (4.0 * n_items * n_items)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_items), 4) AS ci_lo,
+           ROUND((n_returned * 1.0 / n_items
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_items)
+                  + {_WILSON_Z} * SQRT(
+                      (n_returned * 1.0 / n_items)
+                      * (1 - n_returned * 1.0 / n_items) / n_items
+                      + {_WILSON_Z} * {_WILSON_Z}
+                        / (4.0 * n_items * n_items)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_items), 4) AS ci_hi
+    FROM r
+    """,
+)
+def q_returns_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lineitem return rate with a Wilson 95% score
+    interval — the closed-form CI that stays inside [0,1] and behaves
+    at small n, where the naive Wald interval (and a mean +/- stddev
+    eyeball) lies. The deterministic counterpart to q_bootstrap_ci:
+    same 'rate with honest uncertainty' deliverable, zero resampling,
+    so it runs as ONE aggregate pass and both engines agree to the
+    last ULP of the shared formula before the 4 dp rounding.
+
+    Scale: three joins reduced before arithmetic — lineitem shuffles
+    once on orderkey against orders (the only fact-fact join),
+    customer and nation broadcast; the Wilson formula is scalar math
+    on the |nations|-row aggregate. All counts are exact longs; the
+    CI is derived per-row from those longs, so there is no
+    summation-order exposure at all.
+
+    Reference provenance: C8 bounded-confidence telemetry
+    (/root/reference/src/demo.cpp:156-170)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    z = _WILSON_Z
+    p = F.col("n_returned") / F.col("n_items")
+    nn = F.col("n_items")
+    center = p + z * z / (2 * nn)
+    half = z * F.sqrt(p * (1 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1 + z * z / nn
+    return r.select(
+        "nation",
+        "n_items",
+        "n_returned",
+        F.round(p, 4).alias("p_hat"),
+        F.round((center - half) / denom, 4).alias("ci_lo"),
+        F.round((center + half) / denom, 4).alias("ci_hi"),
+    )

@@ -1553,3 +1553,89 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_mad.__doc__ = q_events_mad.__doc__.replace(
     "{_MAD_K}", str(_MAD_K)
 ).replace("{_MAD_MULT}", str(_MAD_MULT))
+
+
+@register(
+    "q_order_gaps",
+    category="behavioral",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             datediff('day',
+               LAG(o.o_orderdate) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    b AS (
+      SELECT segment,
+             CASE WHEN gap < 7 THEN 0
+                  WHEN gap < 30 THEN 7
+                  WHEN gap < 90 THEN 30
+                  WHEN gap < 365 THEN 90
+                  ELSE 365 END AS bucket_lo,
+             COUNT(*) AS n_gaps
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY segment, bucket_lo
+    ),
+    t AS (SELECT segment, SUM(n_gaps) AS total FROM b GROUP BY segment)
+    SELECT b.segment, CAST(b.bucket_lo AS INT) AS bucket_lo, b.n_gaps,
+           ROUND(b.n_gaps * 1.0 / t.total, 4) AS share
+    FROM b JOIN t ON t.segment = b.segment
+    """,
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution: days between a customer's
+    consecutive orders, bucketed (0-6 / 7-29 / 30-89 / 90-364 / 365+)
+    and shared out per market segment. The repeat-purchase cadence
+    panel behind churn models and replenishment-reminder timing — the
+    behavioral twin of q_retention_cohort that measures the WAIT
+    rather than the return.
+
+    Scale: the lag window partitions by customer (per-partition state
+    = one row), keyed on the same custkey the orders-customer join
+    shuffles on, so one exchange serves both; the histogram keys on
+    (segment, bucket) — output bounded by 5 x 5 — and the share join
+    broadcasts per-segment totals. Gaps are integer day diffs with an
+    exact lag ordering tie-break (orderdate, orderkey), so both
+    engines bucket identically; the only double is the final share.
+
+    Reference provenance: C8 inter-event interval tracking
+    (/root/reference/src/demo.cpp:156-170)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap") < 7, 0)
+        .when(F.col("gap") < 30, 7)
+        .when(F.col("gap") < 90, 30)
+        .when(F.col("gap") < 365, 90)
+        .otherwise(365)
+    )
+    b = g.groupBy("segment", bucket.cast("int").alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+    t = b.groupBy("segment").agg(F.sum("n_gaps").alias("total"))
+    return b.join(F.broadcast(t), "segment").select(
+        "segment",
+        "bucket_lo",
+        "n_gaps",
+        F.round(F.col("n_gaps") / F.col("total"), 4).alias("share"),
+    )

@@ -295,6 +295,9 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_events_autocorr",
     "q_events_mad",
     "q_source_jaccard",
+    "q_dedup_soft",
+    "q_returns_wilson",
+    "q_order_gaps",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -868,3 +868,87 @@ def test_source_jaccard_matches_python_sets(spark):
             uni = len(vocab[a] | vocab[b])
             assert (r.n_inter, r.n_union) == (inter, uni)
             assert r.jaccard == round(inter / uni, 4)
+
+
+def test_dedup_soft_weights_match_replay(spark):
+    """Effective counts must equal a Python replay of the
+    1/cluster-size weighting on vocabulary fingerprints."""
+    from collections import Counter, defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").select("source", "text").collect()
+    fp = [(r.source, " ".join(sorted(set(r.text.split(" ")))), len(r.text.split(" "))) for r in docs]
+    csize = Counter(f for _, f, _ in fp)
+    eff = defaultdict(float)
+    efft = defaultdict(float)
+    nd = defaultdict(int)
+    for src, f, n in fp:
+        eff[src] += 1.0 / csize[f]
+        efft[src] += n / csize[f]
+        nd[src] += 1
+    rows = {r.source: r for r in queries()["q_dedup_soft"](spark, SF_TINY).collect()}
+    assert set(rows) == set(nd)
+    for src, r in rows.items():
+        assert r.n_docs == nd[src]
+        assert abs(r.effective_docs - round(eff[src], 4)) <= 1e-4
+        assert abs(r.effective_tokens - round(efft[src], 2)) <= 1e-2
+        assert abs(r.dup_inflation - round(nd[src] / eff[src], 4)) <= 1e-4
+        # weights never exceed 1, so effective <= raw
+        assert r.effective_docs <= r.n_docs + 1e-9
+
+
+def test_returns_wilson_matches_closed_form(spark):
+    """CI must match the Wilson score formula on the exact counts and
+    must bracket p_hat inside [0, 1]."""
+    import math
+
+    from presto_cached_examples_spark.registry import queries
+
+    for r in queries()["q_returns_wilson"](spark, SF_TINY).collect():
+        p = r.n_returned / r.n_items
+        z = 1.96
+        n = r.n_items
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        denom = 1 + z * z / n
+        assert r.p_hat == round(p, 4)
+        assert abs(r.ci_lo - round((center - half) / denom, 4)) <= 1e-4
+        assert abs(r.ci_hi - round((center + half) / denom, 4)) <= 1e-4
+        assert 0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1
+
+
+def test_order_gaps_shares_and_buckets(spark):
+    """Bucket populations must match a Python replay of per-customer
+    consecutive-order day gaps; shares sum to 1 per segment."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_TINY, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_TINY, "customer").collect()
+    }
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    want = defaultdict(int)
+    for ck, lst in by_cust.items():
+        lst.sort()
+        for (d1, _), (d2, _) in zip(lst, lst[1:]):
+            gap = (d2 - d1).days
+            b = 0 if gap < 7 else 7 if gap < 30 else 30 if gap < 90 else 90 if gap < 365 else 365
+            want[(cust[ck], b)] += 1
+    rows = queries()["q_order_gaps"](spark, SF_TINY).collect()
+    got = {(r.segment, r.bucket_lo): r.n_gaps for r in rows}
+    assert got == dict(want)
+    bys = defaultdict(float)
+    for r in rows:
+        bys[r.segment] += r.share
+    for s, tot in bys.items():
+        assert abs(tot - 1.0) < 1e-3

@@ -51,6 +51,7 @@ QUERIES = [
     "q_quality_gopher",
     "q_doc_length_hist",
     "q_source_jaccard",
+    "q_dedup_soft",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
