@@ -121,6 +121,9 @@ HEADLINE_V2 = [
     "q_dedup_soft",
     "q_returns_wilson",
     "q_order_gaps",
+    "q_revenue_ewma",
+    "q_seasonal_naive",
+    "q_ab_lift",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1639,3 +1639,287 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         F.round(F.col("n_gaps") / F.col("total"), 4).alias("share"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_FRAME = 27  # preceding days in the truncated recurrence
+
+
+@register(
+    "q_revenue_ewma",
+    category="behavioral",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS revenue
+      FROM orders GROUP BY day
+    ),
+    framed AS (
+      SELECT day, revenue,
+             LIST(revenue) OVER (
+               ORDER BY day
+               ROWS BETWEEN {_EWMA_FRAME} PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM daily
+    )
+    SELECT day, ROUND(revenue, 2) AS revenue,
+           ROUND(list_reduce(arr,
+                 (acc, x) -> {1 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x),
+                 2) AS ewma,
+           revenue > list_reduce(arr,
+                 (acc, x) -> {1 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x)
+             AS above_trend
+    FROM framed
+    """,
+)
+def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue
+    (alpha={_EWMA_ALPHA}, adjust=False recurrence s_t = (1-a)s_t-1 +
+    a*x_t seeded at the frame head), truncated to a
+    {_EWMA_FRAME}-preceding-day frame so the window state is bounded —
+    the standard smoothed-trend line with an above/below-trend flag
+    per day.
+
+    Determinism: day totals are cent-summed longs (bit-identical across
+    engines), and the EWMA is a LEFT-TO-RIGHT FOLD over the frame
+    array — the identical IEEE multiply/add sequence on both engines —
+    deliberately instead of POWER()-weighted sums, whose libm vs JVM
+    pow can drift a ULP. Both the rounded ewma and the raw-comparison
+    flag therefore match exactly.
+
+    Scale: the raw stream collapses to the day spine first; the window
+    is over that spine (|days| rows — the q_anomaly_zscore allowlist
+    class) with O(frame) state per row. At a horizon where even the
+    day spine is too long for one task, the day-segmented two-pass
+    prefix trick of q_concurrency_peak applies unchanged.
+
+    Reference provenance: C8 smoothed frame-time telemetry
+    (/root/reference/src/demo.cpp:156-170)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("day").rowsBetween(-_EWMA_FRAME, 0)
+    )
+    framed = daily.select(
+        "day", "revenue", F.collect_list("revenue").over(w).alias("arr")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1),
+        lambda acc, x: (1 - _EWMA_ALPHA) * acc + _EWMA_ALPHA * x,
+    )
+    return framed.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(ewma, 2).alias("ewma"),
+        (F.col("revenue") > ewma).alias("above_trend"),
+    )
+
+
+q_revenue_ewma.__doc__ = q_revenue_ewma.__doc__.replace(
+    "{_EWMA_ALPHA}", str(_EWMA_ALPHA)
+).replace("{_EWMA_FRAME}", str(_EWMA_FRAME))
+
+
+@register(
+    "q_seasonal_naive",
+    category="behavioral",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY nation, month
+    ),
+    scored AS (
+      SELECT m.nation, m.revenue, p.revenue AS forecast
+      FROM monthly m
+      JOIN monthly p
+        ON p.nation = m.nation
+       AND p.month + INTERVAL 12 MONTH = m.month
+    )
+    SELECT nation,
+           COUNT(*) AS n_months,
+           ROUND(AVG(ABS(revenue - forecast) / revenue), 4) AS mape,
+           ROUND(AVG((revenue - forecast) / revenue), 4) AS bias
+    FROM scored GROUP BY nation
+    """,
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each nation-month's
+    revenue as the SAME month one year earlier (the lag-12 baseline
+    every real forecasting system must beat before it earns its
+    complexity), scoring MAPE and signed bias per nation over all
+    months where the lag exists. A bias far from 0 means the market is
+    trending (seasonal-naive systematically under/over-shoots); a low
+    MAPE means seasonality dominates and fancy models have little
+    headroom.
+
+    Scale: the fact stream collapses to the (nation, month) spine
+    first — cent-summed longs so both engines agree bit-for-bit before
+    any ratio. The forecast is a CALENDAR self-join (month = month +
+    12 months), NOT a row-lag window: on a sparse month spine LAG(12)
+    silently grabs whatever happened to be 12 rows back, which is a
+    different (and wrong) forecast. The spine relation is bounded by
+    |nations| x |months| so the self-join is model-sized, and the
+    scoreboard aggregate keys on nation. The only doubles are the
+    final error ratios, rounded at 4 dp.
+
+    Reference provenance: C8 history-vs-now comparison
+    (/root/reference/src/demo.cpp:156-170)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+    prev = monthly.select(
+        F.col("nation").alias("p_nation"),
+        F.add_months(F.to_date("month"), 12).alias("p_month"),
+        F.col("revenue").alias("forecast"),
+    )
+    scored = monthly.join(
+        prev,
+        (F.col("p_nation") == F.col("nation"))
+        & (F.col("p_month") == F.to_date("month")),
+    )
+    err = (F.col("revenue") - F.col("forecast")) / F.col("revenue")
+    return scored.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.avg(F.abs(err)), 4).alias("mape"),
+        F.round(F.avg(err), 4).alias("bias"),
+    )
+
+
+_AB_Z = 1.96
+
+
+@register(
+    "q_ab_lift",
+    category="behavioral",
+    oracle=f"""
+    WITH p AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS grp,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM p GROUP BY grp
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.s / 100.0 / a.n AS mean_a,
+             b.s / 100.0 / b.n AS mean_b,
+             (a.ss / 10000.0 - (a.s / 100.0) * (a.s / 100.0) / a.n)
+               / (a.n - 1) AS var_a,
+             (b.ss / 10000.0 - (b.s / 100.0) * (b.s / 100.0) / b.n)
+               / (b.n - 1) AS var_b
+      FROM (SELECT * FROM g WHERE grp = 0) a
+      CROSS JOIN (SELECT * FROM g WHERE grp = 1) b
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 4) AS mean_a,
+           ROUND(mean_b, 4) AS mean_b,
+           ROUND(mean_b / mean_a - 1, 4) AS lift,
+           ROUND((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b), 3)
+             AS z,
+           ABS(ROUND((mean_b - mean_a) / SQRT(var_a / n_a + var_b / n_b), 3))
+             > {_AB_Z} AS significant
+    FROM w
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B revenue-per-purchase test: users split 50/50 by md5(user_id)
+    (the q_split_assign hash-bucket discipline — stable across runs and
+    engines), Welch z-statistic on mean purchase value between arms,
+    with lift and a significance flag at |z| > {_AB_Z}. The
+    experimentation primitive every growth team runs hourly — here
+    over a null split, so the expected reading IS no significance (the
+    A/A-test calibration a platform validates itself with).
+
+    Determinism: per-arm n / sum / sum-of-squares accumulate as EXACT
+    cent longs (one overflow-safe pass; values are bounded so cents^2
+    sums fit comfortably in 64 bits at any SF), and mean/variance/z
+    derive per-row from those three integers — no floating-point
+    accumulation ever crosses an engine boundary, so even the z-stat's
+    last ULP agrees before its 3 dp rounding.
+
+    Scale: one scan, one 2-group aggregate, one 1x1 cross join of the
+    two arm rows. Nothing else.
+
+    Reference provenance: C8 self-calibration readout
+    (/root/reference/src/demo.cpp:156-170)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    g = ev.select(grp.alias("grp"), cents.alias("cents")).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("s_a") / 100.0 / F.col("n_a")
+    mean_b = F.col("s_b") / 100.0 / F.col("n_b")
+    var_a = (
+        F.col("ss_a") / 10000.0
+        - (F.col("s_a") / 100.0) * (F.col("s_a") / 100.0) / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("ss_b") / 10000.0
+        - (F.col("s_b") / 100.0) * (F.col("s_b") / 100.0) / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(mean_b / mean_a - 1, 4).alias("lift"),
+        F.round(z, 3).alias("z"),
+        (F.abs(F.round(z, 3)) > _AB_Z).alias("significant"),
+    )
+
+
+q_ab_lift.__doc__ = q_ab_lift.__doc__.replace("{_AB_Z}", str(_AB_Z))

@@ -298,6 +298,9 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_dedup_soft",
     "q_returns_wilson",
     "q_order_gaps",
+    "q_revenue_ewma",
+    "q_seasonal_naive",
+    "q_ab_lift",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -952,3 +952,92 @@ def test_order_gaps_shares_and_buckets(spark):
         bys[r.segment] += r.share
     for s, tot in bys.items():
         assert abs(tot - 1.0) < 1e-3
+
+
+def test_revenue_ewma_matches_pandas_recurrence(spark):
+    """The fold must reproduce the adjust=False EWMA recurrence seeded
+    at the 28-row frame head, per day."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_TINY, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily = {}
+    for r in orders:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    days = sorted(daily)
+    series = [daily[d] / 100.0 for d in days]
+    rows = {r.day.date(): r for r in queries()["q_revenue_ewma"](spark, SF_TINY).collect()}
+    assert len(rows) == len(days)
+    for i, d in enumerate(days):
+        frame = series[max(0, i - 27): i + 1]
+        acc = frame[0]
+        for x in frame[1:]:
+            acc = 0.7 * acc + 0.3 * x
+        r = rows[d]
+        assert abs(r.ewma - round(acc, 2)) <= 1e-2
+        assert r.above_trend == (series[i] > acc)
+
+
+def test_seasonal_naive_lag12_replay(spark):
+    """MAPE/bias must match a replay of the lag-12 forecast on
+    cent-exact nation-month revenue."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_TINY, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, SF_TINY, "customer").collect()}
+    nat = {r.n_nationkey: r.n_name for r in load_table(spark, SF_TINY, "nation").collect()}
+    monthly = defaultdict(int)
+    for r in orders:
+        d = r.o_orderdate
+        m = (d.year, d.month)
+        monthly[(nat[cust[r.o_custkey]], m)] += round(r.o_totalprice * 100)
+    errs = defaultdict(list)
+    for (nation, (y, m)), cents in monthly.items():
+        prev = monthly.get((nation, (y - 1, m)))
+        if prev is not None:
+            a, f = cents / 100.0, prev / 100.0
+            errs[nation].append((a - f) / a)
+    rows = {r.nation: r for r in queries()["q_seasonal_naive"](spark, SF_TINY).collect()}
+    assert set(rows) == set(errs)
+    for nation, es in errs.items():
+        r = rows[nation]
+        assert r.n_months == len(es)
+        assert abs(r.mape - round(sum(abs(e) for e in es) / len(es), 4)) <= 1e-4
+        assert abs(r.bias - round(sum(es) / len(es), 4)) <= 1e-4
+
+
+def test_ab_lift_welch_replay(spark):
+    """The z statistic must match a replay of the Welch formula on
+    exact cent sums, and the A/A null split should rarely fire."""
+    import hashlib
+    import math
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").filter("event_type = 'purchase'").collect()
+    stats = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for r in ev:
+        g = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:8], 16) % 2
+        c = round(r.value * 100)
+        s = stats[g]
+        s[0] += 1
+        s[1] += c
+        s[2] += c * c
+    (n_a, s_a, ss_a), (n_b, s_b, ss_b) = stats[0], stats[1]
+    mean_a, mean_b = s_a / 100.0 / n_a, s_b / 100.0 / n_b
+    var_a = (ss_a / 1e4 - (s_a / 100.0) ** 2 / n_a) / (n_a - 1)
+    var_b = (ss_b / 1e4 - (s_b / 100.0) ** 2 / n_b) / (n_b - 1)
+    z = (mean_b - mean_a) / math.sqrt(var_a / n_a + var_b / n_b)
+    [row] = queries()["q_ab_lift"](spark, SF_TINY).collect()
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.mean_a == round(mean_a, 4)
+    assert row.mean_b == round(mean_b, 4)
+    assert abs(row.z - round(z, 3)) <= 1e-3
+    assert row.significant == (abs(round(z, 3)) > 1.96)

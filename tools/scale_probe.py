@@ -68,6 +68,7 @@ EVENT_QUERIES = [
     # round-7 additions
     "q_events_autocorr",
     "q_events_mad",
+    "q_ab_lift",
 ]
 
 #: lineitem-family probes (10x orders over the SAME part space — the
