@@ -124,6 +124,9 @@ HEADLINE_V2 = [
     "q_revenue_ewma",
     "q_seasonal_naive",
     "q_ab_lift",
+    "q_map_funcs",
+    "q_join_nullsafe",
+    "q_graph_khop",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -518,3 +518,86 @@ def _register_degree_stats_query():
 
 
 _register_degree_stats_query()
+
+
+_KHOP_ORACLE = (
+    "WITH " + _PR_EDGES_SQL.strip() + """,
+h2 AS (
+  SELECT e1.a, e2.b
+  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+  WHERE e2.b <> e1.a
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT a, b FROM h2
+)
+SELECT r.a AS part_key,
+       CAST(d.d AS BIGINT) AS n_neighbors,
+       COUNT(*) AS n_reach2,
+       ROUND(COUNT(*) * 1.0 / d.d, 4) AS expansion
+FROM reach r JOIN deg d ON d.node = r.a
+GROUP BY r.a, d.d
+"""
+)
+
+
+def _register_khop_query():
+    from pyspark.sql import SparkSession
+
+    from presto_cached_examples_spark.registry import register
+
+    @register("q_graph_khop", category="graph", oracle=_KHOP_ORACLE)
+    def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """2-hop reach per node of the co-purchase graph: distinct
+        parts within <=2 hops (self excluded) next to the direct
+        degree, with the expansion ratio between them. The
+        neighborhood-growth panel that prices a 'customers also
+        bought' traversal and decides whether a 2-hop recommender is
+        tractable or needs sampling — and the bounded-depth member of
+        the graph family between degree (1 hop) and components
+        (closure).
+
+        Scale: 2-hop fan-out is sum(deg^2) — the honest cost of any
+        2-hop traversal; it materializes as ONE self-join of the
+        ids-only edge relation keyed on the shared hop node, then a
+        UNION-distinct collapses it back to at most |nodes|^2 reach
+        rows (in practice the component size bounds it). On
+        power-law graphs the standard mitigation is hub capping
+        (q_graph_degree_stats is the evidence panel for exactly that
+        decision); the fixture graph's max degree keeps the exact
+        form cheap. Consumes the session-memoized copurchase_pairs.
+
+        Reference provenance: C1 tiered reach accounting
+        (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+        pairs = copurchase_pairs(spark, sf_dir)
+        sym = pairs.unionByName(
+            pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        ).select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        h2 = (
+            sym.alias("e1")
+            .join(
+                sym.alias("e2"),
+                F.col("e2.a") == F.col("e1.b"),
+            )
+            .filter(F.col("e2.b") != F.col("e1.a"))
+            .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+        )
+        reach = sym.unionByName(h2).distinct()
+        deg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        return (
+            reach.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n_reach2"))
+            .join(deg, F.col("a") == F.col("node"))
+            .select(
+                F.col("a").alias("part_key"),
+                F.col("d").cast("long").alias("n_neighbors"),
+                "n_reach2",
+                F.round(F.col("n_reach2") / F.col("d"), 4).alias("expansion"),
+            )
+        )
+
+
+_register_khop_query()

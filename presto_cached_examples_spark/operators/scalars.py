@@ -254,3 +254,107 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q_map_funcs",
+    category="scalar",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 END), 0) AS BIGINT) AS purchase_cnt,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type)
+             AS type_list
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per user, build a map<event_type, count> with
+    map_from_entries over the grouped counts, then read it back —
+    cardinality, a key lookup with a missing-key default
+    (element_at -> NULL -> 0), and the sorted key list. The
+    engine-completeness row for Presto's MAP
+    constructors/element_at/map_keys family; the oracle states the
+    same semantics relationally (a map built from grouped counts IS
+    that grouping), which is exactly the equivalence the query
+    demonstrates.
+
+    Scale: one shuffle on (user, type) with partial aggregation, one
+    on user; per-user map arity is bounded by |event_types| (5), so
+    map state never grows with event volume.
+
+    Reference provenance: R16 packed key-value register decode
+    (/root/reference/src/demo.cpp:40-57)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = cnts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("purchase_cnt"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("type_list"),
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    category="join",
+    oracle="""
+    WITH ck AS (
+      SELECT NULLIF(c_nationkey % 5, 4) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    sk AS (
+      SELECT NULLIF(s_nationkey % 5, 4) AS k, COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT CAST(ck.k AS INT) AS k, ck.n_cust, sk.n_supp,
+           CAST(ck.n_cust * sk.n_supp AS BIGINT) AS n_pairs
+    FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark's <=>, ANSI IS NOT DISTINCT FROM):
+    customers and suppliers bucketed by a DERIVED NULLABLE key
+    (NULLIF(nationkey % 5, 4)), joined so the NULL bucket matches the
+    NULL bucket — the row a plain equi-join silently drops. The
+    completeness row for the operator a dimension-conforming pipeline
+    reaches for whenever 'unknown' must join 'unknown' instead of
+    vanishing.
+
+    Scale: aggregate-first — both sides collapse to their <=6-row
+    bucket relations BEFORE the null-safe join, so the join is
+    model-sized however large the inputs; pair counts come from the
+    product of exact longs, not row fan-out. (A null-safe join on raw
+    keys hash-partitions nulls to one partition — the aggregate-first
+    shape is also the skew defense.)
+
+    Reference provenance: C7 sentinel-key handling
+    (/root/reference/src/demo.cpp:99-121 — the 'no reading' slot is
+    routed, not dropped)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("k")
+    )
+    ck = c.groupBy("k").agg(F.count(F.lit(1)).alias("n_cust"))
+    sk = s.groupBy("k").agg(F.count(F.lit(1)).alias("n_supp"))
+    return ck.join(
+        sk.withColumnRenamed("k", "k_s"),
+        F.col("k").eqNullSafe(F.col("k_s")),
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        "n_cust",
+        "n_supp",
+        (F.col("n_cust") * F.col("n_supp")).cast("long").alias("n_pairs"),
+    )

@@ -301,6 +301,9 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_revenue_ewma",
     "q_seasonal_naive",
     "q_ab_lift",
+    "q_map_funcs",
+    "q_join_nullsafe",
+    "q_graph_khop",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

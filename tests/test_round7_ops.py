@@ -1041,3 +1041,74 @@ def test_ab_lift_welch_replay(spark):
     assert row.mean_b == round(mean_b, 4)
     assert abs(row.z - round(z, 3)) <= 1e-3
     assert row.significant == (abs(round(z, 3)) > 1.96)
+
+
+def test_map_funcs_replay(spark):
+    """Map construction/lookup must reproduce plain Python counting."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").select("user_id", "event_type").collect()
+    cnt = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        cnt[r.user_id][r.event_type] += 1
+    rows = {r.user_id: r for r in queries()["q_map_funcs"](spark, SF_TINY).collect()}
+    assert set(rows) == set(cnt)
+    for uid, types in cnt.items():
+        r = rows[uid]
+        assert r.n_types == len(types)
+        assert r.purchase_cnt == types.get("purchase", 0)
+        assert r.type_list == ",".join(sorted(types))
+
+
+def test_join_nullsafe_matches_null_bucket(spark):
+    """The NULL bucket must appear exactly once and the pair counts
+    must be the exact products of per-side bucket sizes."""
+    from collections import Counter
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    c = Counter(
+        (r.c_nationkey % 5) if r.c_nationkey % 5 != 4 else None
+        for r in load_table(spark, SF_TINY, "customer").collect()
+    )
+    s = Counter(
+        (r.s_nationkey % 5) if r.s_nationkey % 5 != 4 else None
+        for r in load_table(spark, SF_TINY, "supplier").collect()
+    )
+    rows = {r.k: r for r in queries()["q_join_nullsafe"](spark, SF_TINY).collect()}
+    want_keys = set(c) & set(s)
+    assert set(rows) == want_keys
+    assert None in rows  # the row a plain equi-join would drop
+    for k in want_keys:
+        r = rows[k]
+        assert (r.n_cust, r.n_supp, r.n_pairs) == (c[k], s[k], c[k] * s[k])
+
+
+def test_graph_khop_replay(spark):
+    """2-hop reach must match a BFS-depth-2 replay on the edge list."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.operators.graph import copurchase_pairs
+    from presto_cached_examples_spark.registry import queries
+
+    adj = defaultdict(set)
+    for r in copurchase_pairs(spark, SF_TINY).collect():
+        adj[r.pa].add(r.pb)
+        adj[r.pb].add(r.pa)
+    rows = {r.part_key: r for r in queries()["q_graph_khop"](spark, SF_TINY).collect()}
+    assert set(rows) == set(adj)
+    for node, nbrs in adj.items():
+        reach = set(nbrs)
+        for n in nbrs:
+            reach.update(adj[n])
+        reach.discard(node)
+        r = rows[node]
+        assert r.n_neighbors == len(nbrs)
+        assert r.n_reach2 == len(reach)
+        # <= 1e-4: Spark rounds HALF_UP, Python's round() is banker's —
+        # a true .00005 tie (e.g. 197/32) differs in the last digit
+        assert abs(r.expansion - len(reach) / len(nbrs)) <= 1e-4

@@ -83,6 +83,7 @@ GRAPH_QUERIES = [
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_graph_degree_stats",
+    "q_graph_khop",
 ]
 
 #: URL-curation probes (documents-derived; canonical-URL/domain key
