@@ -127,6 +127,8 @@ HEADLINE_V2 = [
     "q_map_funcs",
     "q_join_nullsafe",
     "q_graph_khop",
+    "q_rank_fusion",
+    "q_cluster_purity",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

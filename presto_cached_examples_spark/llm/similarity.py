@@ -1573,3 +1573,188 @@ def q_embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_misassigned"),
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+_RANK_FUSION_ORACLE = f"""
+WITH {_SQL_CORPUS},
+ex_scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM nv p JOIN nv c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+ex_ranked AS (
+  SELECT probe_id, vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS k
+  FROM ex_scored
+),
+ivf_scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cosine
+  FROM nv p JOIN nv c ON c.label = p.label AND c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+ivf_ranked AS (
+  SELECT probe_id, vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INT) AS k
+  FROM ivf_scored
+),
+fused AS (
+  SELECT COALESCE(e.probe_id, i.probe_id) AS probe_id,
+         COALESCE(e.vec_id, i.vec_id) AS vec_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + e.k), 0)
+               + COALESCE(1.0 / ({_RRF_K} + i.k), 0), 6) AS rrf,
+         e.k IS NOT NULL AND i.k IS NOT NULL AS in_both
+  FROM (SELECT * FROM ex_ranked WHERE k <= {_TOP_K}) e
+  FULL JOIN (SELECT * FROM ivf_ranked WHERE k <= {_TOP_K}) i
+    ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+)
+SELECT probe_id, vec_id, rrf, in_both,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY probe_id ORDER BY rrf DESC, vec_id) AS INT) AS k
+FROM fused
+QUALIFY k <= {_TOP_K}
+"""
+
+
+@register("q_rank_fusion", category="llm-similarity", oracle=_RANK_FUSION_ORACLE)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems — the exact
+    brute-force top-{_TOP_K} (q_sim_topk) and the IVF cell-restricted
+    top-{_TOP_K} (q_sim_topk_ivf) — fused per probe by
+    rrf = sum 1/({_RRF_K} + rank) over the lists a candidate appears
+    in, re-ranked, top-{_TOP_K} kept. THE standard hybrid-retrieval
+    combiner (Cormack 2009): rank-based, so the systems' incomparable
+    scores never need calibrating, and a candidate surfaced by both
+    lists beats either list's solo tail. in_both exposes the overlap
+    a recall analyst reads first.
+
+    Determinism: 1/({_RRF_K}+k) is a single IEEE division of exact
+    ints, the two-term sum is written in the same order on both
+    engines, and ties break on vec_id.
+
+    Scale: composes the two standalone serving plans (each broadcast
+    probes x pruned corpus) and joins their {_N_PROBES} x {_TOP_K}-row
+    SHORTLISTS full-outer on (probe, candidate) — fusion cost is
+    shortlist-sized, never corpus-sized, which is the entire point of
+    fusing ranked lists instead of score matrices.
+
+    Reference provenance: C9 combining measured orderings
+    (/root/reference/README.md:14-21)."""
+    ex = q_sim_topk(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("k").alias("k_ex")
+    )
+    iv = q_sim_topk_ivf(spark, sf_dir).select(
+        F.col("probe_id").alias("probe_id_i"),
+        F.col("vec_id").alias("vec_id_i"),
+        F.col("k").alias("k_iv"),
+    )
+    fused = ex.join(
+        iv,
+        (F.col("probe_id_i") == F.col("probe_id"))
+        & (F.col("vec_id_i") == F.col("vec_id")),
+        "full_outer",
+    ).select(
+        F.coalesce("probe_id", "probe_id_i").alias("probe_id"),
+        F.coalesce("vec_id", "vec_id_i").alias("vec_id"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("k_ex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("k_iv")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        (F.col("k_ex").isNotNull() & F.col("k_iv").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= _TOP_K)
+        .select("probe_id", "vec_id", "rrf", "in_both", "k")
+    )
+
+
+q_rank_fusion.__doc__ = q_rank_fusion.__doc__.replace(
+    "{_RRF_K}", str(_RRF_K)
+).replace("{_TOP_K}", str(_TOP_K)).replace("{_N_PROBES}", str(_N_PROBES))
+
+
+_CLUSTER_PURITY_ORACLE = f"""
+WITH {_kmeans_cells_sql()},
+assign AS (
+  SELECT rc.vec_id, rc.cell, nv.label
+  FROM rc JOIN nv ON nv.vec_id = rc.vec_id
+  WHERE rc.r = 1
+),
+cl AS (
+  SELECT cell, label, COUNT(*) AS n FROM assign GROUP BY cell, label
+),
+ranked AS (
+  SELECT cell, label, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY n DESC, label) AS rl,
+         SUM(n) OVER (PARTITION BY cell) AS n_vecs,
+         COUNT(*) OVER (PARTITION BY cell) AS n_labels
+  FROM cl
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_labels AS INT) AS n_labels,
+       label AS majority_label,
+       CAST(n AS BIGINT) AS n_majority,
+       ROUND(n * 1.0 / n_vecs, 4) AS purity
+FROM ranked WHERE rl = 1
+"""
+
+
+@register(
+    "q_cluster_purity", category="llm-similarity", oracle=_CLUSTER_PURITY_ORACLE
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity of the learned k-means cells against the label column:
+    per cell, its size, distinct-label count, majority label, and
+    majority share. The clustering-QA scoreboard read before trusting
+    the quantizer for IVF serving or embedding dedup — purity near
+    1/|labels| means the cells are noise; high purity with balanced
+    sizes means the coarse index is doing real routing work.
+
+    Scale: reuses the session-memoized codebook (warm builds run zero
+    jobs — the _CODEBOOK_CACHE contract) and assigns cells map-side
+    against broadcast centroids; everything downstream keys on
+    (cell, label) — output bounded by k x |labels|. The oracle replays
+    the identical md5-seeded Lloyd loop via _lloyd_sql, so even the
+    learned artifact is cross-engine bit-stable.
+
+    Reference provenance: C1 per-class residency QA
+    (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+    e = _corpus(spark, sf_dir)
+    cents = _corpus_centroids(spark, sf_dir)
+    assign = e.select(
+        "vec_id",
+        "label",
+        F.element_at(_cell_ranking(cents), 1).alias("cell"),
+    )
+    cl = assign.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cell")
+    wr = Window.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    ranked = cl.select(
+        "cell",
+        "label",
+        "n",
+        F.row_number().over(wr).alias("rl"),
+        F.sum("n").over(wc).alias("n_vecs"),
+        F.count(F.lit(1)).over(wc).alias("n_labels"),
+    )
+    return ranked.filter(F.col("rl") == 1).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_labels").cast("int").alias("n_labels"),
+        F.col("label").alias("majority_label"),
+        F.col("n").cast("long").alias("n_majority"),
+        F.round(F.col("n") / F.col("n_vecs"), 4).alias("purity"),
+    )

@@ -304,6 +304,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_map_funcs",
     "q_join_nullsafe",
     "q_graph_khop",
+    "q_rank_fusion",
+    "q_cluster_purity",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -31,6 +31,7 @@ def test_codebook_queries_build_without_jobs_when_warm(spark):
         "q_embed_power_topvec",  # memoized power-iteration component
         "q_sample_kcenter",  # memoized greedy selection
         "q_curation_pipeline",  # memoized range-split points
+        "q_cluster_purity",  # assigns cells from the memoized codebook
     )
     # Warm every cache (codebooks, bloom count) — may run jobs.
     for name in warm:
@@ -1112,3 +1113,49 @@ def test_graph_khop_replay(spark):
         # <= 1e-4: Spark rounds HALF_UP, Python's round() is banker's —
         # a true .00005 tie (e.g. 197/32) differs in the last digit
         assert abs(r.expansion - len(reach) / len(nbrs)) <= 1e-4
+
+
+def test_rank_fusion_replay(spark):
+    """RRF scores must match a replay fusing the two standalone
+    shortlists, and candidates in both lists must outrank solo tails
+    with comparable ranks."""
+    from presto_cached_examples_spark.registry import queries
+
+    ex = queries()["q_sim_topk"](spark, SF_TINY).collect()
+    iv = queries()["q_sim_topk_ivf"](spark, SF_TINY).collect()
+    lists = {}
+    for r in ex:
+        lists.setdefault((r.probe_id, r.vec_id), [None, None])[0] = r.k
+    for r in iv:
+        lists.setdefault((r.probe_id, r.vec_id), [None, None])[1] = r.k
+    want = {}
+    for (pid, vid), (ke, ki) in lists.items():
+        rrf = (1.0 / (60 + ke) if ke else 0.0) + (1.0 / (60 + ki) if ki else 0.0)
+        want.setdefault(pid, []).append((round(rrf, 6), vid, ke is not None and ki is not None))
+    rows = queries()["q_rank_fusion"](spark, SF_TINY).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, cands in want.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        got = sorted(by_probe[pid], key=lambda r: r.k)
+        assert len(got) == min(5, len(cands))
+        for r, (rrf, vid, both) in zip(got, cands):
+            assert (r.vec_id, r.rrf, r.in_both) == (vid, rrf, both)
+
+
+def test_cluster_purity_reconciles(spark):
+    """Cell sizes must cover the corpus exactly once and purity must
+    equal the majority share."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    n_corpus = load_table(spark, SF_TINY, "embeddings").count()
+    rows = queries()["q_cluster_purity"](spark, SF_TINY).collect()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    for r in rows:
+        assert 1 <= r.n_labels <= 10
+        assert r.n_majority <= r.n_vecs
+        assert abs(r.purity - r.n_majority / r.n_vecs) <= 1e-4
+        # majority share can't be below the uniform floor
+        assert r.purity >= 1.0 / r.n_labels - 1e-9

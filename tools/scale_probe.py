@@ -136,6 +136,8 @@ EMBED_QUERIES = [
     "q_embed_power_topvec",
     "q_embed_dim_stats",
     "q_embed_label_margin",
+    "q_rank_fusion",
+    "q_cluster_purity",
 ]
 
 
