@@ -1238,6 +1238,9 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .distinct()
     )
+    # |sources| x |vocab| bounded; feeds 3 consumers (both join sides +
+    # sizes) — materialize once instead of re-scanning the corpus 3x
+    st = st.localCheckpoint(eager=False)
     sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     b = st.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
     inter = (

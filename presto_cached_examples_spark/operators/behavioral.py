@@ -1447,6 +1447,7 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = daily.localCheckpoint(eager=False)  # |types| x |days|; 2 consumers
     lags = daily.select(
         "event_type",
         "d",
@@ -1526,6 +1527,7 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = daily.localCheckpoint(eager=False)  # |types| x |days|; 3 consumers
     med = daily.groupBy("event_type").agg(F.median("cnt").alias("med"))
     mad = (
         daily.join(F.broadcast(med), "event_type")
@@ -1804,8 +1806,10 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(F.to_date("month"), 12).alias("p_month"),
         F.col("revenue").alias("forecast"),
     )
+    # the spine is |nations| x |months| — broadcast beats an SMJ of
+    # two re-aggregations of the fact table
     scored = monthly.join(
-        prev,
+        F.broadcast(prev),
         (F.col("p_nation") == F.col("nation"))
         & (F.col("p_month") == F.to_date("month")),
     )
