@@ -125,6 +125,18 @@ TPCH_QUERIES = [
     "q_dominant_supplier",
 ]
 
+#: orders-family probes (10x orders with fresh orderkeys, SAME custkey
+#: domain — customers get 10x denser order histories, so the per-customer
+#: lag windows and the day/month spines see 10x input on fixed key
+#: domains; dims stay 1x)
+ORDERS_QUERIES = [
+    "q_revenue_ewma",
+    "q_seasonal_naive",
+    "q_order_gaps",
+    "q_returns_wilson",
+    "q_anomaly_zscore",
+]
+
 EMBED_QUERIES = [
     "q_sim_topk_kmeans",
     "q_ann_recall_sweep",
@@ -148,7 +160,7 @@ def main() -> None:
     ap.add_argument(
         "--families",
         default="docs,events,graph,urls,agg",
-        help="comma list of docs/events/graph/urls/agg/embed/tpch to probe",
+        help="comma list of docs/events/graph/urls/agg/embed/tpch/orders to probe",
     )
     args = ap.parse_args()
 
@@ -217,10 +229,30 @@ def main() -> None:
             "label",
         )
 
+    def big_orders_build(o):
+        mx_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        return o.crossJoin(F.broadcast(copies)).select(
+            (F.col("o_orderkey") + F.col("copy") * mx_ok).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+
+    scale_orders = "orders" in set(args.families.split(","))
     # dimension tables are NOT scaled: the probes measure fact-side
     # growth on fixed key domains. Symlink the 1x dims into the big
-    # dir so load_table resolves them there.
-    for dim in ("region", "nation", "supplier", "part", "customer", "orders"):
+    # dir so load_table resolves them there. (orders flips to a scaled
+    # fact when the orders family is probed — drop a stale symlink.)
+    dims = ["region", "nation", "supplier", "part", "customer"]
+    if scale_orders:
+        dst = os.path.join(big_dir, "orders.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)
+    else:
+        dims.append("orders")
+    for dim in dims:
         dst = os.path.join(big_dir, f"{dim}.parquet")
         if not os.path.exists(dst):
             os.makedirs(big_dir, exist_ok=True)
@@ -230,6 +262,8 @@ def main() -> None:
             os.symlink(os.path.abspath(os.path.join(args.sf, f"{dim}.parquet")), dst)
 
     materialize("documents", big_docs_build)
+    if scale_orders:
+        materialize("orders", big_orders_build)
     materialize("events", big_events_build)
     materialize("lineitem", big_lineitem_build)
     materialize("embeddings", big_embeddings_build)
@@ -253,6 +287,7 @@ def main() -> None:
         + (AGG_QUERIES if "agg" in fams else [])
         + (EMBED_QUERIES if "embed" in fams else [])
         + (TPCH_QUERIES if "tpch" in fams else [])
+        + (ORDERS_QUERIES if "orders" in fams else [])
     )
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
     for name in names:
