@@ -1062,6 +1062,12 @@ q_dedup_span.__doc__ = q_dedup_span.__doc__.replace("{n}", str(_SPAN_N))
 
 _EMBED_SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35)
 
+#: Session-keyed memo of the sweep's scored candidate pairs — the
+#: blocking + scoring pass is identical for every build, and the
+#: checkpoint otherwise re-materializes per build (the _PAIRS_CACHE /
+#: curated-survivor discipline). Lazy checkpoint: no build-time jobs.
+_SWEEP_SCORED_CACHE: dict = {}
+
 
 def _dedup_embed_sweep_oracle() -> str:
     """DuckDB replay of the threshold sweep: the identical blocked
@@ -1174,7 +1180,13 @@ def q_dedup_embed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    scored = scored.localCheckpoint(eager=False)  # one scoring pass, N thresholds
+    skey = (session_token(spark), sf_dir)
+    cached = _SWEEP_SCORED_CACHE.get(skey)
+    if cached is None:
+        # one scoring pass per session/sf, N thresholds x M builds
+        cached = scored.localCheckpoint(eager=False)
+        _SWEEP_SCORED_CACHE[skey] = cached
+    scored = cached
     out = None
     for t in _EMBED_SWEEP_THRESHOLDS:
         branch = scored.filter(F.col("cosine") >= t).agg(

@@ -32,6 +32,7 @@ def test_codebook_queries_build_without_jobs_when_warm(spark):
         "q_sample_kcenter",  # memoized greedy selection
         "q_curation_pipeline",  # memoized range-split points
         "q_cluster_purity",  # assigns cells from the memoized codebook
+        "q_dedup_embed_sweep",  # memoized scored candidate pairs
     )
     # Warm every cache (codebooks, bloom count) — may run jobs.
     for name in warm:
