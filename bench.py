@@ -129,6 +129,7 @@ HEADLINE_V2 = [
     "q_graph_khop",
     "q_rank_fusion",
     "q_cluster_purity",
+    "q_quality_ensemble",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1575,3 +1575,165 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_curation_pipeline.__doc__ = q_curation_pipeline.__doc__.replace(
     "{s}", str(_PPL_SIGMAS)
 )
+
+
+def _ensemble_oracle() -> str:
+    from presto_cached_examples_spark.llm.text import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_STOPS,
+        _GOPHER_MIN_WORDS,
+        _QW,
+        _STOPWORDS,
+    )
+
+    return f"""
+    WITH {_PPL_SURPRISAL_SQL},
+    thr AS (
+      SELECT ROUND(AVG(s) + {_PPL_SIGMAS} * STDDEV_SAMP(s), 4) AS thr FROM surp
+    ),
+    gates AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN len(string_split(d.text, ' '))
+                       BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                   AND 2 * (length(d.text)
+                            - (len(string_split(d.text, ' ')) - 1))
+                       BETWEEN 8 * len(string_split(d.text, ' '))
+                           AND 10 * len(string_split(d.text, ' '))
+                   AND len(list_filter(string_split(d.text, ' '),
+                                       w -> w IN ('the', 'a')))
+                       >= {_GOPHER_MIN_STOPS}
+                   AND 5 * len(list_distinct(string_split(d.text, ' ')))
+                       >= 2 * len(string_split(d.text, ' '))
+                  THEN 1 ELSE 0 END AS keep_rules,
+             CASE WHEN 1.0 / (1.0 + EXP(-({_QW["bias"]}
+                    + {_QW["distinct_ratio"]}
+                      * (len(list_distinct(string_split(d.text, ' ')))::DOUBLE
+                         / len(string_split(d.text, ' ')))
+                    + {_QW["stopword_ratio"]}
+                      * (len(list_filter(string_split(d.text, ' '),
+                             t -> list_contains({list(_STOPWORDS)!r}, t)))::DOUBLE
+                         / len(string_split(d.text, ' ')))
+                    + {_QW["log_tokens"]}
+                      * LN(len(string_split(d.text, ' ')))))) > 0.5
+                  THEN 1 ELSE 0 END AS keep_model,
+             CASE WHEN su.s IS NULL OR su.s <= t.thr
+                  THEN 1 ELSE 0 END AS keep_lm
+      FROM documents d
+      LEFT JOIN surp su ON su.doc_id = d.doc_id
+      CROSS JOIN thr t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(keep_rules) AS BIGINT) AS keep_rules,
+           CAST(SUM(keep_model) AS BIGINT) AS keep_model,
+           CAST(SUM(keep_lm) AS BIGINT) AS keep_lm,
+           CAST(SUM(CASE WHEN keep_rules = keep_model
+                          AND keep_model = keep_lm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+           CAST(SUM(CASE WHEN keep_rules + keep_model + keep_lm >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ensemble_kept,
+           ROUND(SUM(CASE WHEN keep_rules + keep_model + keep_lm >= 2
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS ensemble_retention
+    FROM gates GROUP BY source
+    """
+
+
+@register("q_quality_ensemble", category="llm-pipeline", oracle=_ensemble_oracle())
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ensemble (the DataComp/Dolma pattern: no single
+    filter is trusted alone): three INDEPENDENT gate families — Gopher
+    rules (q_quality_gopher's integer rule set), the frozen logistic
+    model (q_quality_logistic at 0.5), and the corpus-self-trained
+    bigram-LM perplexity cut (q_quality_ppl_filter at mean+1sigma) —
+    voted 2-of-3 per document, reported per source with per-gate keep
+    counts and the unanimity rate. Low unanimity on a source means the
+    gates DISAGREE about it — exactly the slice a curator inspects by
+    hand before shipping the mix.
+
+    Scale: the rules and model gates are pure map-side expressions;
+    the LM gate reuses the vocabulary-bounded model tables and the
+    1-row broadcast threshold (q_quality_ppl_filter's plan); voting
+    adds integer arithmetic inside the same per-source aggregate. One
+    corpus scan for the gates plus the gram-keyed scoring join — no
+    new shuffle class over running the three gates separately, and
+    strictly less than running them as three jobs.
+
+    Reference provenance: C7 multiple validity checks before publish
+    (/root/reference/src/demo.cpp:131-154)."""
+    from presto_cached_examples_spark.llm.text import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_STOPS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPWORDS,
+        _QW,
+        _STOPWORDS,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sumc = F.length("text") - (n - F.lit(1))
+    nd = F.size(F.array_distinct(toks))
+    sw = F.size(F.filter(toks, lambda w: w.isin(*_GOPHER_STOPWORDS)))
+    keep_rules = F.when(
+        n.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (2 * sumc >= 8 * n)
+        & (2 * sumc <= 10 * n)
+        & (sw >= _GOPHER_MIN_STOPS)
+        & (5 * nd >= 2 * n),
+        1,
+    ).otherwise(0)
+    distinct_ratio = nd.cast("double") / n
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n
+    )
+    logit = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["distinct_ratio"]) * distinct_ratio
+        + F.lit(_QW["stopword_ratio"]) * stopword_ratio
+        + F.lit(_QW["log_tokens"]) * F.log(n.cast("double"))
+    )
+    keep_model = F.when(1.0 / (1.0 + F.exp(-logit)) > 0.5, 1).otherwise(0)
+    surp = _doc_surprisal(d)
+    thr = surp.agg(
+        F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
+    )
+    keep_lm = F.when(
+        F.col("s").isNull() | (F.col("s") <= F.col("thr")), 1
+    ).otherwise(0)
+    gates = (
+        d.select(
+            "doc_id",
+            "source",
+            keep_rules.alias("keep_rules"),
+            keep_model.alias("keep_model"),
+        )
+        .join(surp, "doc_id", "left")
+        .join(F.broadcast(thr))
+        .select(
+            "source", "keep_rules", "keep_model", keep_lm.alias("keep_lm")
+        )
+    )
+    votes = F.col("keep_rules") + F.col("keep_model") + F.col("keep_lm")
+    return gates.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep_rules").cast("long").alias("keep_rules"),
+        F.sum("keep_model").cast("long").alias("keep_model"),
+        F.sum("keep_lm").cast("long").alias("keep_lm"),
+        F.sum(
+            F.when(
+                (F.col("keep_rules") == F.col("keep_model"))
+                & (F.col("keep_model") == F.col("keep_lm")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unanimous"),
+        F.sum(F.when(votes >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("ensemble_kept"),
+        F.round(
+            F.sum(F.when(votes >= 2, 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("ensemble_retention"),
+    )

@@ -306,6 +306,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_graph_khop",
     "q_rank_fusion",
     "q_cluster_purity",
+    "q_quality_ensemble",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

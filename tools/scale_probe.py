@@ -52,6 +52,7 @@ QUERIES = [
     "q_doc_length_hist",
     "q_source_jaccard",
     "q_dedup_soft",
+    "q_quality_ensemble",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
