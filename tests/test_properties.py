@@ -282,3 +282,78 @@ def test_mp4_parser_property(bodies, timescale, duration, n_tracks, v1):
     if len(payload) > 9:
         with pytest.raises(ValueError):
             _decode_mp4_meta(payload[:-5])
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=28,
+    )
+)
+def test_ewma_fold_bounded_by_frame(spark, vals):
+    """The adjust=False EWMA fold (q_revenue_ewma's expression) is a
+    convex combination of the frame, so it must lie in
+    [min(frame), max(frame)] for any frame."""
+    df = spark.createDataFrame([(vals,)], "arr array<double>")
+    ewma = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1),
+        lambda acc, x: 0.7 * acc + 0.3 * x,
+    )
+    [row] = df.select(ewma.alias("e")).collect()
+    assert min(vals) - 1e-9 <= row.e <= max(vals) + 1e-9
+
+
+@PROP
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # n
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),  # rate
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_wilson_interval_brackets_and_bounds(spark, pairs):
+    """q_returns_wilson's CI formula must bracket p_hat and stay inside
+    [0, 1] for any (k, n) — including k=0 and k=n, where the naive Wald
+    interval escapes the unit range."""
+    data = [(i, int(round(n * r)), n) for i, (n, r) in enumerate(pairs)]
+    df = spark.createDataFrame(data, "id long, k long, n long")
+    z = 1.96
+    p = F.col("k") / F.col("n")
+    nn = F.col("n")
+    center = p + z * z / (2 * nn)
+    half = z * F.sqrt(p * (1 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1 + z * z / nn
+    out = df.select(
+        p.alias("p"),
+        ((center - half) / denom).alias("lo"),
+        ((center + half) / denom).alias("hi"),
+    ).collect()
+    for r in out:
+        assert 0.0 - 1e-12 <= r.lo <= r.p + 1e-12
+        assert r.p - 1e-12 <= r.hi <= 1.0 + 1e-12
+
+
+@PROP
+@given(
+    left=st.lists(st.one_of(st.none(), st.integers(0, 3)), max_size=25),
+    right=st.lists(st.one_of(st.none(), st.integers(0, 3)), max_size=25),
+)
+def test_nullsafe_join_counts_match_group_products(spark, left, right):
+    """eqNullSafe inner-join cardinality == sum over keys (incl. NULL)
+    of |left group| x |right group| — the q_join_nullsafe contract."""
+    from collections import Counter
+
+    ldf = spark.createDataFrame([(v,) for v in left], "k int")
+    rdf = spark.createDataFrame([(v,) for v in right], "k int")
+    got = ldf.join(
+        rdf.withColumnRenamed("k", "k2"), F.col("k").eqNullSafe(F.col("k2"))
+    ).count()
+    lc, rc = Counter(left), Counter(right)
+    want = sum(c * rc[k] for k, c in lc.items())
+    assert got == want

@@ -1191,3 +1191,16 @@ def test_quality_ensemble_reconciles_with_standalone_gates(spark):
         assert r.n_unanimous <= r.n_docs
         assert r.ensemble_kept <= r.n_docs
         assert abs(r.ensemble_retention - r.ensemble_kept / r.n_docs) <= 1e-4
+
+
+def test_dedup_soft_total_effective_equals_cluster_count(spark):
+    """Invariant: each cluster contributes exactly 1.0 effective doc
+    (n members x 1/n), so total effective docs == number of distinct
+    vocabulary fingerprints."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").select("text").collect()
+    n_clusters = len({" ".join(sorted(set(r.text.split(" ")))) for r in docs})
+    rows = queries()["q_dedup_soft"](spark, SF_TINY).collect()
+    assert abs(sum(r.effective_docs for r in rows) - n_clusters) < 0.01
