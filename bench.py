@@ -130,6 +130,7 @@ HEADLINE_V2 = [
     "q_rank_fusion",
     "q_cluster_purity",
     "q_quality_ensemble",
+    "q_minhash_calibration",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -1343,3 +1343,180 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.lit(1)) / F.sum(w), 4).alias("dup_inflation"),
         )
     )
+
+
+_MHC_H = 8  # minhash functions
+_MHC_BANDS = 4  # bands of 2 rows each
+_MHC_SHINGLE = 5  # tokens per shingle (the q_dedup_near gram width)
+
+
+def _mhc_oracle() -> str:
+    mins = ",\n  ".join(
+        f"MIN(md5(g || '#{i}')) AS m{i}" for i in range(_MHC_H)
+    )
+    bands = " UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS b, md5(m{2 * b} || m{2 * b + 1}) AS bv FROM mh"
+        for b in range(_MHC_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MHC_H)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{_MHC_SHINGLE - 1}], ' ') AS g
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(t) - {_MHC_SHINGLE - 1}, 1)))
+             AS s(i)
+    ),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON b.b = a.b AND b.bv = a.bv AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, LIST(g) AS ts FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT {matches} AS n_match,
+             len(list_filter(sa.ts, x -> list_contains(sb.ts, x))) * 1.0
+               / len(list_distinct(list_concat(sa.ts, sb.ts))) AS jacc
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc_a
+      JOIN mh b ON b.doc_id = c.doc_b
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(n_match AS INT) AS n_match,
+           ROUND(n_match / {_MHC_H}.0, 4) AS est_jaccard,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(jacc), 4) AS avg_jaccard,
+           ROUND(MIN(jacc), 4) AS min_jaccard,
+           ROUND(MAX(jacc), 4) AS max_jaccard
+    FROM scored GROUP BY n_match
+    """
+
+
+@register("q_minhash_calibration", category="llm-dedup", oracle=_mhc_oracle())
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair
+    (md5 minhash over {_MHC_SHINGLE}-token shingles, {_MHC_BANDS}
+    bands x 2 rows), compare the SIGNATURE-estimated Jaccard
+    (matching minhashes / {_MHC_H}) against the EXACT shingle-set
+    Jaccard, bucketed by match count. The measure-then-tune evidence
+    behind every minhash deployment: if the avg exact Jaccard in the
+    high-match buckets sags, the signature is too short for the
+    corpus and the dedup threshold is lying.
+
+    Design note: minhashing the TOKEN sets of this fixture collides
+    catastrophically (31-token vocabulary → the global min-hash token
+    is in most docs — measured 9.3M candidate pairs from 5k docs);
+    shingles restore a large value domain and drop candidates to a
+    few hundred. That failure mode is real at any scale for
+    small-alphabet fields (tags, categories): always shingle.
+
+    Scale: the q_dedup_near posture — signatures are per-doc
+    aggregates over the shingle stream, the bucket join carries
+    (band, hash, id) triples only, and the exact-verify leg fetches
+    shingle sets per CANDIDATE, never corpus-wide. All hashes are md5,
+    so DuckDB replays the pipeline bit-for-bit.
+
+    Reference provenance: C9 measured operating curves
+    (/root/reference/README.md:14-21)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    t = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t) - (_MHC_SHINGLE - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(t, i, _MHC_SHINGLE)),
+        )
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("g"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(_MHC_H)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias(
+                    "bv"
+                ),
+            )
+            for b in range(_MHC_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_arr).alias("band")).select(
+        "doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv")
+    )
+    other = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b").alias("b2"),
+        F.col("bv").alias("bv2"),
+    )
+    cand = (
+        bands.join(
+            other,
+            (F.col("b2") == F.col("b"))
+            & (F.col("bv2") == F.col("bv"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sets = d.select("doc_id", grams.alias("ts"))
+    a = mh.join(sets, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ts").alias("ts_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MHC_H)],
+    )
+    b = mh.join(sets, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ts").alias("ts_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MHC_H)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MHC_H)
+    )
+    jacc = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(n_match.cast("int").alias("n_match"), jacc.alias("jacc"))
+    )
+    return (
+        scored.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jacc"), 4).alias("avg_jaccard"),
+            F.round(F.min("jacc"), 4).alias("min_jaccard"),
+            F.round(F.max("jacc"), 4).alias("max_jaccard"),
+        )
+        .select(
+            "n_match",
+            F.round(F.col("n_match") / float(_MHC_H), 4).alias("est_jaccard"),
+            "n_pairs",
+            "avg_jaccard",
+            "min_jaccard",
+            "max_jaccard",
+        )
+    )
+
+
+q_minhash_calibration.__doc__ = q_minhash_calibration.__doc__.replace(
+    "{_MHC_H}", str(_MHC_H)
+).replace("{_MHC_BANDS}", str(_MHC_BANDS)).replace(
+    "{_MHC_SHINGLE}", str(_MHC_SHINGLE)
+)

@@ -307,6 +307,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_rank_fusion",
     "q_cluster_purity",
     "q_quality_ensemble",
+    "q_minhash_calibration",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

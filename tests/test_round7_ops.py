@@ -1204,3 +1204,55 @@ def test_dedup_soft_total_effective_equals_cluster_count(spark):
     n_clusters = len({" ".join(sorted(set(r.text.split(" ")))) for r in docs})
     rows = queries()["q_dedup_soft"](spark, SF_TINY).collect()
     assert abs(sum(r.effective_docs for r in rows) - n_clusters) < 0.01
+
+
+def test_minhash_calibration_replay(spark):
+    """Bucket counts and exact-Jaccard stats must match a full Python
+    replay of the md5 minhash pipeline (signatures, banding, candidate
+    generation, shingle-set Jaccard)."""
+    import hashlib
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.llm.dedup import (
+        _MHC_BANDS,
+        _MHC_H,
+        _MHC_SHINGLE,
+    )
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    shingles = {}
+    for r in load_table(spark, SF_TINY, "documents").collect():
+        t = r.text.split(" ")
+        n = max(len(t) - (_MHC_SHINGLE - 1), 1)
+        shingles[r.doc_id] = {" ".join(t[i : i + _MHC_SHINGLE]) for i in range(n)}
+    sig = {
+        d: [min(md5(f"{g}#{i}") for g in gs) for i in range(_MHC_H)]
+        for d, gs in shingles.items()
+    }
+    buckets = defaultdict(set)
+    for d, m in sig.items():
+        for b in range(_MHC_BANDS):
+            buckets[(b, md5(m[2 * b] + m[2 * b + 1]))].add(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cands.add((a, b))
+    assert cands, "no candidate pairs — vacuous fixture"
+    by_match = defaultdict(list)
+    for a, b in cands:
+        nm = sum(1 for i in range(_MHC_H) if sig[a][i] == sig[b][i])
+        sa, sb = shingles[a], shingles[b]
+        by_match[nm].append(len(sa & sb) / len(sa | sb))
+    rows = {r.n_match: r for r in queries()["q_minhash_calibration"](spark, SF_TINY).collect()}
+    assert set(rows) == set(by_match)
+    for nm, js in by_match.items():
+        r = rows[nm]
+        assert r.n_pairs == len(js)
+        assert abs(r.avg_jaccard - sum(js) / len(js)) <= 1e-4
+        assert abs(r.min_jaccard - min(js)) <= 1e-4
+        assert abs(r.max_jaccard - max(js)) <= 1e-4
+        assert r.est_jaccard == round(nm / _MHC_H, 4)

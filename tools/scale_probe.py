@@ -53,6 +53,7 @@ QUERIES = [
     "q_source_jaccard",
     "q_dedup_soft",
     "q_quality_ensemble",
+    "q_minhash_calibration",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
