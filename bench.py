@@ -131,6 +131,7 @@ HEADLINE_V2 = [
     "q_cluster_purity",
     "q_quality_ensemble",
     "q_minhash_calibration",
+    "q_drift_report",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

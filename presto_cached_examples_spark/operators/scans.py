@@ -672,3 +672,130 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("delta"), 2).alias("price_delta"),
         )
     )
+
+
+_DRIFT_COLS = (
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _drift_oracle() -> str:
+    aggs = ", ".join(
+        f"COUNT(*) AS n, "
+        if False
+        else f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}, "
+        f"COUNT(DISTINCT {c}) AS nd_{c}"
+        for c in _DRIFT_COLS
+    )
+    rows = " UNION ALL\n      ".join(
+        f"SELECT '{c}' AS col_name, a.n AS n_v1, b.n AS n_v2, "
+        f"CAST(a.null_{c} AS BIGINT) AS nulls_v1, "
+        f"CAST(b.null_{c} AS BIGINT) AS nulls_v2, "
+        f"a.nd_{c} AS distinct_v1, b.nd_{c} AS distinct_v2, "
+        f"ROUND(b.nd_{c} * 1.0 / a.nd_{c} - 1, 4) AS distinct_drift "
+        f"FROM a CROSS JOIN b"
+        for c in _DRIFT_COLS
+    )
+    return f"""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 3
+                  THEN o_totalprice * 1.05 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} <> 7
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice * 0.37,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % {_DIFF_INS_MOD} = 11
+    ),
+    a AS (SELECT COUNT(*) AS n, {aggs} FROM orders),
+    b AS (SELECT COUNT(*) AS n, {aggs} FROM v2)
+    {rows}
+    """
+
+
+@register("q_drift_report", category="scan", oracle=_drift_oracle())
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile drift between two table versions (v2 is
+    q_snapshot_diff's deterministic mutated snapshot): per column, row
+    counts, null counts, exact distinct counts, and the relative
+    distinct-count drift. The data-quality monitor a pipeline runs on
+    every snapshot promotion — q_snapshot_diff answers 'which ROWS
+    changed', this answers 'did any COLUMN's shape change' (a null
+    spike or cardinality collapse is schema rot even when row counts
+    look fine).
+
+    Scale: each version is profiled in ONE aggregate pass (all
+    null-count + count-distinct measures fused into a single 1-row
+    aggregate — Spark plans the distincts via expand, still one scan),
+    and the per-column report rows come from unioning projections of
+    the two 1-ROW relations — the report costs two scans regardless of
+    column count or data size. Exact distincts keep the oracle exact;
+    a 100 TB deployment would swap approx_count_distinct into the same
+    frame.
+
+    Reference provenance: C3/C4 promotion gate between coexisting
+    buffer versions (/root/reference/src/demo.cpp:162-204)."""
+    o = load_table(spark, sf_dir, "orders")
+    v2 = (
+        o.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 7)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % _DIFF_UPD_MOD == 3,
+                F.col("o_totalprice") * 1.05,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % _DIFF_INS_MOD == 11).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") * 0.37).alias("o_totalprice"),
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    )
+
+    def profile(df, tag):
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+        for c in _DRIFT_COLS:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"null_{c}_{tag}")
+            )
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}_{tag}"))
+        return df.agg(*aggs)
+
+    a = profile(o, "v1")
+    b = profile(v2, "v2")
+    both = a.crossJoin(F.broadcast(b))  # 1 row x 1 row
+    out = None
+    for c in _DRIFT_COLS:
+        row = both.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_v1"),
+            F.col("n_v2"),
+            F.col(f"null_{c}_v1").alias("nulls_v1"),
+            F.col(f"null_{c}_v2").alias("nulls_v2"),
+            F.col(f"nd_{c}_v1").alias("distinct_v1"),
+            F.col(f"nd_{c}_v2").alias("distinct_v2"),
+            F.round(
+                F.col(f"nd_{c}_v2") / F.col(f"nd_{c}_v1") - 1, 4
+            ).alias("distinct_drift"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

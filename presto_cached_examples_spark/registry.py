@@ -308,6 +308,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_cluster_purity",
     "q_quality_ensemble",
     "q_minhash_calibration",
+    "q_drift_report",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

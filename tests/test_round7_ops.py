@@ -1256,3 +1256,45 @@ def test_minhash_calibration_replay(spark):
         assert abs(r.min_jaccard - min(js)) <= 1e-4
         assert abs(r.max_jaccard - max(js)) <= 1e-4
         assert r.est_jaccard == round(nm / _MHC_H, 4)
+
+
+def test_drift_report_replay(spark):
+    """Per-column counts must match a Python replay of the mutation
+    rules, and the mutated columns must be the only drifting ones."""
+    from presto_cached_examples_spark.operators.scans import (
+        _DIFF_DEL_MOD,
+        _DIFF_INS_MOD,
+        _DIFF_UPD_MOD,
+        _DRIFT_COLS,
+    )
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    v1 = load_table(spark, SF_TINY, "orders").collect()
+    v2 = []
+    for r in v1:
+        k = r.o_orderkey
+        if k % _DIFF_DEL_MOD != 7:
+            price = r.o_totalprice * 1.05 if k % _DIFF_UPD_MOD == 3 else r.o_totalprice
+            v2.append((k, r.o_custkey, r.o_orderstatus, price, r.o_orderdate, r.o_orderpriority))
+        if k % _DIFF_INS_MOD == 11:
+            v2.append((-k, r.o_custkey, r.o_orderstatus, r.o_totalprice * 0.37, r.o_orderdate, r.o_orderpriority))
+    cols = ("o_orderkey",) + _DRIFT_COLS
+    idx = {c: i for i, c in enumerate(cols)}
+    rows = {r.col_name: r for r in queries()["q_drift_report"](spark, SF_TINY).collect()}
+    assert set(rows) == set(_DRIFT_COLS)
+    for c in _DRIFT_COLS:
+        r = rows[c]
+        assert r.n_v1 == len(v1)
+        assert r.n_v2 == len(v2)
+        assert r.nulls_v1 == sum(1 for x in v1 if x[idx[c]] is None)
+        assert r.nulls_v2 == sum(1 for t in v2 if t[idx[c]] is None)
+        assert r.distinct_v1 == len({x[idx[c]] for x in v1})
+        assert r.distinct_v2 == len({t[idx[c]] for t in v2})
+    for c in _DRIFT_COLS:
+        r = rows[c]
+        want = r.distinct_v2 / r.distinct_v1 - 1
+        assert abs(r.distinct_drift - want) <= 1e-4
+    # prices are unique per row, so the ~5% delete / 2% insert nets a
+    # cardinality DROP — the monitor reads the delta, not a sign rule
+    assert rows["o_totalprice"].distinct_drift < 0
