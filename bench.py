@@ -132,6 +132,9 @@ HEADLINE_V2 = [
     "q_quality_ensemble",
     "q_minhash_calibration",
     "q_drift_report",
+    "q_langid_confusion",
+    "q_events_heatmap",
+    "q_sample_balanced",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -319,3 +319,72 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(rad_map[F.col("vec_id")], 4).alias("radius2"),
     )
+
+
+@register(
+    "q_sample_balanced",
+    category="llm-sampling",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM embeddings
+    ),
+    sizes AS (SELECT label, COUNT(*) AS n_total FROM ranked GROUP BY label),
+    cap AS (SELECT MIN(n_total) AS cap FROM sizes)
+    SELECT s.label, s.n_total,
+           CAST(c.cap AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.r <= c.cap THEN r.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked r
+    JOIN sizes s ON s.label = r.label
+    CROSS JOIN cap c
+    GROUP BY s.label, s.n_total, c.cap
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size vectors, chosen by the md5(vec_id) hash order (the
+    q_sample_hash_topk draw — identical on every engine and run, and
+    stable under corpus growth for the ids that survive). The
+    class-imbalance fix applied before training any classifier or
+    contrastive head on labeled embeddings; kept_id_sum is the exact
+    membership checksum so the oracle verifies WHICH rows were kept,
+    not just how many.
+
+    Scale: the rank window partitions by label (the same key the size
+    aggregate shuffles on), the cap is a 1-row broadcast MIN, and the
+    verdict is map-side per row — no join ever carries vectors, only
+    (id, label, rank).
+
+    Reference provenance: C1 budgeted per-class residency
+    (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = e.select("vec_id", "label", F.row_number().over(w).alias("r"))
+    sizes = ranked.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    cap = sizes.agg(F.min("n_total").alias("cap"))
+    return (
+        ranked.join(F.broadcast(sizes), "label")
+        .join(F.broadcast(cap))
+        .groupBy("label", "n_total", "cap")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("cap"), F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum")
+        )
+        .select(
+            "label",
+            "n_total",
+            F.col("cap").cast("long").alias("n_kept"),
+            "kept_id_sum",
+        )
+    )

@@ -1498,3 +1498,85 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "q_langid_confusion",
+    category="llm-text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_langid_score_sql()}
+      FROM documents
+    ),
+    guessed AS (
+      SELECT lang AS labeled_lang,
+             CASE GREATEST(score_en, score_de, score_es, score_fr, score_zh)
+               WHEN score_en THEN 'en'
+               WHEN score_de THEN 'de'
+               WHEN score_es THEN 'es'
+               WHEN score_fr THEN 'fr'
+               ELSE 'zh'
+             END AS guessed_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT labeled_lang, guessed_lang, COUNT(*) AS n_docs
+      FROM guessed GROUP BY labeled_lang, guessed_lang
+    ),
+    tot AS (
+      SELECT labeled_lang, SUM(n_docs) AS n_labeled
+      FROM cells GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang, c.guessed_lang, c.n_docs,
+           ROUND(c.n_docs * 1.0 / t.n_labeled, 4) AS row_share,
+           c.labeled_lang = c.guessed_lang AS is_correct
+    FROM cells c JOIN tot t ON t.labeled_lang = c.labeled_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: q_text_langid's heuristic guesser
+    evaluated against the labeled lang column — per (labeled, guessed)
+    cell counts with the within-label share (the per-class recall
+    readout on the diagonal). The calibration a pipeline runs before
+    trusting lang tags for mixture weighting: q_text_langid emits
+    per-doc guesses, this emits the model-quality summary a human
+    actually reads.
+
+    Scale: the guess is the same map-side argmax (one scan, no
+    shuffle); the matrix aggregate keys on (labeled, guessed) —
+    output bounded by |langs|^2 — and the share join broadcasts the
+    |langs|-row totals.
+
+    Reference provenance: C8 self-evaluation against ground truth
+    (/root/reference/src/demo.cpp:156-170)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+
+    def count_marker(m: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(m)))
+
+    scores = {
+        lang: sum((count_marker(m) for m in markers), F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    top = F.greatest(*scores.values())
+    guess = (
+        F.when(scores["en"] == top, "en")
+        .when(scores["de"] == top, "de")
+        .when(scores["es"] == top, "es")
+        .when(scores["fr"] == top, "fr")
+        .otherwise("zh")
+    )
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n_docs").alias("n_labeled"))
+    return cells.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_labeled"), 4).alias("row_share"),
+        (F.col("labeled_lang") == F.col("guessed_lang")).alias("is_correct"),
+    )

@@ -1927,3 +1927,62 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ab_lift.__doc__ = q_ab_lift.__doc__.replace("{_AB_Z}", str(_AB_Z))
+
+
+@register(
+    "q_events_heatmap",
+    category="behavioral",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(isodow(ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+             COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY dow, hour
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM cells)
+    SELECT c.dow, c.hour, c.n_events, c.n_users,
+           CAST(FLOOR(c.n_events * 10000.0 / t.total + 0.5) AS INT)
+             AS share_bp
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event and distinct-user counts per (ISO
+    weekday, hour-of-day) cell with each cell's share of total
+    traffic — the capacity-planning / on-call-staffing panel, and the
+    visual sanity check that a fixture's 'uniform' event stream really
+    is uniform. Two cross-engine traps sidestepped by construction:
+    ISO weekday (weekday()+1 == isodow) because Spark's dayofweek()
+    is Sunday-1-based while DuckDB's is Sunday-0-based; and the share
+    is emitted as INTEGER basis points via FLOOR(x*10000 + 0.5) —
+    ROUND(double) disagrees between engines on true decimal ties
+    (Spark HALF_UPs the shortest decimal repr, DuckDB rounds the
+    binary value: 565/100000 -> 0.0057 vs 0.0056, caught at sf0.1),
+    while FLOOR of the identical IEEE expression cannot.
+
+    Scale: one scan; the aggregate keys on a 7 x 24-bounded cell grid
+    (two-phase, distinct-user expansion included), and the share join
+    broadcasts a 1-row total. Session timezone is pinned UTC by the
+    engine factory, so the hour bucket is deterministic.
+
+    Reference provenance: C5 fixed-grid occupancy
+    (/root/reference/src/PicoPlusPsram.cpp:31-58)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = cells.agg(F.sum("n_events").alias("total"))
+    return cells.join(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        "n_users",
+        F.floor(F.col("n_events") * 10000.0 / F.col("total") + 0.5)
+        .cast("int")
+        .alias("share_bp"),
+    )

@@ -309,6 +309,9 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_quality_ensemble",
     "q_minhash_calibration",
     "q_drift_report",
+    "q_langid_confusion",
+    "q_events_heatmap",
+    "q_sample_balanced",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -1298,3 +1298,61 @@ def test_drift_report_replay(spark):
     # prices are unique per row, so the ~5% delete / 2% insert nets a
     # cardinality DROP — the monitor reads the delta, not a sign rule
     assert rows["o_totalprice"].distinct_drift < 0
+
+
+def test_langid_confusion_reconciles_with_per_doc_guesses(spark):
+    """Matrix cells must reconcile with q_text_langid's per-doc
+    guesses, and row shares must sum to 1 per labeled lang."""
+    from collections import Counter, defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+
+    per_doc = queries()["q_text_langid"](spark, SF_TINY).collect()
+    want = Counter((r.labeled_lang, r.guessed_lang) for r in per_doc)
+    rows = queries()["q_langid_confusion"](spark, SF_TINY).collect()
+    got = {(r.labeled_lang, r.guessed_lang): r.n_docs for r in rows}
+    assert got == dict(want)
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.labeled_lang] += r.row_share
+        assert r.is_correct == (r.labeled_lang == r.guessed_lang)
+    for tot in shares.values():
+        assert abs(tot - 1.0) < 1e-3
+
+
+def test_events_heatmap_covers_all_events(spark):
+    """Cell counts must sum to the table size, ISO dow in 1..7, hour in
+    0..23, and shares (basis points) sum to ~10000."""
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    n = load_table(spark, SF_TINY, "events").count()
+    rows = queries()["q_events_heatmap"](spark, SF_TINY).collect()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+        assert r.n_users <= r.n_events
+    assert abs(sum(r.share_bp for r in rows) - 10000) <= len(rows)
+
+
+def test_sample_balanced_matches_hash_order(spark):
+    """Every label keeps exactly min-class-size rows and the kept-id
+    checksum matches the md5 hash-order replay."""
+    import hashlib
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    by_label = defaultdict(list)
+    for r in load_table(spark, SF_TINY, "embeddings").collect():
+        by_label[r.label].append(r.vec_id)
+    cap = min(len(v) for v in by_label.values())
+    rows = {r.label: r for r in queries()["q_sample_balanced"](spark, SF_TINY).collect()}
+    assert set(rows) == set(by_label)
+    for lab, ids in by_label.items():
+        ids.sort(key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+        r = rows[lab]
+        assert r.n_total == len(ids)
+        assert r.n_kept == cap
+        assert r.kept_id_sum == sum(ids[:cap])

@@ -54,6 +54,7 @@ QUERIES = [
     "q_dedup_soft",
     "q_quality_ensemble",
     "q_minhash_calibration",
+    "q_langid_confusion",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
@@ -71,6 +72,7 @@ EVENT_QUERIES = [
     "q_events_autocorr",
     "q_events_mad",
     "q_ab_lift",
+    "q_events_heatmap",
 ]
 
 #: lineitem-family probes (10x orders over the SAME part space — the
