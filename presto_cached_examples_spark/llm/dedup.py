@@ -1444,6 +1444,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MHC_H)
         ]
     )
+    # the signature relation (id + 8 hashes, the artifact a real
+    # deployment materializes at ingest) feeds banding AND both join
+    # sides — compute it once, not three times
+    mh = mh.localCheckpoint(eager=False)
     band_arr = F.array(
         *[
             F.struct(
