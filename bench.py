@@ -135,6 +135,7 @@ HEADLINE_V2 = [
     "q_langid_confusion",
     "q_events_heatmap",
     "q_sample_balanced",
+    "q_revenue_moving_median",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

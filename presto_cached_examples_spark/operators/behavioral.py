@@ -1986,3 +1986,72 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("share_bp"),
     )
+
+
+_MMED_FRAME = 6  # preceding days: 7-day moving window
+
+
+@register(
+    "q_revenue_moving_median",
+    category="behavioral",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS revenue
+      FROM orders GROUP BY day
+    )
+    SELECT day, ROUND(revenue, 2) AS revenue,
+           ROUND(MEDIAN(revenue) OVER (
+             ORDER BY day
+             ROWS BETWEEN {_MMED_FRAME} PRECEDING AND CURRENT ROW
+           ), 2) AS med7,
+           revenue > MEDIAN(revenue) OVER (
+             ORDER BY day
+             ROWS BETWEEN {_MMED_FRAME} PRECEDING AND CURRENT ROW
+           ) AS above_median
+    FROM daily
+    """,
+)
+def q_revenue_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving MEDIAN of daily order revenue with an
+    above/below flag — q_revenue_ewma's robust twin: one promo-spike
+    day drags a mean-based trend for a week, while the median trend
+    shrugs it off (the same median-vs-mean argument as q_events_mad,
+    applied to the trend line instead of the outlier screen).
+
+    Engine note: Spark's median() rejects window FRAMES, so the frame
+    median is computed as collect_list over the frame -> array_sort ->
+    exact midpoint (odd) / mean-of-middles (even) — which is precisely
+    DuckDB's interpolating MEDIAN over the same frame. Day totals are
+    cent-summed longs, and the midpoint mean of two exact values is
+    the same IEEE op on both engines, so even the flag's raw
+    comparison agrees.
+
+    Scale: the stream collapses to the day spine first; the window is
+    the q_anomaly_zscore allowlist class (|days| rows) with O(frame)
+    state per row.
+
+    Reference provenance: C8 smoothed telemetry, robust variant
+    (/root/reference/src/demo.cpp:156-170)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-_MMED_FRAME, 0)
+    arr = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(arr)
+    mid_hi = F.floor(n / 2).cast("int") + 1  # 1-based upper middle
+    mid_lo = F.floor((n + 1) / 2).cast("int")  # equals mid_hi when odd
+    med = (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2.0
+    framed = daily.select("day", "revenue", med.alias("med7"))
+    return framed.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("med7", 2).alias("med7"),
+        (F.col("revenue") > F.col("med7")).alias("above_median"),
+    )

@@ -312,6 +312,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_langid_confusion",
     "q_events_heatmap",
     "q_sample_balanced",
+    "q_revenue_moving_median",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

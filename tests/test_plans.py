@@ -420,6 +420,7 @@ WINDOW_UNPARTITIONED_ALLOWED: dict[str, str] = {
     "q_concurrency_peak": "per-day boundary prefix (|days| rows)",
     "q_anomaly_zscore": "trailing z-window over the day spine (|days| rows)",
     "q_revenue_ewma": "trailing EWMA frame over the day spine (|days| rows)",
+    "q_revenue_moving_median": "trailing median frame over the day spine",
     "q_path_trigrams": "global share over |event_types|^3 trigram rows",
     "q_text_unigram_lm": "corpus-total window over |vocab| rows",
     "q_sample_weighted": (

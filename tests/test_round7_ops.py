@@ -1356,3 +1356,30 @@ def test_sample_balanced_matches_hash_order(spark):
         assert r.n_total == len(ids)
         assert r.n_kept == cap
         assert r.kept_id_sum == sum(ids[:cap])
+
+
+def test_revenue_moving_median_matches_numpy(spark):
+    """The frame median must match numpy's median over the trailing
+    7-day window of cent-exact day totals."""
+    import numpy as np
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_TINY, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily = {}
+    for r in orders:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    days = sorted(daily)
+    series = [daily[d] / 100.0 for d in days]
+    rows = {r.day.date(): r for r in queries()["q_revenue_moving_median"](spark, SF_TINY).collect()}
+    assert len(rows) == len(days)
+    for i, d in enumerate(days):
+        frame = series[max(0, i - 6): i + 1]
+        want = float(np.median(frame))
+        r = rows[d]
+        assert abs(r.med7 - round(want, 2)) <= 1e-2
+        assert r.above_median == (series[i] > want)

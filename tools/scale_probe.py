@@ -139,6 +139,7 @@ ORDERS_QUERIES = [
     "q_order_gaps",
     "q_returns_wilson",
     "q_anomaly_zscore",
+    "q_revenue_moving_median",
 ]
 
 EMBED_QUERIES = [
