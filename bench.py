@@ -136,6 +136,7 @@ HEADLINE_V2 = [
     "q_events_heatmap",
     "q_sample_balanced",
     "q_revenue_moving_median",
+    "q_priority_shift",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -2055,3 +2055,115 @@ def q_revenue_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med7", 2).alias("med7"),
         (F.col("revenue") > F.col("med7")).alias("above_median"),
     )
+
+
+@register(
+    "q_priority_shift",
+    category="behavioral",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             o_orderpriority AS prio,
+             COUNT(*) AS c
+      FROM orders GROUP BY month, prio
+    ),
+    t AS (SELECT month, SUM(c) AS tot FROM m GROUP BY month),
+    cur AS (
+      SELECT m.month, m.prio, m.c, t.tot
+      FROM m JOIN t ON t.month = m.month
+    ),
+    shifted AS (
+      SELECT c1.month, c1.prio,
+             ABS(c1.c * c0.tot - c0.c * c1.tot) AS num,
+             c1.tot * c0.tot AS den
+      FROM cur c1
+      JOIN cur c0
+        ON c0.prio = c1.prio
+       AND c0.month + INTERVAL 1 MONTH = c1.month
+    ),
+    ranked AS (
+      SELECT month, prio, num, den,
+             ROW_NUMBER() OVER (
+               PARTITION BY month ORDER BY num DESC, prio) AS rl
+      FROM shifted
+    ),
+    agg AS (
+      -- den = t1*t0 is constant within a month: sum the INTEGER
+      -- numerators, divide once — zero summation-order exposure
+      SELECT month, COUNT(*) AS n_priorities,
+             ROUND(SUM(num) * 1.0 / ANY_VALUE(den), 4) AS l1_shift
+      FROM shifted GROUP BY month
+    )
+    SELECT a.month, CAST(a.n_priorities AS INT) AS n_priorities,
+           a.l1_shift,
+           r.prio AS top_mover,
+           ROUND(r.num * 1.0 / r.den, 4) AS top_shift
+    FROM agg a JOIN ranked r ON r.month = a.month AND r.rl = 1
+    """,
+)
+def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month distribution shift of the order-priority mix:
+    per month, the L1 distance between this month's and last month's
+    priority shares, plus the priority that moved most. The
+    over-TIME companion to q_drift_report's two-version column drift —
+    the monitor that catches a silent upstream change re-weighting a
+    categorical long before any single month looks wrong in isolation.
+
+    Determinism: share differences are computed as the EXACT integer
+    cross-multiplication |c1*t0 - c0*t1| over a common denominator
+    t1*t0, so the L1 sum accumulates INTEGERS (no summation-order ULP
+    exposure at all — the post-q_events_heatmap discipline) and each
+    output sees exactly one IEEE division before its rounding; the
+    top-mover argmax compares integers with a priority tie-break.
+
+    Scale: the fact stream collapses to the (month, priority) spine
+    first (bounded |months| x 5); the previous-month join is CALENDAR
+    (the q_seasonal_naive lesson — row-lag mis-pairs on sparse spines)
+    over that model-sized relation, and the per-month window ranks
+    <= 5 rows.
+
+    Reference provenance: C8 history-vs-now comparison
+    (/root/reference/src/demo.cpp:156-170)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = m.groupBy("month").agg(F.sum("c").alias("tot"))
+    cur = m.join(F.broadcast(t), "month")
+    prev = cur.select(
+        F.col("prio").alias("p_prio"),
+        F.add_months(F.to_date("month"), 1).alias("p_month"),
+        F.col("c").alias("c0"),
+        F.col("tot").alias("t0"),
+    )
+    shifted = cur.join(
+        F.broadcast(prev),
+        (F.col("p_prio") == F.col("prio"))
+        & (F.col("p_month") == F.to_date("month")),
+    ).select(
+        "month",
+        "prio",
+        F.abs(F.col("c") * F.col("t0") - F.col("c0") * F.col("tot")).alias(
+            "num"
+        ),
+        (F.col("tot") * F.col("t0")).alias("den"),
+    )
+    from pyspark.sql import Window
+
+    rl = F.row_number().over(
+        Window.partitionBy("month").orderBy(F.col("num").desc(), "prio")
+    )
+    ranked = shifted.select("month", "prio", "num", "den", rl.alias("rl"))
+    agg = shifted.groupBy("month").agg(
+        F.count(F.lit(1)).cast("int").alias("n_priorities"),
+        # den is month-constant: integer-sum the numerators, one division
+        F.round(F.sum("num") / F.any_value("den"), 4).alias("l1_shift"),
+    )
+    return agg.join(ranked.filter(F.col("rl") == 1), "month").select(
+        "month",
+        "n_priorities",
+        "l1_shift",
+        F.col("prio").alias("top_mover"),
+        F.round(F.col("num") / F.col("den"), 4).alias("top_shift"),
+    )

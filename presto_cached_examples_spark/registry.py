@@ -313,6 +313,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_events_heatmap",
     "q_sample_balanced",
     "q_revenue_moving_median",
+    "q_priority_shift",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

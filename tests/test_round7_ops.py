@@ -1383,3 +1383,41 @@ def test_revenue_moving_median_matches_numpy(spark):
         r = rows[d]
         assert abs(r.med7 - round(want, 2)) <= 1e-2
         assert r.above_median == (series[i] > want)
+
+
+def test_priority_shift_replay(spark):
+    """L1 shifts and top movers must match a Python replay of the
+    month-over-month share distances on exact counts."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, SF_TINY, "orders").collect():
+        d = r.o_orderdate
+        counts[(d.year, d.month)][r.o_orderpriority] += 1
+    rows = {r.month.date(): r for r in queries()["q_priority_shift"](spark, SF_TINY).collect()}
+    import datetime
+
+    n_checked = 0
+    for (y, mo), cur in counts.items():
+        prev_key = (y, mo - 1) if mo > 1 else (y - 1, 12)
+        prev = counts.get(prev_key)
+        if prev is None:
+            continue
+        shared = set(cur) & set(prev)
+        if not shared:
+            continue
+        t1 = sum(cur.values())
+        t0 = sum(prev.values())
+        nums = {p: abs(cur[p] * t0 - prev[p] * t1) for p in shared}
+        l1 = sum(nums.values()) / (t1 * t0)
+        top = min(shared, key=lambda p: (-nums[p], p))
+        r = rows[datetime.date(y, mo, 1)]
+        assert r.n_priorities == len(shared)
+        assert abs(r.l1_shift - round(l1, 4)) <= 1e-4
+        assert r.top_mover == top
+        assert abs(r.top_shift - round(nums[top] / (t1 * t0), 4)) <= 1e-4
+        n_checked += 1
+    assert n_checked == len(rows)

@@ -140,6 +140,7 @@ ORDERS_QUERIES = [
     "q_returns_wilson",
     "q_anomaly_zscore",
     "q_revenue_moving_median",
+    "q_priority_shift",
 ]
 
 EMBED_QUERIES = [
