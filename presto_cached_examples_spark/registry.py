@@ -263,12 +263,15 @@ _VERIFY_FRONT: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
 
-# Rotation queue for round 8 (VERDICT r6 item 8: from here on split the
-# 50 slots ~40 oldest-green refresh / ~10 new surface): the 5 r3 greens
-# that missed the r7 window, then r4 greens oldest-first (registration
-# order within the r4 batch). All locally hash-verified every run
-# (tests/test_oracle_parity.py + tools/check_oracles.py, driver
-# strength). New round-7 queries should be spliced ahead of this list.
+# Rotation queue for round 8. Round 7 grew the surface 201 -> 244, so
+# the queue head is now the 43 never-driver-run round-7 queries (each
+# locally green at sf0.01 AND sf0.1 under check_oracles and the
+# bare-session driver_sim, but without a hard CORRECTNESS row yet) —
+# clearing never-run entries outranks VERDICT r6 item 8's
+# 40-refresh/10-new split until the head drains (the r6 precedent:
+# never-run > refresh). After them: the 5 r3 greens that missed the r7
+# window, then r4 greens oldest-first. All locally hash-verified every
+# run (tests/test_oracle_parity.py + tools/check_oracles.py).
 _VERIFY_NEXT: tuple[str, ...] = (
     # new in round 7 — never driver-run (local driver-strength green)
     "q_scrub_dup_spans",
