@@ -137,6 +137,7 @@ HEADLINE_V2 = [
     "q_sample_balanced",
     "q_revenue_moving_median",
     "q_priority_shift",
+    "q_stream_alert",
 ]
 
 # Headline set: one per operator family (frozen at the round-1 set for

@@ -317,6 +317,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_sample_balanced",
     "q_revenue_moving_median",
     "q_priority_shift",
+    "q_stream_alert",
     # r3 greens that missed the r7 window
     "q_stream_sliding",
     "q_stream_session",

@@ -336,3 +336,81 @@ def q_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
         F.col("click_id").isNull().alias("is_organic"),
     )
+
+
+_ALERT_NUM, _ALERT_DEN = 3, 2  # alert when share > 1.5x the global share
+
+
+@register(
+    "q_stream_alert",
+    category="streaming",
+    oracle=f"""
+    WITH w AS (
+      -- ::TIMESTAMP: to_timestamp is tz-aware in DuckDB; Spark's
+      -- window start is naive
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)
+                  AS TIMESTAMP) AS ws,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY ws
+    ),
+    g AS (
+      SELECT SUM(n_events) AS tot_g, SUM(n_errors) AS err_g FROM w
+    )
+    SELECT w.ws, w.n_events, w.n_errors,
+           CAST(FLOOR(w.n_errors * 10000.0 / w.n_events + 0.5) AS INT)
+             AS err_bp,
+           {_ALERT_DEN} * w.n_errors * g.tot_g
+             > {_ALERT_NUM} * w.n_events * g.err_g AS alert
+    FROM w CROSS JOIN g
+    """,
+)
+def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed error-rate alerting: 6-hour tumbling windows, each
+    flagged when its error share exceeds 1.5x the global share — the
+    on-call pager rule, shaped so the SAME plan runs as a Structured
+    Streaming query (tumbling window counts are the incremental state,
+    exactly q_stream_tumbling's; the global baseline becomes a
+    broadcast reference relation refreshed per batch).
+
+    Determinism: the alert compares INTEGERS via cross-multiplication
+    ({_ALERT_DEN}*err*tot_g > {_ALERT_NUM}*tot*err_g  <=>  share >
+    1.5x global) and the share is integer basis points via
+    FLOOR(x*10000 + 0.5) — both posture choices from the ROUND-tie
+    lesson (NOTES Decisions). Window boundaries are epoch-second
+    floor arithmetic, identical on both engines under the pinned UTC
+    session.
+
+    Scale: one scan; window counts reduce two-phase into a
+    |windows|-bounded relation; the baseline is a 1-row broadcast.
+
+    Reference provenance: C8 watchdog thresholds over periodic
+    self-measurement (/root/reference/src/demo.cpp:156-170)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(F.window("ts", "6 hours").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    ).select(F.col("w.start").alias("ws"), "n_events", "n_errors")
+    g = w.agg(
+        F.sum("n_events").alias("tot_g"), F.sum("n_errors").alias("err_g")
+    )
+    return w.join(F.broadcast(g)).select(
+        "ws",
+        "n_events",
+        "n_errors",
+        F.floor(F.col("n_errors") * 10000.0 / F.col("n_events") + 0.5)
+        .cast("int")
+        .alias("err_bp"),
+        (
+            _ALERT_DEN * F.col("n_errors") * F.col("tot_g")
+            > _ALERT_NUM * F.col("n_events") * F.col("err_g")
+        ).alias("alert"),
+    )
+
+
+q_stream_alert.__doc__ = q_stream_alert.__doc__.replace(
+    "{_ALERT_NUM}", str(_ALERT_NUM)
+).replace("{_ALERT_DEN}", str(_ALERT_DEN))

@@ -1421,3 +1421,32 @@ def test_priority_shift_replay(spark):
         assert abs(r.top_shift - round(nums[top] / (t1 * t0), 4)) <= 1e-4
         n_checked += 1
     assert n_checked == len(rows)
+
+
+def test_stream_alert_replay(spark):
+    """Window error counts and the 1.5x-global alert rule must match a
+    Python replay over 6-hour epoch buckets."""
+    from collections import defaultdict
+
+    from presto_cached_examples_spark.registry import queries
+    from presto_cached_examples_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events").select("ts", "event_type").collect()
+    buckets = defaultdict(lambda: [0, 0])
+    for r in ev:
+        b = int(r.ts.timestamp() // 21600) * 21600
+        buckets[b][0] += 1
+        buckets[b][1] += 1 if r.event_type == "error" else 0
+    tot_g = sum(v[0] for v in buckets.values())
+    err_g = sum(v[1] for v in buckets.values())
+    rows = {int(r.ws.timestamp()): r for r in queries()["q_stream_alert"](spark, SF_TINY).collect()}
+    assert set(rows) == set(buckets)
+    n_alerts = 0
+    for b, (n, e) in buckets.items():
+        r = rows[b]
+        assert (r.n_events, r.n_errors) == (n, e)
+        assert r.err_bp == int(e * 10000.0 / n + 0.5)
+        assert r.alert == (2 * e * tot_g > 3 * n * err_g)
+        n_alerts += r.alert
+    # the uniform fixture should still produce SOME high-error windows
+    assert 0 < n_alerts < len(buckets)

@@ -73,6 +73,7 @@ EVENT_QUERIES = [
     "q_events_mad",
     "q_ab_lift",
     "q_events_heatmap",
+    "q_stream_alert",
 ]
 
 #: lineitem-family probes (10x orders over the SAME part space — the
