@@ -192,88 +192,21 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 7): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. The r6
-# front came back 50/50 (CORRECTNESS_r06), retiring the r1/r2-vintage
-# staleness. This round executes VERDICT r6 items 1-2: the highest-value
-# slots are the 10 round-6 queries that have NEVER had a driver row, the
-# last remaining pre-r3-fixture green (q_window_range_scalable), and the
-# 2 round-6 rewrites whose r4 rows predate their new global_rank plans.
-# The remaining 37 slots refresh r3 greens oldest-first. Everything
-# outside the window is locally re-verified every round by
-# tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
-# float repr (driver-strength).
+# Verification rotation (round 8): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. The r7
+# front came back 50/50 (CORRECTNESS_r07). This round executes VERDICT r7
+# item 1 verbatim: the 44 round-7 additions that have NEVER had a driver
+# CORRECTNESS row fill the head (never-run > refresh — the r6/r7
+# precedent), and the remaining 6 slots go to the oldest refreshes: the
+# 5 r3 greens that missed the r7 window plus the single oldest r4 green.
+# A green CORRECTNESS_r08 therefore clears the entire never-driver-run
+# backlog — every registered query then has at least one hard driver
+# row. Everything outside the window is locally re-verified every round
+# by tests/test_oracle_parity.py and tools/check_oracles.py, which hash
+# raw float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # last r2-vintage green — only driver row predates the r3 fixture regen
-    "q_window_range_scalable",
-    # new in round 6 — first driver rows ever
-    "q_ann_recall_sweep",
-    "q_dedup_incremental_bloom",
-    "q_quality_dsir",
-    "q_dedup_span",
-    "q_min_cost_supplier",
-    "q_important_stock",
-    "q_shipmode_priority",
-    "q_parts_supplier_count",
-    "q_dominant_supplier",
-    "q_pii_scrub",
-    # rewritten in round 6 (global_rank range-bucket decomposition) —
-    # r4 rows predate the new plans; same oracles, locally re-verified
-    "q_ntile_spend",
-    "q_rfm_segments",
-    # r3 greens, oldest first (registration order within the r3 batch)
-    "q_join_range",
-    "q_agg_approx",
-    "q_join_asof_tol",
-    "q_json_funcs",
-    "q_sessionize",
-    "q_agg_percentiles_approx",
-    "q_fuzzy_match",
-    "q_volume_shipping",
-    "q_mkt_share",
-    "q_cust_order_dist",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_big_orders",
-    "q_disjunctive_revenue",
-    "q_sole_return_supplier",
-    "q_global_sales_opp",
-    "q_events_funnel",
-    "q_retention_cohort",
-    "q_events_rollup",
-    "q_sample_hash_topk",
-    "q_text_tfidf",
-    "q_text_repetition",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_near",
-    "q_sim_topk",
-    "q_sim_topk_ivf",
-    "q_mm_meta",
-    "q_mm_features",
-    "q_mm_resize",
-    "q_mm_frames",
-    "q_chunk_docs",
-    "q_pack_sequences",
-    "q_decontam",
-    "q_decontam_hashed",
-    "q_text_normalize",
-    "q_stream_tumbling",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 8. Round 7 grew the surface 201 -> 244, so
-# the queue head is now the 43 never-driver-run round-7 queries (each
-# locally green at sf0.01 AND sf0.1 under check_oracles and the
-# bare-session driver_sim, but without a hard CORRECTNESS row yet) —
-# clearing never-run entries outranks VERDICT r6 item 8's
-# 40-refresh/10-new split until the head drains (the r6 precedent:
-# never-run > refresh). After them: the 5 r3 greens that missed the r7
-# window, then r4 greens oldest-first. All locally hash-verified every
-# run (tests/test_oracle_parity.py + tools/check_oracles.py).
-_VERIFY_NEXT: tuple[str, ...] = (
-    # new in round 7 — never driver-run (local driver-strength green)
+    # new in round 7 — never driver-run (judge re-verified 44/44 at
+    # driver strength in the r7 session; these convert to hard rows)
     "q_scrub_dup_spans",
     "q_bpe_pair_stats",
     "q_vocab_coverage",
@@ -318,14 +251,25 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_revenue_moving_median",
     "q_priority_shift",
     "q_stream_alert",
-    # r3 greens that missed the r7 window
+    # r3 greens that missed the r7 window (oldest refreshes)
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_dedup_late",
     "q_stream_enrich",
     "udtf_explode_props",
-    # r4 greens, oldest first
+    # oldest r4 green
     "q_join_asof",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 9. After the r8 front clears the never-run
+# backlog, every registered query has a hard driver row and the queue
+# reverts to pure oldest-first refresh: remaining r4 greens (in
+# registration order), then r5 greens. All locally hash-verified every
+# run (tests/test_oracle_parity.py + tools/check_oracles.py).
+_VERIFY_NEXT: tuple[str, ...] = (
+    # r4 greens, oldest first (q_join_asof promoted to the r8 front)
     "q_window_lag",
     "q_dedup_simhash",
     "q_sim_topk_lsh",
