@@ -520,24 +520,51 @@ def _register_degree_stats_query():
 _register_degree_stats_query()
 
 
+#: Hub cap for the 2-hop expansion: when a hop node's adjacency exceeds
+#: this, only its first `_KHOP_HUB_CAP` neighbors (deterministic
+#: hash-sample order: md5(neighbor id), then id) participate in the
+#: second hop. Sum(deg^2) becomes sum(deg * min(deg, CAP)) — linear in
+#: edge count past the cap, which is what survives a power-law hub at
+#: 100x (VERDICT r7 item 2). The value is read off the
+#: q_graph_degree_stats panel: 8 sits above the fixture p90 bucket, so
+#: the cap BITES at every fixture scale (sf0.001 max degree 51, sf0.01
+#: max 13) and the driver's hash gate verifies the capped semantics
+#: themselves, not just the exact fallback; production retunes it from
+#: the same panel. Rows whose reach may be undercounted carry
+#: reach_capped = TRUE (>= 1 neighbor is a capped hub).
+_KHOP_HUB_CAP = 8
+
 _KHOP_ORACLE = (
-    "WITH " + _PR_EDGES_SQL.strip() + """,
+    "WITH " + _PR_EDGES_SQL.strip() + f""",
+adj AS (
+  SELECT a, b,
+         ROW_NUMBER() OVER (
+           PARTITION BY a ORDER BY md5(CAST(b AS VARCHAR)), b
+         ) AS rn
+  FROM edges
+),
+capped AS (SELECT a, b FROM adj WHERE rn <= {_KHOP_HUB_CAP}),
 h2 AS (
   SELECT e1.a, e2.b
-  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+  FROM edges e1 JOIN capped e2 ON e2.a = e1.b
   WHERE e2.b <> e1.a
 ),
 reach AS (
   SELECT a, b FROM edges
   UNION
   SELECT a, b FROM h2
-)
+),
+hubs AS (SELECT node FROM deg WHERE d > {_KHOP_HUB_CAP}),
+aff AS (SELECT DISTINCT e.a FROM edges e JOIN hubs h ON h.node = e.b)
 SELECT r.a AS part_key,
        CAST(d.d AS BIGINT) AS n_neighbors,
        COUNT(*) AS n_reach2,
-       ROUND(COUNT(*) * 1.0 / d.d, 4) AS expansion
-FROM reach r JOIN deg d ON d.node = r.a
-GROUP BY r.a, d.d
+       CAST(FLOOR(COUNT(*) * 10000.0 / d.d + 0.5) AS BIGINT) AS expansion_bp,
+       (aff.a IS NOT NULL) AS reach_capped
+FROM reach r
+JOIN deg d ON d.node = r.a
+LEFT JOIN aff ON aff.a = r.a
+GROUP BY r.a, d.d, aff.a
 """
 )
 
@@ -549,35 +576,54 @@ def _register_khop_query():
 
     @register("q_graph_khop", category="graph", oracle=_KHOP_ORACLE)
     def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """2-hop reach per node of the co-purchase graph: distinct
-        parts within <=2 hops (self excluded) next to the direct
-        degree, with the expansion ratio between them. The
-        neighborhood-growth panel that prices a 'customers also
-        bought' traversal and decides whether a 2-hop recommender is
-        tractable or needs sampling — and the bounded-depth member of
-        the graph family between degree (1 hop) and components
-        (closure).
+        """2-hop reach per node of the co-purchase graph with HUB
+        CAPPING: distinct parts within <=2 hops (self excluded) next
+        to the exact direct degree, the expansion ratio in integer
+        basis points, and a reach_capped flag on rows whose count is
+        a documented undercount. The neighborhood-growth panel that
+        prices a 'customers also bought' traversal — and the
+        bounded-depth member of the graph family between degree
+        (1 hop) and components (closure).
 
-        Scale: 2-hop fan-out is sum(deg^2) — the honest cost of any
-        2-hop traversal; it materializes as ONE self-join of the
-        ids-only edge relation keyed on the shared hop node, then a
-        UNION-distinct collapses it back to at most |nodes|^2 reach
-        rows (in practice the component size bounds it). On
-        power-law graphs the standard mitigation is hub capping
-        (q_graph_degree_stats is the evidence panel for exactly that
-        decision); the fixture graph's max degree keeps the exact
-        form cheap. Consumes the session-memoized copurchase_pairs.
+        Scale: uncapped 2-hop fan-out is sum(deg^2) — on power-law
+        graphs one hub dominates a shuffle partition at 100x (the r4
+        probe saw ~335x densification on a 10x input). The second hop
+        therefore expands only through each hop node's first
+        _KHOP_HUB_CAP neighbors in deterministic hash-sample order
+        (md5(id), id — order-uncorrelated with ids, replayed exactly
+        by the oracle), bounding the self-join at
+        sum(deg * min(deg, CAP)) = O(|E| * CAP). The row_number
+        filter plans as WindowGroupLimit (pinned in
+        tests/test_plans.py), so per-node state during the rank is
+        CAP rows, never the hub's full adjacency. First-hop degree
+        and neighbors stay EXACT; rows with >= 1 capped hub neighbor
+        are flagged reach_capped via a broadcast of the (by
+        definition small) hub list rather than silently blended.
+        Expansion is FLOOR(x*10000+0.5) basis points — integer-count
+        quotients can land on true decimal ties that ROUND(double)
+        resolves differently per engine (ADVICE r7).
 
         Reference provenance: C1 tiered reach accounting
-        (/root/reference/src/PicoPlusPsram.cpp:14-29)."""
+        (/root/reference/src/PicoPlusPsram.cpp:14-29 — bound what the
+        fast tier admits; the cap is that bound for hop fan-out)."""
+        from pyspark.sql import Window
+
         pairs = copurchase_pairs(spark, sf_dir)
         sym = pairs.unionByName(
             pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
         ).select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        wn = Window.partitionBy("a").orderBy(
+            F.md5(F.col("b").cast("string")), "b"
+        )
+        capped = (
+            sym.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") <= _KHOP_HUB_CAP)
+            .drop("rn")
+        )
         h2 = (
             sym.alias("e1")
             .join(
-                sym.alias("e2"),
+                capped.alias("e2"),
                 F.col("e2.a") == F.col("e1.b"),
             )
             .filter(F.col("e2.b") != F.col("e1.a"))
@@ -587,15 +633,26 @@ def _register_khop_query():
         deg = sym.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("d")
         )
+        hubs = deg.filter(F.col("d") > _KHOP_HUB_CAP).select("node")
+        aff = (
+            sym.join(F.broadcast(hubs), sym.b == hubs.node)
+            .select("a")
+            .distinct()
+            .withColumn("rc", F.lit(True))
+        )
         return (
             reach.groupBy("a")
             .agg(F.count(F.lit(1)).alias("n_reach2"))
             .join(deg, F.col("a") == F.col("node"))
+            .join(aff, "a", "left")
             .select(
                 F.col("a").alias("part_key"),
                 F.col("d").cast("long").alias("n_neighbors"),
                 "n_reach2",
-                F.round(F.col("n_reach2") / F.col("d"), 4).alias("expansion"),
+                F.floor(F.col("n_reach2") * 10000.0 / F.col("d") + 0.5)
+                .cast("long")
+                .alias("expansion_bp"),
+                F.coalesce(F.col("rc"), F.lit(False)).alias("reach_capped"),
             )
         )
 

@@ -354,6 +354,18 @@ def test_domain_caps_pushes_window_group_limit(spark):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
 
+def test_graph_khop_caps_hub_fanout(spark):
+    """q_graph_khop (round-8 hub cap): the per-node adjacency rank must
+    plan as WindowGroupLimit so a hub's full edge list never buffers in
+    one window state, and the hop self-join must stay an equi-join on
+    the hop node — the capped plan is the scale contract (VERDICT r7
+    item 2), not an optimizer accident."""
+    p = plan_of(build(spark, "q_graph_khop"), mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_agg_percentiles_has_no_buffered_percentile_state(spark):
     """q_agg_percentiles (round-5 rewrite): exact quantiles must come
     from the cent-bucket decomposition — no `percentile` aggregate

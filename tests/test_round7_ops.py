@@ -1091,29 +1091,47 @@ def test_join_nullsafe_matches_null_bucket(spark):
 
 
 def test_graph_khop_replay(spark):
-    """2-hop reach must match a BFS-depth-2 replay on the edge list."""
+    """2-hop reach must match a BFS-depth-2 replay with the SAME
+    deterministic hub cap (second hop expands only through each hop
+    node's first _KHOP_HUB_CAP neighbors in (md5(id), id) order); the
+    reach_capped flag must mark exactly the nodes adjacent to a capped
+    hub, and the cap must actually bite at fixture scale."""
+    import hashlib
+    import math
     from collections import defaultdict
 
-    from presto_cached_examples_spark.operators.graph import copurchase_pairs
+    from presto_cached_examples_spark.operators.graph import (
+        _KHOP_HUB_CAP,
+        copurchase_pairs,
+    )
     from presto_cached_examples_spark.registry import queries
 
     adj = defaultdict(set)
     for r in copurchase_pairs(spark, SF_TINY).collect():
         adj[r.pa].add(r.pb)
         adj[r.pb].add(r.pa)
+    capped_adj = {
+        node: sorted(
+            nbrs, key=lambda b: (hashlib.md5(str(b).encode()).hexdigest(), b)
+        )[:_KHOP_HUB_CAP]
+        for node, nbrs in adj.items()
+    }
+    hubs = {n for n, nbrs in adj.items() if len(nbrs) > _KHOP_HUB_CAP}
+    assert hubs, "fixture graph has no hubs above the cap — cap untested"
     rows = {r.part_key: r for r in queries()["q_graph_khop"](spark, SF_TINY).collect()}
     assert set(rows) == set(adj)
     for node, nbrs in adj.items():
         reach = set(nbrs)
         for n in nbrs:
-            reach.update(adj[n])
+            reach.update(capped_adj[n])
         reach.discard(node)
         r = rows[node]
         assert r.n_neighbors == len(nbrs)
         assert r.n_reach2 == len(reach)
-        # <= 1e-4: Spark rounds HALF_UP, Python's round() is banker's —
-        # a true .00005 tie (e.g. 197/32) differs in the last digit
-        assert abs(r.expansion - len(reach) / len(nbrs)) <= 1e-4
+        assert r.expansion_bp == math.floor(
+            len(reach) * 10000.0 / len(nbrs) + 0.5
+        )
+        assert r.reach_capped == bool(nbrs & hubs)
 
 
 def test_rank_fusion_replay(spark):
