@@ -540,10 +540,15 @@ def test_curation_pipeline_composes_its_stages(spark):
 
 def test_basket_rules_match_reference_counts(spark):
     """Python replay of supports/confidence/lift for the reported
-    rules; lift must be symmetric between the two directions of a
-    pair and the list must be lift-descending."""
+    rules under the SAME deterministic basket cap (first _BASKET_CAP
+    items per basket in (md5(id), id) order feed the pair counts;
+    item supports stay exact/pre-cap); the truncation count must match
+    and the list must be lift-descending."""
+    import hashlib
+    import math
     from collections import Counter
 
+    from presto_cached_examples_spark.operators.behavioral import _BASKET_CAP
     from presto_cached_examples_spark.registry import queries
     from presto_cached_examples_spark.sources.catalog import load_table
 
@@ -552,30 +557,46 @@ def test_basket_rules_match_reference_counts(spark):
     for r in li:
         baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
     N = len(baskets)
+    n_trunc = sum(1 for ps in baskets.values() if len(ps) > _BASKET_CAP)
+    assert n_trunc > 0, "no basket above the cap — cap untested at fixture scale"
     item = Counter()
     pair = Counter()
     for ps in baskets.values():
         for p in ps:
-            item[p] += 1
-        ss = sorted(ps)
+            item[p] += 1  # supports are exact: pre-cap
+        kept = sorted(
+            ps, key=lambda p: (hashlib.md5(str(p).encode()).hexdigest(), p)
+        )[:_BASKET_CAP]
+        ss = sorted(kept)
         for i, a in enumerate(ss):
             for b in ss[i + 1 :]:
                 pair[(a, b)] += 1
-    import math
-
-    def r4(x):  # SQL half-away-from-zero rounding, not Python banker's
-        return math.floor(x * 1e4 + 0.5) / 1e4
 
     rows = queries()["q_basket_rules"](spark, SF_TINY).collect()
     assert rows
-    lifts = [r.lift for r in rows]
+    lifts = [r.lift_bp for r in rows]
     assert lifts == sorted(lifts, reverse=True)
     for r in rows:
         a, b = r.antecedent, r.consequent
         nab = pair[(min(a, b), max(a, b))]
         assert nab == r.n_both and nab >= 2
-        assert abs(r.confidence - r4(nab / item[a])) <= 1e-9
-        assert abs(r.lift - r4(nab * N / (item[a] * item[b]))) <= 1e-9
+        assert r.n_truncated_baskets == n_trunc
+        assert r.confidence_bp == math.floor(nab * 10000.0 / item[a] + 0.5)
+        assert r.lift_bp == math.floor(
+            (nab * 1.0) * N / (item[a] * item[b]) * 10000.0 + 0.5
+        )
+
+
+def test_basket_rules_jumbo_basket_is_bounded(spark):
+    """One synthetic 100k-item basket must expand to exactly
+    C(cap, 2) pairs — the capped HOF keeps task memory bounded where
+    the uncapped form would build a ~5e9-struct array in one task."""
+    from presto_cached_examples_spark.operators.behavioral import (
+        _BASKET_CAP,
+        _basket_jumbo_probe,
+    )
+
+    assert _basket_jumbo_probe(spark) == _BASKET_CAP * (_BASKET_CAP - 1) // 2
 
 
 def test_kcenter_is_greedy_farthest_point(spark):
