@@ -1150,10 +1150,10 @@ _COVER_VOCAB_N = 256  # learned vocabulary size for the coverage report
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_covered,
-           ROUND(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS coverage,
-           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS oov_rate
+           CAST(FLOOR(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*) + 0.5) AS INT) AS coverage_bp,
+           CAST(FLOOR(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*) + 0.5) AS INT) AS oov_bp
     FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
     GROUP BY t.source
     """,
@@ -1171,6 +1171,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage pass joins the token stream against the {_COVER_VOCAB_N}-row
     vocab BROADCAST, so it's one scan + map-side probe + per-source
     aggregate. Nothing grows with corpus size except the two scans.
+    Coverage/OOV are FLOOR(x*10000+0.5) integer basis points —
+    integer-count quotients can land on true decimal ties that
+    ROUND(double) resolves differently per engine (ADVICE r7).
 
     Reference provenance: C1 tiered membership (/root/reference/src/
     PicoPlusPsram.cpp:14-29 — small resident summary consulted per
@@ -1194,16 +1197,22 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
             .cast("long")
             .alias("n_covered"),
-            F.round(
+            F.floor(
                 F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("coverage"),
-            F.round(
+                * 10000.0
+                / F.count(F.lit(1))
+                + 0.5
+            )
+            .cast("int")
+            .alias("coverage_bp"),
+            F.floor(
                 F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("oov_rate"),
+                * 10000.0
+                / F.count(F.lit(1))
+                + 0.5
+            )
+            .cast("int")
+            .alias("oov_bp"),
         )
     )
 

@@ -1706,7 +1706,7 @@ q_events_mad.__doc__ = q_events_mad.__doc__.replace(
     ),
     t AS (SELECT segment, SUM(n_gaps) AS total FROM b GROUP BY segment)
     SELECT b.segment, CAST(b.bucket_lo AS INT) AS bucket_lo, b.n_gaps,
-           ROUND(b.n_gaps * 1.0 / t.total, 4) AS share
+           CAST(FLOOR(b.n_gaps * 10000.0 / t.total + 0.5) AS INT) AS share_bp
     FROM b JOIN t ON t.segment = b.segment
     """,
 )
@@ -1724,7 +1724,10 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment, bucket) — output bounded by 5 x 5 — and the share join
     broadcasts per-segment totals. Gaps are integer day diffs with an
     exact lag ordering tie-break (orderdate, orderkey), so both
-    engines bucket identically; the only double is the final share.
+    engines bucket identically; the share is FLOOR(x*10000+0.5)
+    integer basis points — a quotient of integer counts can land on a
+    true decimal tie that ROUND(double) resolves differently per
+    engine (ADVICE r7).
 
     Reference provenance: C8 inter-event interval tracking
     (/root/reference/src/demo.cpp:156-170)."""
@@ -1762,7 +1765,9 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "bucket_lo",
         "n_gaps",
-        F.round(F.col("n_gaps") / F.col("total"), 4).alias("share"),
+        F.floor(F.col("n_gaps") * 10000.0 / F.col("total") + 0.5)
+        .cast("int")
+        .alias("share_bp"),
     )
 
 

@@ -179,8 +179,9 @@ def test_bpe_pair_stats_top_pair_matches_reference(spark):
 
 
 def test_vocab_coverage_bounds_and_consistency(spark):
-    """coverage + oov_rate == 1 (4 dp), n_covered <= n_tokens, and the
-    corpus-wide coverage of a 256-token vocab must be non-trivial."""
+    """coverage_bp + oov_bp == 10000 (each independently floored, so
+    allow 1 bp of slack), n_covered <= n_tokens, and the corpus-wide
+    coverage of a 256-token vocab must be non-trivial."""
     from presto_cached_examples_spark.registry import queries
 
     rows = queries()["q_vocab_coverage"](spark, SF_TINY).collect()
@@ -188,7 +189,7 @@ def test_vocab_coverage_bounds_and_consistency(spark):
     tot = cov = 0
     for r in rows:
         assert 0 <= r.n_covered <= r.n_tokens
-        assert abs((r.coverage + r.oov_rate) - 1.0) <= 2e-4
+        assert abs((r.coverage_bp + r.oov_bp) - 10000) <= 1
         tot += r.n_tokens
         cov += r.n_covered
     assert cov / tot > 0.5, "top-256 vocab covers <50% — fixture drift?"
@@ -970,11 +971,12 @@ def test_order_gaps_shares_and_buckets(spark):
     rows = queries()["q_order_gaps"](spark, SF_TINY).collect()
     got = {(r.segment, r.bucket_lo): r.n_gaps for r in rows}
     assert got == dict(want)
-    bys = defaultdict(float)
+    bys = defaultdict(int)
     for r in rows:
-        bys[r.segment] += r.share
+        bys[r.segment] += r.share_bp
     for s, tot in bys.items():
-        assert abs(tot - 1.0) < 1e-3
+        # each bucket share is floored independently — n_buckets bp slack
+        assert abs(tot - 10000) <= 5
 
 
 def test_revenue_ewma_matches_pandas_recurrence(spark):
