@@ -1042,6 +1042,12 @@ q_scrub_dup_spans.__doc__ = q_scrub_dup_spans.__doc__.replace(
 )
 
 
+#: q_mix_schedule's vtime split points, memoized per (session, sf) like
+#: _CURATION_SPLITS — the values shape the global_rank plan, never the
+#: answer, so reusing them across builds is free (ADVICE r7 item 2).
+_MIX_SPLITS: dict[tuple, list] = {}
+
+
 @register(
     "q_mix_schedule",
     category="llm-pipeline",
@@ -1110,8 +1116,19 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact global order by (vtime, doc_id) without a global sort —
     # vtime collides across equal-sized sources at equal rank, so the
-    # unique doc_id is the tie-break on BOTH engines.
-    ranked = global_rank(v, "vtime", "doc_id", out_rank="pos")
+    # unique doc_id is the tie-break on BOTH engines. Split points are
+    # memoized per (session, sf) under the build-time-action contract
+    # (registry.py header): only the FIRST build per session pays the
+    # approxQuantile pass (ADVICE r7 item 2 — q_mix_schedule was the
+    # one global_rank caller re-sampling on every plan build).
+    skey = (session_token(spark), sf_dir)
+    if skey not in _MIX_SPLITS:
+        _MIX_SPLITS[skey] = v.approxQuantile(
+            "vtime", [i / 64 for i in range(1, 64)], 0.001
+        )
+    ranked = global_rank(
+        v, "vtime", "doc_id", out_rank="pos", splits=_MIX_SPLITS[skey]
+    )
     return ranked.select(
         F.col("pos").cast("long").alias("pos"), "doc_id", "source"
     )

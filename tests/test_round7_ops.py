@@ -33,6 +33,7 @@ def test_codebook_queries_build_without_jobs_when_warm(spark):
         "q_curation_pipeline",  # memoized range-split points
         "q_cluster_purity",  # assigns cells from the memoized codebook
         "q_dedup_embed_sweep",  # memoized scored candidate pairs
+        "q_mix_schedule",  # memoized vtime split points (ADVICE r7 item 2)
     )
     # Warm every cache (codebooks, bloom count) — may run jobs.
     for name in warm:
