@@ -224,6 +224,34 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Pre-warm the learned-artifact family once, untimed (VERDICT r7
+    # item 7): these queries train/materialize session-memoized
+    # artifacts (codebooks, range splits, Bloom counts, the k-center
+    # selection, the curation survivor set) on FIRST build/run under
+    # the documented build-time-action contract. A production session
+    # pays that ingest cost once, so the timed passes should measure
+    # warm serving — previously the cold first run landed in the
+    # published spread (q_curation_pipeline 13.0s / q_basket_rules
+    # 12.2s spread at r7).
+    PREWARM = [
+        "q_sim_topk_kmeans",
+        "q_sim_pq",
+        "q_sim_adc",
+        "q_ann_pipeline",
+        "q_embed_power_topvec",
+        "q_sample_kcenter",
+        "q_dedup_embed_sweep",
+        "q_minhash_calibration",
+        "q_quality_ppl_filter",
+        "q_quality_ensemble",
+        "q_curation_pipeline",
+        "q_basket_rules",
+        "q_mix_schedule",
+    ]
+    for name in PREWARM:
+        if name in qs:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # headline: best-of-3 (the cross-round comparability series — worth
     # the extra pass); v2: best-of-2 (47 queries, trend line only; the
     # spread column makes box-noise regressions self-diagnosing —
@@ -253,6 +281,29 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout — stdout line still carries everything
     print(json.dumps(payload))
+    # The driver records only the LAST ~2.2 kB of stdout, so the full
+    # payload line above (245-query map, ~8 kB) loses its head — every
+    # BENCH_r0N.json so far has parsed: null (VERDICT r7 item 6). Emit
+    # a compact summary as the FINAL line: headline metric + per-query
+    # headline timings + v2 totals + slowest-5, guaranteed to fit the
+    # tail capture. bench_out.json keeps the complete record.
+    slowest5 = dict(
+        sorted(timings_v2.items(), key=lambda kv: -kv[1])[:5]
+    )
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": timings,
+        "headline_v2_total_sec": payload["headline_v2_total_sec"],
+        "v2_n_queries": len(timings_v2),
+        "v2_slowest5": slowest5,
+        "v2_max_spread_sec": round(max(spread_v2.values()), 3) if spread_v2 else 0.0,
+        "sf": payload["sf"],
+    }
+    line = json.dumps(compact)
+    assert len(line) < 2000, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

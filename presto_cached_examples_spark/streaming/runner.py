@@ -56,6 +56,26 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def alert_counts_stream(events: DataFrame, watermark: str = "12 hours") -> DataFrame:
+    """Streaming half of q_stream_alert: watermarked 6h tumbling
+    event/error counts — the incremental state. The alert verdicts are
+    computed per micro-batch over the accumulated window relation by
+    the caller (foreachBatch + windows.alert_verdict), because the
+    global baseline is a cross-window aggregate a single streaming
+    query cannot chain after a stateful agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_events", "n_errors")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked streaming dedup on (user_id, event_type): keeps the
     first-seen row per key; rows arriving later than the watermark are

@@ -394,6 +394,23 @@ def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_errors"),
     ).select(F.col("w.start").alias("ws"), "n_events", "n_errors")
+    return alert_verdict(w)
+
+
+q_stream_alert.__doc__ = q_stream_alert.__doc__.replace(
+    "{_ALERT_NUM}", str(_ALERT_NUM)
+).replace("{_ALERT_DEN}", str(_ALERT_DEN))
+
+
+def alert_verdict(w: DataFrame) -> DataFrame:
+    """Alert projection shared by the batch twin and the real-stream
+    execution (tests/test_streaming.py): given the |windows|-bounded
+    counts relation (ws, n_events, n_errors), compute the 1-row global
+    baseline as a broadcast and flag windows whose error share exceeds
+    {num}/{den}x the global share via integer cross-multiplication.
+    In the streaming run this re-executes per micro-batch over the
+    accumulated window relation — the 'baseline refreshed per batch'
+    shape the query docstring documents."""
     g = w.agg(
         F.sum("n_events").alias("tot_g"), F.sum("n_errors").alias("err_g")
     )
@@ -411,6 +428,6 @@ def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_stream_alert.__doc__ = q_stream_alert.__doc__.replace(
-    "{_ALERT_NUM}", str(_ALERT_NUM)
-).replace("{_ALERT_DEN}", str(_ALERT_DEN))
+alert_verdict.__doc__ = alert_verdict.__doc__.replace(
+    "{num}", str(_ALERT_NUM)
+).replace("{den}", str(_ALERT_DEN))

@@ -525,6 +525,65 @@ def test_stream_stream_left_outer_matches_and_defers_nulls(spark):
     assert not (got_null_ids & {p for p, _ in got_pairs})
 
 
+def test_stream_alert_equals_batch_twin(spark):
+    """q_stream_alert executed as a REAL stream (VERDICT r7 item 5):
+    watermarked 6h tumbling error counts run as the stateful streaming
+    agg (update mode), each micro-batch refreshes an accumulated
+    window relation, and the shared alert_verdict projection —
+    baseline recomputed per batch — must converge to the batch twin
+    exactly once the fixture drains."""
+    import datetime
+
+    from presto_cached_examples_spark.registry import all_specs
+    from presto_cached_examples_spark.streaming.runner import (
+        alert_counts_stream,
+        read_events_stream,
+    )
+    from presto_cached_examples_spark.streaming.windows import alert_verdict
+
+    acc: dict = {}
+    verdicts_per_batch: list[int] = []
+
+    def sink(batch_df, batch_id):
+        # merge this batch's updated windows into the accumulated
+        # relation (test-scale stand-in for the serving table a
+        # production pipeline would MERGE into) ...
+        for r in batch_df.collect():
+            acc[r.ws] = (int(r.n_events), int(r.n_errors))
+        if not acc:
+            return
+        # ... and refresh the global-baseline verdicts over it — the
+        # per-batch re-execution of the shared projection
+        cur = batch_df.sparkSession.createDataFrame(
+            [(ws, n, e) for ws, (n, e) in acc.items()],
+            "ws timestamp, n_events long, n_errors long",
+        )
+        verdicts_per_batch.append(alert_verdict(cur).count())
+
+    q = (
+        alert_counts_stream(read_events_stream(spark, SF_TINY))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert acc, "stream emitted no windows"
+    assert verdicts_per_batch, "alert projection never refreshed"
+    final = spark.createDataFrame(
+        [(ws, n, e) for ws, (n, e) in acc.items()],
+        "ws timestamp, n_events long, n_errors long",
+    )
+    got = sorted(tuple(r) for r in alert_verdict(final).collect())
+    want = sorted(
+        tuple(r)
+        for r in all_specs()["q_stream_alert"].fn(spark, SF_TINY).collect()
+    )
+    assert want and got == want
+    assert any(r[4] for r in got), "fixture raises no alert — rule untested"
+
+
 def test_continuous_trigger_pipeline_always_on(spark):
     """R28/EP2 closure (VERDICT r5 item 6): a processingTime-triggered
     LONG-RUNNING query (not an availableNow drain) folds >=3 rate-source
