@@ -55,6 +55,11 @@ QUERIES = [
     "q_quality_ensemble",
     "q_minhash_calibration",
     "q_langid_confusion",
+    # round-8 additions (VERDICT r7 item 4: the heavy round-7 families
+    # get >=30x curves, not just the 10x point)
+    "q_text_kn_bigram",
+    "q_quality_ppl_filter",
+    "q_curation_pipeline",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
@@ -128,6 +133,10 @@ TPCH_QUERIES = [
     "q_important_stock",
     "q_parts_supplier_count",
     "q_dominant_supplier",
+    # 10x/30x lineitem over the same part space: baskets multiply and
+    # supports grow, but the capped pair HOF keeps per-row cost at
+    # CAP^2/2 — the curve should track basket COUNT, not density^2
+    "q_basket_rules",
 ]
 
 #: orders-family probes (10x orders with fresh orderkeys, SAME custkey
@@ -157,6 +166,9 @@ EMBED_QUERIES = [
     "q_embed_label_margin",
     "q_rank_fusion",
     "q_cluster_purity",
+    # round-8 addition: k sequential scans — expect ~linear growth
+    # (k fixed), the documented latency-bound of greedy farthest-point
+    "q_sample_kcenter",
 ]
 
 
@@ -168,6 +180,11 @@ def main() -> None:
         "--families",
         default="docs,events,graph,urls,agg",
         help="comma list of docs/events/graph/urls/agg/embed/tpch/orders to probe",
+    )
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma list restricting the probed queries within the chosen families",
     )
     args = ap.parse_args()
 
@@ -296,6 +313,9 @@ def main() -> None:
         + (TPCH_QUERIES if "tpch" in fams else [])
         + (ORDERS_QUERIES if "orders" in fams else [])
     )
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        names = [n for n in names if n in keep]
     print(f"{'query':26s} {'1x':>7s} {'%dx' % args.mult:>7s}  ratio")
     for name in names:
         t1 = best_of_2(name, args.sf)
