@@ -247,6 +247,11 @@ def main() -> None:
         "q_curation_pipeline",
         "q_basket_rules",
         "q_mix_schedule",
+        # first-run materializations (bucketed warehouse tables, the
+        # session-memoized copurchase edge checkpoint) — same
+        # ingest-time-artifact class as the trainers above
+        "q_join_bucketed",
+        "q_graph_components",
     ]
     for name in PREWARM:
         if name in qs:
