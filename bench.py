@@ -326,7 +326,11 @@ def main() -> None:
         "sf": payload["sf"],
     }
     line = json.dumps(compact)
-    assert len(line) < 2000, f"compact bench line too long ({len(line)} chars)"
+    if len(line) >= 2000:
+        # never crash the bench over the summary: shed the per-query
+        # map first (bench_out.json keeps it), the totals always fit
+        compact.pop("queries", None)
+        line = json.dumps(compact)
     print(line)
 
 

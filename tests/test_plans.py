@@ -354,6 +354,25 @@ def test_domain_caps_pushes_window_group_limit(spark):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
 
+def test_basket_rules_pairs_are_map_side(spark):
+    """q_basket_rules (round-8 cap): the pair stage must stay a
+    map-side HOF expansion over the capped per-order set — at most ONE
+    parquet scan of lineitem feeds baskets (supports, totals,
+    truncation count and pairs all derive from the same
+    localCheckpoint) and no CartesianProduct. (The two 1-row scalar
+    broadcasts — n_baskets, n_truncated — plan as the accepted
+    BroadcastNestedLoopJoin-over-one-row pattern, so BNLJ itself is
+    not banned here.)"""
+    import re
+
+    p = plan_of(build(spark, "q_basket_rules"), mode="formatted")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 1
+    # the pair expansion is array-local: explode over the HOF result,
+    # never a lineitem self-join on l_orderkey
+    assert "Generate explode" in p or "Generate" in p
+
+
 def test_graph_khop_caps_hub_fanout(spark):
     """q_graph_khop (round-8 hub cap): the per-node adjacency rank must
     plan as WindowGroupLimit so a hub's full edge list never buffers in
