@@ -651,7 +651,8 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     == codepoint and DuckDB replays the sample math exactly.
 
     Reference provenance: C8 raw-sample ingest (/root/reference/src/
-    demo.cpp:100-116 — fixed-rate sample buffers processed in place)."""
+    FT6236.h:85-119 — a fixed-size register buffer polled and decoded
+    in place every frame)."""
     a = audio_table(spark, sf_dir).select("doc_id", "payload")
     return a.mapInPandas(extract_audio_stats, schema=AUDIO_STATS_SCHEMA)
 
@@ -847,8 +848,8 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic functions of (doc_id, text), so DuckDB replays every
     output column arithmetically.
 
-    Reference provenance: C2 header-first tile walk (/root/reference/
-    src/demo.cpp:60-79 — fixed-layout headers consulted before bulk
-    pixel access)."""
+    Reference provenance: C2 header-first walk (/root/reference/src/
+    FT6236.h:90-116 — the fixed-layout count byte is consulted before
+    any slot payload is parsed)."""
     v = video_table(spark, sf_dir).select("doc_id", "payload")
     return v.mapInPandas(extract_video_meta, schema=VIDEO_META_SCHEMA)

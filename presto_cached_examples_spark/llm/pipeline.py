@@ -982,8 +982,9 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram hash — uniform; nothing all-pairs.
 
     Reference provenance: C4 snapshot rewrite (/root/reference/src/
-    demo.cpp:162-204 — rebuild the framebuffer from retained tiles;
-    the clean_text reassembly is that rebuild over retained tokens)."""
+    DoublePsramBuffer480x480.cpp:68-69,176-193 — clear only the stale
+    tiles, then redraw the retained ones; the clean_text reassembly is
+    that rebuild over retained tokens)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -1091,9 +1092,10 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix offsets), the same decomposition q_ntile_spend uses — the
     split points shape the plan, never the answer.
 
-    Reference provenance: C5 round-robin tile scheduler
-    (/root/reference/src/demo.cpp:117-133 — interleaved bank emission;
-    the virtual clock generalizes it to weighted sources)."""
+    Reference provenance: C5 fixed-order tile sweep
+    (/root/reference/src/DoublePsramBuffer480x480.cpp:189-193 — every
+    frame emits the block list in one deterministic order; the virtual
+    clock generalizes that to weighted sources)."""
     from presto_cached_examples_spark.operators.distwindows import global_rank
 
     d = load_table(spark, sf_dir, "documents")
@@ -1520,8 +1522,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.
 
     Reference provenance: C6 chained pipeline (/root/reference/src/
-    demo.cpp:206-231 — capture -> transform -> publish as one loop;
-    this is that chain for corpus curation)."""
+    SinglePsramBuffer480x480.cpp:97-176 — capture -> transform ->
+    publish as one loop; this is that chain for corpus curation)."""
     from presto_cached_examples_spark.operators.distwindows import global_rank
 
     kkey = (session_token(spark), sf_dir)
@@ -1677,7 +1679,9 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly less than running them as three jobs.
 
     Reference provenance: C7 multiple validity checks before publish
-    (/root/reference/src/demo.cpp:131-154)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:119-153 —
+    active/moved and second-touch checks gate what reaches the
+    buffer)."""
     from presto_cached_examples_spark.llm.text import (
         _GOPHER_MAX_WORDS,
         _GOPHER_MIN_STOPS,

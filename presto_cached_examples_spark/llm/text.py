@@ -1387,9 +1387,9 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     this complements with the published-ruleset shape.
 
     Reference provenance: C7 validity gates before publish
-    (/root/reference/src/demo.cpp:131-154 — render only after the
-    frame passes its own sanity checks; the retention gate is that
-    check for training corpora)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:119-149 — draw
+    only after the touch passes its active/moved checks; the retention
+    gate is that check for training corpora)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     t = F.split("text", " ")
     n = F.size(t)
@@ -1475,8 +1475,9 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) and rounds at 4 dp.
 
     Reference provenance: C7 summary tables sized by config, not data
-    (/root/reference/src/demo.cpp:99-121 — fixed-bucket layout filled
-    from a streaming pass)."""
+    (/root/reference/src/DoublePsramBuffer480x480.cpp:65-66,112-127 —
+    block table sized by a config constant, filled from a streaming
+    pass)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     n = F.size(F.split("text", " "))
     b = (
@@ -1556,8 +1557,10 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bounded by |langs|^2 — and the share join broadcasts the
     |langs|-row totals.
 
-    Reference provenance: C8 self-evaluation against ground truth
-    (/root/reference/src/demo.cpp:156-170)."""
+    Reference provenance: C8 self-evaluation per frame
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175 — the
+    loop measures and reports its own stages; the ground-truth
+    confusion matrix is the engine-side generalization)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
 

@@ -1584,7 +1584,7 @@ def q_returns_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order exposure at all.
 
     Reference provenance: C8 bounded-confidence telemetry
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag"
     )

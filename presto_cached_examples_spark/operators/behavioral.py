@@ -1564,8 +1564,9 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial combine. Rounds at 4 dp on both engines.
 
     Reference provenance: C8 periodic self-measurement
-    (/root/reference/src/demo.cpp:156-170 — frame-time series kept and
-    compared against its own history)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175 —
+    per-stage frame timings emitted every frame; the history
+    comparison is the engine-side generalization)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
@@ -1645,7 +1646,7 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag join broadcasts the |types|-row stats relation.
 
     Reference provenance: C8 watchdog thresholds
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
@@ -1730,7 +1731,8 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (ADVICE r7).
 
     Reference provenance: C8 inter-event interval tracking
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/Elapsed.h:11-17 — each readout is the delta
+    since the previous one)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
@@ -1825,7 +1827,7 @@ def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix trick of q_concurrency_peak applies unchanged.
 
     Reference provenance: C8 smoothed frame-time telemetry
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         (
@@ -1907,7 +1909,7 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     final error ratios, rounded at 4 dp.
 
     Reference provenance: C8 history-vs-now comparison
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -2010,7 +2012,7 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two arm rows. Nothing else.
 
     Reference provenance: C8 self-calibration readout
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -2161,7 +2163,7 @@ def q_revenue_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per row.
 
     Reference provenance: C8 smoothed telemetry, robust variant
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         (
@@ -2251,7 +2253,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 5 rows.
 
     Reference provenance: C8 history-vs-now comparison
-    (/root/reference/src/demo.cpp:156-170)."""
+    (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month"),

@@ -285,7 +285,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map state never grows with event volume.
 
     Reference provenance: R16 packed key-value register decode
-    (/root/reference/src/demo.cpp:40-57)."""
+    (/root/reference/src/FT6236.h:104-114 — packed touch registers
+    decoded into typed per-slot fields)."""
     ev = load_table(spark, sf_dir, "events")
     cnts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -339,8 +340,8 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is also the skew defense.)
 
     Reference provenance: C7 sentinel-key handling
-    (/root/reference/src/demo.cpp:99-121 — the 'no reading' slot is
-    routed, not dropped)."""
+    (/root/reference/src/FT6236.h:121-127 — an out-of-range slot id is
+    routed to the nullTouch sentinel, not dropped)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k")
     )

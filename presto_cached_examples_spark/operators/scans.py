@@ -632,8 +632,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key + compared columns are read).
 
     Reference provenance: C3/C4 double-buffer swap (/root/reference/
-    src/demo.cpp:162-204 — old and new framebuffer coexist; the diff
-    is what a promotion gate computes between them)."""
+    src/DoublePsramBuffer480x480.cpp:196-203 — old and new framebuffer
+    coexist across the swap; the diff is what a promotion gate
+    computes between them)."""
     o = load_table(spark, sf_dir, "orders")
     v1 = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
     v2 = (
@@ -740,7 +741,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame.
 
     Reference provenance: C3/C4 promotion gate between coexisting
-    buffer versions (/root/reference/src/demo.cpp:162-204)."""
+    buffer versions (/root/reference/src/DoublePsramBuffer480x480.cpp:196-203)."""
     o = load_table(spark, sf_dir, "orders")
     v2 = (
         o.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 7)

@@ -386,7 +386,7 @@ def q_stream_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     |windows|-bounded relation; the baseline is a 1-row broadcast.
 
     Reference provenance: C8 watchdog thresholds over periodic
-    self-measurement (/root/reference/src/demo.cpp:156-170)."""
+    self-measurement (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy(F.window("ts", "6 hours").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -11,6 +11,9 @@ Checks (exit 1 on any failure):
   3. Padding scan: no `raise NotImplementedError` or bare `pass` in
      package source outside the documented multimodal decode stub and
      streaming close() no-op.
+  4. Citation resolution (VERDICT r8 #1): every `/root/reference/...`
+     path cited in package source, SURVEY.md, or NOTES.md must exist,
+     and any `:N-M` line anchor must fall inside the cited file.
 
 Usage: python tools/audit.py      (regenerates PLANS.md as a side effect)
 """
@@ -96,6 +99,43 @@ def audit_padding() -> list[str]:
     return problems
 
 
+_CITE_RE = re.compile(
+    r"/root/reference/[A-Za-z0-9_./-]*[A-Za-z0-9_]"  # path (no trailing dot)
+    r"(?::(\d+)(?:-(\d+))?)?"  # optional :N or :N-M anchor
+)
+
+
+def audit_citations() -> list[str]:
+    """Every cited reference path must exist; line anchors must resolve.
+
+    Multi-line docstring citations split the path from its `:N-M` anchor
+    across a line break, so scan file-wise (newlines stripped within the
+    match window) rather than line-wise.
+    """
+    problems: list[str] = []
+    targets = sorted(PKG.rglob("*.py")) + [REPO / "SURVEY.md", REPO / "NOTES.md"]
+    for path in targets:
+        if not path.exists():
+            continue
+        # join continuation lines so "src/\n    FT6236.h:90-116" resolves
+        src = re.sub(r"(/root/reference/\S*)\n\s+", r"\1", path.read_text())
+        rel = path.relative_to(REPO)
+        for m in _CITE_RE.finditer(src):
+            cited = m.group(0)
+            fpath = pathlib.Path(cited.split(":", 1)[0])
+            if not fpath.exists():
+                problems.append(f"{rel}: cited path does not exist: {cited}")
+                continue
+            if m.group(1) and fpath.is_file():
+                n_lines = len(fpath.read_text(errors="replace").splitlines())
+                last = int(m.group(2) or m.group(1))
+                if last > n_lines:
+                    problems.append(
+                        f"{rel}: anchor past EOF ({n_lines} lines): {cited}"
+                    )
+    return problems
+
+
 def loc_table() -> str:
     rows = []
     for path in sorted(PKG.rglob("*.py")):
@@ -117,14 +157,14 @@ def main() -> None:
         check=True,
         cwd=REPO,
     )
-    problems = audit_plans() + audit_padding()
+    problems = audit_plans() + audit_padding() + audit_citations()
     print(loc_table())
     if problems:
         print("\nAUDIT FAILURES:")
         for p in problems:
             print(f"  - {p}")
         sys.exit(1)
-    print("\naudit: all checks green (plans + padding)")
+    print("\naudit: all checks green (plans + padding + citations)")
 
 
 if __name__ == "__main__":
