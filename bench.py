@@ -179,12 +179,43 @@ HEADLINE = [
 ]
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative stop-the-world GC time of the local JVM, in ms.
+
+    Local mode only (driver == executor): sums collectionTime over all
+    GarbageCollectorMXBeans. Used to attribute per-query wall time to
+    GC pressure from session-resident state (VERDICT r8 item 2: ~30
+    unchanged queries read 2-6x slower once 15 pre-warmed artifacts +
+    localCheckpoints were heap-resident)."""
+    try:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(max(b.getCollectionTime(), 0) for b in beans)
+    except Exception:
+        return -1
+
+
+def _jvm_heap_mb(spark) -> int:
+    """Current JVM heap occupancy in MiB (used = total - free)."""
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        return int((rt.totalMemory() - rt.freeMemory()) >> 20)
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     sf = sf_dir.rstrip("/").split("sf")[-1].rstrip("/")
+    # The r8 driver session showed ~30 unchanged queries 2-6x slower
+    # once the pre-warmed artifact state was heap-resident: 16g heap +
+    # resident codebooks/checkpoints leaves too little young-gen
+    # headroom at sf0.1. The bench box has 128 GiB; give the benched
+    # JVM production-shaped headroom (still env-overridable).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_session(app_name="pce-spark-bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    gc_ms: dict[str, int] = {}  # per-query GC attribution (all timed runs)
 
     # Warm up the JVM + parquet footer cache with the flagship query once.
     qs["q_agg_pricing"](spark, sf_dir).collect()
@@ -204,12 +235,16 @@ def main() -> None:
         spread: dict[str, float] = {}
         for name in names:
             samples = []
+            gc0 = _jvm_gc_ms(spark)
             for _ in range(runs):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
             timings[name] = round(min(samples), 3)
             spread[name] = round(max(samples) - min(samples), 3)
+            gc1 = _jvm_gc_ms(spark)
+            if gc0 >= 0 and gc1 >= 0:
+                gc_ms[name] = gc_ms.get(name, 0) + (gc1 - gc0)
         return timings, spread
 
     # Pre-fork the Python worker pool before any timed run: the first
@@ -256,6 +291,18 @@ def main() -> None:
     for name in PREWARM:
         if name in qs:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Compact once after the pre-warm so the timed passes start from a
+    # settled heap: the artifact builds leave a full-GC-sized garbage
+    # backlog that otherwise lands on whichever timed query triggers
+    # the collection (the r8 inflation mechanism — unchanged plans, 2-6x
+    # wall time). One explicit full GC here is the steady-state-serving
+    # posture; per-query costs still show up in queries_gc_ms.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    heap_after_prewarm_mb = _jvm_heap_mb(spark)
+    gc_before_timed_ms = _jvm_gc_ms(spark)
 
     # headline: best-of-3 (the cross-round comparability series — worth
     # the extra pass); v2: best-of-2 (47 queries, trend line only; the
@@ -269,16 +316,19 @@ def main() -> None:
     # q_quality_ensemble read 5.9s spread in-bench vs 0.65s over 4
     # isolated runs). For any v2 query whose spread exceeds 3s,
     # re-sample twice back-to-back: if the fresh pair is tight, the
-    # original outlier was transient — publish the fresh numbers and
-    # keep the outlier visible under queries_v2_transients; if the
-    # fresh pair still disagrees, the spread is real and stands.
-    transients_v2: dict[str, float] = {}
+    # original outlier was transient — the published timing is the min
+    # over ALL 4 samples (the triaged query gets best-of-4 where the
+    # rest of v2 gets best-of-2; queries_v2_transients records which,
+    # with the sample count, so the asymmetry is visible — ADVICE r8),
+    # and the published spread is the fresh pair's. If the fresh pair
+    # still disagrees, the spread is real and stands.
+    transients_v2: dict[str, dict[str, float]] = {}
     for name, sp in list(spread_v2.items()):
         if sp <= 3.0:
             continue
         t_retry, s_retry = run_set([name], runs=2)
         if s_retry[name] < 3.0:
-            transients_v2[name] = sp
+            transients_v2[name] = {"original_spread": sp, "samples": 4}
             timings_v2[name] = min(timings_v2[name], t_retry[name])
             spread_v2[name] = s_retry[name]
     payload = {
@@ -291,6 +341,17 @@ def main() -> None:
         "queries_v2": timings_v2,
         "queries_v2_spread": spread_v2,
         "queries_v2_transients": transients_v2,
+        # Methodology + session-state telemetry (VERDICT r8 item 2 /
+        # ADVICE r8): timings are warm-serving from r8 onward (learned
+        # artifacts pre-built, untimed); gc attribution separates a
+        # plan regression from heap pressure caused by resident state.
+        "prewarmed": True,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
+        "heap_after_prewarm_mb": heap_after_prewarm_mb,
+        "timed_gc_total_ms": (
+            _jvm_gc_ms(spark) - gc_before_timed_ms if gc_before_timed_ms >= 0 else -1
+        ),
+        "queries_gc_ms": gc_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Truncation-proof record (VERDICT r5 item 7: BENCH_r05.json lost
@@ -323,6 +384,8 @@ def main() -> None:
         "v2_n_queries": len(timings_v2),
         "v2_slowest5": slowest5,
         "v2_max_spread_sec": round(max(spread_v2.values()), 3) if spread_v2 else 0.0,
+        "prewarmed": True,
+        "timed_gc_total_ms": payload["timed_gc_total_ms"],
         "sf": payload["sf"],
     }
     line = json.dumps(compact)

@@ -1302,7 +1302,14 @@ _BASKET_TOPN = 50
 #: supports and the basket total stay EXACT (computed pre-cap — only
 #: pair counts are subsampled); the output carries the global
 #: n_truncated_baskets count so the approximation is visible, never
-#: silent. 8 sits above the fixture p50 basket (TPC-H orders hold <= 7
+#: silent. Bias direction (ADVICE r8): pair counts from capped baskets
+#: divided by exact pre-cap supports make confidence_bp/lift_bp a
+#: CONSERVATIVE UNDERESTIMATE for any rule whose items appear in
+#: truncated baskets — a rule can only lose co-occurrences to the cap,
+#: never gain them — so top-50 membership can differ from exact
+#: A-Priori near the boundary (false negatives only, never inflated
+#: rules). The oracle replays the identical cap, so the driver gate
+#: verifies the capped semantics, not the exact ones. 8 sits above the fixture p50 basket (TPC-H orders hold <= 7
 #: lineitems, but distinct-part baskets reach 13-17 at sf0.01/0.1), so
 #: the cap BITES at fixture scale and the driver's hash gate verifies
 #: the capped semantics; production retunes it from basket-size stats.

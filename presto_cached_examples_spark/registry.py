@@ -192,84 +192,18 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 8): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. The r7
-# front came back 50/50 (CORRECTNESS_r07). This round executes VERDICT r7
-# item 1 verbatim: the 44 round-7 additions that have NEVER had a driver
-# CORRECTNESS row fill the head (never-run > refresh — the r6/r7
-# precedent), and the remaining 6 slots go to the oldest refreshes: the
-# 5 r3 greens that missed the r7 window plus the single oldest r4 green.
-# A green CORRECTNESS_r08 therefore clears the entire never-driver-run
-# backlog — every registered query then has at least one hard driver
-# row. Everything outside the window is locally re-verified every round
-# by tests/test_oracle_parity.py and tools/check_oracles.py, which hash
-# raw float repr (driver-strength).
+# Verification rotation (round 9): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. The r8
+# front cleared the never-driver-run backlog (CORRECTNESS_r08 50/50), so
+# every registered query has a hard driver row and rotation is now pure
+# oldest-green-first refresh (VERDICT r8 item 5: every query re-verified
+# at most ~5 rounds stale). This front = the 45 queries whose latest
+# green driver row is round 4, plus the 5 oldest round-5 greens, in
+# registration order. Everything outside the window is locally
+# re-verified every round by tests/test_oracle_parity.py and
+# tools/check_oracles.py, which hash raw float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # new in round 7 — never driver-run (judge re-verified 44/44 at
-    # driver strength in the r7 session; these convert to hard rows)
-    "q_scrub_dup_spans",
-    "q_bpe_pair_stats",
-    "q_vocab_coverage",
-    "q_mix_schedule",
-    "q_embed_power_topvec",
-    "q_text_kn_bigram",
-    "q_quality_ppl_filter",
-    "q_count_dp",
-    "q_dataset_card",
-    "q_mm_audio_stats",
-    "q_mm_video_meta",
-    "q_curation_pipeline",
-    "q_basket_rules",
-    "q_sample_kcenter",
-    "q_dedup_embed_sweep",
-    "q_snapshot_diff",
-    "q_quality_gopher",
-    "q_doc_length_hist",
-    "q_embed_dim_stats",
-    "q_embed_label_margin",
-    "q_graph_degree_stats",
-    "q_events_autocorr",
-    "q_events_mad",
-    "q_source_jaccard",
-    "q_dedup_soft",
-    "q_returns_wilson",
-    "q_order_gaps",
-    "q_revenue_ewma",
-    "q_seasonal_naive",
-    "q_ab_lift",
-    "q_map_funcs",
-    "q_join_nullsafe",
-    "q_graph_khop",
-    "q_rank_fusion",
-    "q_cluster_purity",
-    "q_quality_ensemble",
-    "q_minhash_calibration",
-    "q_drift_report",
-    "q_langid_confusion",
-    "q_events_heatmap",
-    "q_sample_balanced",
-    "q_revenue_moving_median",
-    "q_priority_shift",
-    "q_stream_alert",
-    # r3 greens that missed the r7 window (oldest refreshes)
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup_late",
-    "q_stream_enrich",
-    "udtf_explode_props",
-    # oldest r4 green
-    "q_join_asof",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 9. After the r8 front clears the never-run
-# backlog, every registered query has a hard driver row and the queue
-# reverts to pure oldest-first refresh: remaining r4 greens (in
-# registration order), then r5 greens. All locally hash-verified every
-# run (tests/test_oracle_parity.py + tools/check_oracles.py).
-_VERIFY_NEXT: tuple[str, ...] = (
-    # r4 greens, oldest first (q_join_asof promoted to the r8 front)
+    # latest green driver row: round 4 (oldest cohort, registration order)
     "q_window_lag",
     "q_dedup_simhash",
     "q_sim_topk_lsh",
@@ -315,6 +249,65 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_scan_json",
     "q_winsorize",
     "q_agg_mode",
+    # oldest round-5 greens
+    "q_scan_project",
+    "q_filter_basic",
+    "q_filter_like_null",
+    "q_scan_csv",
+    "q_scan_orc",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 10: the remaining round-5 greens in
+# registration order, then the round-6 cohort. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q_join_dpp",
+    "q_layout_zorder",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_label_join",
+    "q_agg_pricing",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_agg_bitwise",
+    "q_window_rank",
+    "q_agg_percentiles",
+    "q_regression_elasticity",
+    "q_bootstrap_ci",
+    "q_path_trigrams",
+    "q_pareto_half",
+    "q_cdc_scd2",
+    "q_cohort_ltv",
+    "q_concurrency_peak",
+    "q_funnel_windowed",
+    "q_sample_weighted",
+    "q_split_assign",
+    "q_text_pmi",
+    "q_regression_zipf",
+    "q_text_bigram_lm",
+    "q_embed_outliers",
+    "q_embed_sq8",
+    "q_ann_pipeline",
+    "q_dedup_containment",
+    "q_dedup_cluster_resolve",
+    "q_contamination_report",
+    "q_mix_temperature",
+    "q_dedup_url",
+    "q_domain_caps",
+    "q_stream_interval_left",
 )
 
 

@@ -368,9 +368,11 @@ def test_basket_rules_pairs_are_map_side(spark):
     p = plan_of(build(spark, "q_basket_rules"), mode="formatted")
     assert "CartesianProduct" not in p
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) <= 1
-    # the pair expansion is array-local: explode over the HOF result,
-    # never a lineitem self-join on l_orderkey
-    assert "Generate explode" in p or "Generate" in p
+    # the pair expansion is array-local: explode over the HOF-built
+    # pair-struct array (never a lineitem self-join on l_orderkey) —
+    # match that specific Generate, not any Generate in the tree
+    # (ADVICE r8: the old "or 'Generate' in p" disjunct was tautological)
+    assert re.search(r"explode\(flatten\(transform\(.*struct\(pa", p)
 
 
 def test_graph_khop_caps_hub_fanout(spark):
