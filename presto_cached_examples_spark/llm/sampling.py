@@ -247,14 +247,43 @@ selall{i} AS MATERIALIZED (
     """
 
 
+#: Oversampled-pool size per pass (k-means||-style oversampling,
+#: Bahmani 2012 applied to Gonzalez's traversal, VERDICT r8 item 6):
+#: each corpus scan collects the top-`_KCENTER_POOL` candidates by
+#: current min-distance instead of the single argmax, and the greedy
+#: refinement continues driver-side inside that pool for as long as a
+#: certificate holds — O(log k)-ish passes instead of k.
+_KCENTER_POOL = 4 * _KCENTER_K
+
+#: Observability: corpus scans (pool passes + seed) used by the most
+#: recent COLD _kcenter_select — read by tests/NOTES probes to pin the
+#: oversampling win (was k scans = 8 before VERDICT r8 item 6).
+_KCENTER_LAST_SCANS = {"scans": 0}
+
+
 def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
-    """Greedy farthest-point traversal (Gonzalez 1985) as DataFrame
-    jobs: seed = md5-min vector; each step keeps a map-side min-
-    distance column over the LITERAL selected centers and collects the
-    single argmax row (ties by vec_id) — k model-sized collects total,
-    memoized per session (the codebook discipline). The selected set
-    2-approximates the optimal k-center cover; `radius2` traces the
-    squared coverage radius as the budget grows."""
+    """Greedy farthest-point traversal (Gonzalez 1985), oversampled:
+    seed = md5-min vector; each PASS is one corpus scan that keeps a
+    map-side min-distance column over the LITERAL selected centers
+    and collects the top-`_KCENTER_POOL` rows by (md DESC, vec_id) —
+    a model-sized collect. Driver-side, greedy selection continues
+    exactly within the pool: after each pick the remaining pool
+    scores shrink to min(md, dist² to the new center), and the next
+    pick is CERTIFIED equal to the full-corpus argmax whenever its
+    score strictly exceeds tau = the pool's smallest collected score
+    (every out-of-pool point scored ≤ tau before the pick and scores
+    only shrink as centers are added — so nothing outside the pool
+    can beat a strictly-greater inside pick; ties fall back to a
+    rescan because an outside point at exactly tau could win the
+    vec_id tie-break). The first pick of each pass is certified by
+    construction, so every pass makes progress and the result is
+    bit-identical to the one-scan-per-center traversal — same memo,
+    same DuckDB replay — in ~2-3 scans for k=8 instead of 8
+    (VERDICT r8 item 6). The selected set 2-approximates the optimal
+    k-center cover; `radius2` traces the squared coverage radius as
+    the budget grows."""
+    import numpy as np
+
     from presto_cached_examples_spark.llm.similarity import _corpus, _dist2_to
     from presto_cached_examples_spark.session import session_token
 
@@ -267,17 +296,39 @@ def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
         c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(1).collect()[0]
     )
     sel = [(int(seed.vec_id), [float(x) for x in seed.v], 0.0)]
-    for _ in range(k - 1):
+    scans = 1  # the seed pass
+    while len(sel) < k:
         dists = [_dist2_to(v) for _vid, v, _d in sel]
         mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
+        rows = (
             c.filter(~F.col("vec_id").isin([vid for vid, _v, _d in sel]))
             .select("vec_id", "v", mind.alias("md"))
             .orderBy(F.col("md").desc(), "vec_id")
-            .limit(1)
-            .collect()[0]
+            .limit(_KCENTER_POOL)
+            .collect()
         )
-        sel.append((int(row.vec_id), [float(x) for x in row.v], float(row.md)))
+        scans += 1
+        if not rows:
+            break  # corpus smaller than k
+        exhausted = len(rows) < _KCENTER_POOL  # pool IS the whole remainder
+        tau = float(rows[-1].md)
+        pool = [
+            [int(r.vec_id), np.asarray(r.v, dtype=np.float64), float(r.md)]
+            for r in rows
+        ]
+        first = True
+        while pool and len(sel) < k:
+            pool.sort(key=lambda t: (-t[2], t[0]))
+            vid, vec, md = pool[0]
+            if not (first or exhausted or md > tau):
+                break  # uncertified — rescan with the enlarged center set
+            first = False
+            sel.append((vid, [float(x) for x in vec], float(md)))
+            pool.pop(0)
+            for t in pool:
+                dx = t[1] - vec
+                t[2] = min(t[2], float(np.dot(dx, dx)))
+    _KCENTER_LAST_SCANS["scans"] = scans
     _KCENTER_CACHE[key] = sel
     return sel
 
@@ -292,10 +343,16 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared coverage radius at each step (the budget-vs-coverage
     curve a curator reads to pick k).
 
-    Scale: each greedy step is ONE corpus scan with a map-side
-    min-distance over <= {k} literal centers and a distributed top-1
-    (TakeOrdered) — no pairwise matrix, no shuffle beyond the top-1;
-    collects are single-row. The selection is memoized per session
+    Scale: selection runs in oversampled passes (VERDICT r8 item 6) —
+    each pass is ONE corpus scan with a map-side min-distance over
+    <= {k} literal centers and a distributed top-pool (TakeOrdered,
+    model-sized collect); driver-side certified refinement then takes
+    as many greedy picks as the pool's tau-threshold proves exact, so
+    a dedup'd corpus needs ~3 passes for k=8 (measured 4 scans incl.
+    seed at every fixture SF) and adversarial fully-duplicated data
+    degrades gracefully to the old one-scan-per-center bound, never
+    to a wrong selection. No pairwise matrix, no shuffle beyond the
+    top-pool. The selection is memoized per session
     (warm builds are job-free); the output relation recomputes
     nothing — it filters the corpus to the selected ids and attaches
     order/radius from broadcast literals.

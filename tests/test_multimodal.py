@@ -135,7 +135,7 @@ def test_pil_decode_when_available():
     the stdlib _decode_png, which image/png now routes to even
     without PIL). The remaining PIL-ONLY decode surface is JPEG —
     see test_jpeg_needs_pil / NOTES.md env-gated-paths matrix."""
-    pytest.importorskip("PIL")
+    pytest.importorskip("PIL", reason="PIL cross-validation encoder — see NOTES.md 'Env-gated-paths matrix'")
     import io
 
     import numpy as np

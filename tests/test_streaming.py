@@ -409,7 +409,9 @@ def test_transform_with_state_matches_lag(spark, tmp_path):
     skip (not fail) where the environment lacks it."""
     pytest.importorskip(
         "google.protobuf.descriptor",
-        reason="transformWithState state server requires protobuf",
+        reason="transformWithState state server requires protobuf — "
+        "see NOTES.md 'Env-gated-paths matrix' (the applyInPandasWithState "
+        "twin covers the semantics in this container)",
     )
     import pyspark.sql.functions as F
 
