@@ -171,9 +171,7 @@ def _decode_png(payload: bytes):
         pos += 1
         row = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).copy()
         pos += stride
-        if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-ch] — a per-
+        if ftype == 1:  # Sub: out[i] = raw[i] + out[i-ch] — a per-
             # channel prefix sum mod 256, vectorized (uint8 wraps)
             row = row.reshape(-1, ch).cumsum(axis=0, dtype=np.int64).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up (uint8 addition wraps mod 256)
@@ -191,7 +189,7 @@ def _decode_png(payload: bytes):
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 row[i] = (int(row[i]) + pred) & 0xFF
-        else:
+        elif ftype != 0:  # 0 = None (raw scanline, nothing to undo)
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = row
         prev = row
