@@ -241,3 +241,38 @@ def test_jpeg_needs_pil():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_payload(b"\xff\xd8\xff\xe0notajpeg", "image/jpeg")
+
+
+# ---- property: PNG round-trip over arbitrary shapes/filters ----------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=12),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    filter_type=st.sampled_from([0, 1, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    level=st.sampled_from([0, 1, 6, 9]),
+)
+def test_png_roundtrip_property(w, h, color_type, filter_type, seed, level):
+    """encode→decode is the identity for every 8-bit shape, channel
+    count, encoder filter, and zlib level — the PNG spec's contract,
+    property-tested (hypothesis)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _encode_png,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, w * h * ch, dtype=np.uint8)
+    png = _encode_png(
+        arr, w, h, color_type=color_type, filter_type=filter_type, level=level
+    )
+    assert (_decode_png(png) == arr).all()
