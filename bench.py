@@ -331,6 +331,7 @@ def main() -> None:
             transients_v2[name] = {"original_spread": sp, "samples": 4}
             timings_v2[name] = min(timings_v2[name], t_retry[name])
             spread_v2[name] = s_retry[name]
+    gc_after_timed_ms = _jvm_gc_ms(spark)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -349,7 +350,9 @@ def main() -> None:
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
         "heap_after_prewarm_mb": heap_after_prewarm_mb,
         "timed_gc_total_ms": (
-            _jvm_gc_ms(spark) - gc_before_timed_ms if gc_before_timed_ms >= 0 else -1
+            gc_after_timed_ms - gc_before_timed_ms
+            if gc_before_timed_ms >= 0 and gc_after_timed_ms >= 0
+            else -1  # instrumentation-unavailable sentinel, never a delta
         ),
         "queries_gc_ms": gc_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -256,9 +256,26 @@ selall{i} AS MATERIALIZED (
 _KCENTER_POOL = 4 * _KCENTER_K
 
 #: Observability: corpus scans (pool passes + seed) used by the most
-#: recent COLD _kcenter_select — read by tests/NOTES probes to pin the
-#: oversampling win (was k scans = 8 before VERDICT r8 item 6).
+#: recent COLD _kcenter_select — asserted by
+#: tests/test_round7_ops.py::test_kcenter_oversampling_scan_budget so
+#: a regression back to one-scan-per-center (8 scans) fails loudly.
 _KCENTER_LAST_SCANS = {"scans": 0}
+
+
+def _fold_dist2(x, c) -> float:
+    """Squared L2 as a SEQUENTIAL left-to-right fold of (x_i - c_i)²,
+    exactly replicating Spark's `F.aggregate(zip_with(...), 0.0,
+    acc + x)` evaluation order (similarity._dist2_to). Python floats
+    are IEEE-754 doubles, so this is bit-identical to the JVM value —
+    which is what lets the driver-side pool refinement's tau
+    certification and (md, vec_id) tie-breaks reproduce the pure
+    one-scan-per-center traversal exactly, not just approximately
+    (np.dot's pairwise/SIMD summation order would not)."""
+    s = 0.0
+    for a, b in zip(x, c):
+        d = a - b
+        s += d * d
+    return s
 
 
 def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
@@ -277,9 +294,12 @@ def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
     rescan because an outside point at exactly tau could win the
     vec_id tie-break). The first pick of each pass is certified by
     construction, so every pass makes progress and the result is
-    bit-identical to the one-scan-per-center traversal — same memo,
-    same DuckDB replay — in ~2-3 scans for k=8 instead of 8
-    (VERDICT r8 item 6). The selected set 2-approximates the optimal
+    bit-identical to the one-scan-per-center traversal — the pool's
+    collected scores ARE Spark's, and the driver-side updates use
+    `_fold_dist2`, which replicates Spark's sequential aggregate fold
+    bit-for-bit (IEEE doubles, same op order) — same memo, same
+    DuckDB replay, in ~2-3 scans for k=8 instead of 8 (VERDICT r8
+    item 6). The selected set 2-approximates the optimal
     k-center cover; `radius2` traces the squared coverage radius as
     the budget grows."""
     import numpy as np
@@ -326,8 +346,7 @@ def _kcenter_select(spark: SparkSession, sf_dir: str, k: int = _KCENTER_K):
             sel.append((vid, [float(x) for x in vec], float(md)))
             pool.pop(0)
             for t in pool:
-                dx = t[1] - vec
-                t[2] = min(t[2], float(np.dot(dx, dx)))
+                t[2] = min(t[2], _fold_dist2(t[1], vec))
     _KCENTER_LAST_SCANS["scans"] = scans
     _KCENTER_CACHE[key] = sel
     return sel

@@ -130,24 +130,42 @@ def test_feature_extraction_on_real_image_type(spark):
 
 
 def test_pil_decode_when_available():
-    """Cross-validation against an independent encoder — env-gated on
-    PIL (used here only to PRODUCE the PNG; the decode under test is
-    the stdlib _decode_png, which image/png now routes to even
-    without PIL). The remaining PIL-ONLY decode surface is JPEG —
-    see test_jpeg_needs_pil / NOTES.md env-gated-paths matrix."""
-    pytest.importorskip("PIL", reason="PIL cross-validation encoder — see NOTES.md 'Env-gated-paths matrix'")
+    """Env-gated PIL coverage (see NOTES.md 'Env-gated-paths matrix'):
+    where PIL exists, (a) a PIL-encoded PNG decodes identically via
+    the stdlib _decode_png that image/png routes to, and (b) the
+    _pil_decode fast path ITSELF is exercised on the same payload and
+    must agree byte-for-byte — the parity the _decode_png docstring
+    claims. Elsewhere this skips (never fakes)."""
+    pytest.importorskip(
+        "PIL", reason="PIL fast path — see NOTES.md 'Env-gated-paths matrix'"
+    )
     import io
 
     import numpy as np
     from PIL import Image
 
+    from presto_cached_examples_spark.llm.multimodal import (
+        _decode_png,
+        _pil_decode,
+    )
+
     img = Image.new("RGB", (6, 3))
     img.putdata([(x % 256, (x * 3) % 256, (x * 5) % 256) for x in range(18)])
     buf = io.BytesIO()
     img.save(buf, format="PNG")
-    arr = decode_payload(buf.getvalue(), "image/png")
+    payload = buf.getvalue()
+    arr = decode_payload(payload, "image/png")  # routes to _decode_png
     assert arr.dtype == np.uint8 and arr.size == 6 * 3 * 3
     assert int(arr[0]) == 0 and int(arr[3]) == 1  # second pixel R = 1
+    # the env-gated fast path agrees byte-for-byte with the stdlib path
+    assert (_pil_decode(payload, "image/png") == _decode_png(payload)).all()
+    # palette parity: PIL mode 'P' converts to RGB, as does PLTE expansion
+    pimg = img.convert("P", palette=Image.ADAPTIVE, colors=4)
+    pbuf = io.BytesIO()
+    pimg.save(pbuf, format="PNG")
+    assert (
+        _pil_decode(pbuf.getvalue(), "image/png") == _decode_png(pbuf.getvalue())
+    ).all()
 
 
 def test_png_decode_stdlib_all_filters_and_types():

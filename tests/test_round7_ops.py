@@ -644,6 +644,37 @@ def test_kcenter_is_greedy_farthest_point(spark):
     assert rs == sorted(rs, reverse=True), "coverage radius must shrink"
 
 
+def test_kcenter_oversampling_scan_budget(spark):
+    """The round-9 oversampled traversal (VERDICT r8 item 6) must do
+    its COLD selection in well under k corpus scans on the fixture —
+    the 4-scans-not-8 win is the point of the rewrite, so a
+    certification regression that silently degrades every build back
+    to one-scan-per-center must fail here, not just read slower.
+    Evicting the memo forces a cold rebuild; the rebuilt selection
+    must equal the memoized one (determinism across rebuilds)."""
+    from presto_cached_examples_spark.llm import sampling
+    from presto_cached_examples_spark.llm.sampling import (
+        _KCENTER_CACHE,
+        _KCENTER_K,
+        _KCENTER_LAST_SCANS,
+    )
+    from presto_cached_examples_spark.session import session_token
+
+    key = (session_token(spark), SF_TINY, _KCENTER_K)
+    before = sampling._kcenter_select(spark, SF_TINY)  # warm or build
+    _KCENTER_CACHE.pop(key, None)
+    rebuilt = sampling._kcenter_select(spark, SF_TINY)  # guaranteed cold
+    assert rebuilt == before, "cold rebuild changed the selection"
+    scans = _KCENTER_LAST_SCANS["scans"]
+    # fixture corpora certify in 3 pool passes + seed; allow 1 slack
+    # pass before calling it a regression toward the old k-scan bound
+    assert 2 <= scans <= _KCENTER_K - 3, (
+        f"cold k-center build used {scans} corpus scans — the "
+        f"oversampling certificate has regressed toward the "
+        f"one-scan-per-center bound ({_KCENTER_K} scans)"
+    )
+
+
 def test_embed_sweep_counts_are_monotone_and_match_base(spark):
     """Counts must be non-increasing in the threshold, and the 0.25 row
     must match q_dedup_embed's emitted pair count exactly."""

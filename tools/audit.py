@@ -101,7 +101,7 @@ def audit_padding() -> list[str]:
 
 _CITE_RE = re.compile(
     r"/root/reference/[A-Za-z0-9_./-]*[A-Za-z0-9_]"  # path (no trailing dot)
-    r"(?::(\d+)(?:-(\d+))?)?"  # optional :N or :N-M anchor
+    r"(?::((?:\d+(?:-\d+)?)(?:,\d+(?:-\d+)?)*))?"  # :N-M[,N-M...] anchors
 )
 
 
@@ -128,11 +128,14 @@ def audit_citations() -> list[str]:
                 continue
             if m.group(1) and fpath.is_file():
                 n_lines = len(fpath.read_text(errors="replace").splitlines())
-                last = int(m.group(2) or m.group(1))
-                if last > n_lines:
-                    problems.append(
-                        f"{rel}: anchor past EOF ({n_lines} lines): {cited}"
-                    )
+                # validate EVERY comma-separated range, not just the first
+                # (e.g. DoublePsramBuffer480x480.cpp:68-69,176-193)
+                for rng in m.group(1).split(","):
+                    last = int(rng.split("-")[-1])
+                    if last > n_lines:
+                        problems.append(
+                            f"{rel}: anchor past EOF ({n_lines} lines): {cited}"
+                        )
     return problems
 
 
