@@ -493,39 +493,53 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_text_langstats / q_text_quality / q_dedup_exact) into one lazy
     plan.
 
-    Scale: each stage narrows the previous one's rows, all filters are
-    map-side, and the only shuffle is the dedup fingerprint aggregate
-    over the already double-filtered remainder. The four stage counts
-    are single-row aggregates unioned at the end — the funnel never
-    materializes intermediate corpora."""
+    Scale: ONE corpus scan (round 9 — the stage-per-aggregate form
+    read documents five times). Every stage count is an aggregate of
+    per-row flags: raw = COUNT(*), lang = SUM(is_lang), quality =
+    SUM(is_quality), and the dedup survivor count is
+    COUNT(DISTINCT fingerprint) over quality rows — keeping rn=1 per
+    fingerprint counts exactly one row per distinct fingerprint, so
+    no window is needed at all. The 4-row funnel then explodes from
+    the single aggregate row map-side; the funnel never materializes
+    intermediate corpora, and never re-reads the input."""
     raw = load_table(spark, sf_dir, "documents")
-    lang = raw.filter(F.col("lang") == "en")
     toks = F.split("text", " ")
-    quality = lang.filter(
-        (F.size(toks) >= 20)
+    is_lang = (F.col("lang") == "en").cast("long")
+    is_quality = (
+        (F.col("lang") == "en")
+        & (F.size(toks) >= 20)
         & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.2)
     )
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
-    w = Window.partitionBy(fp).orderBy("doc_id")
-    dedup = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = raw.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(is_lang).alias("n_lang"),
+        F.sum(is_quality.cast("long")).alias("n_quality"),
+        F.count_distinct(F.when(is_quality, fp)).alias("n_dedup"),
+    )
 
-    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+    def srow(no: int, name: str, col: str):
+        return F.struct(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(col).alias("n_docs"),
         )
 
-    counts = (
-        stage(raw, 1, "raw")
-        .unionByName(stage(lang, 2, "lang_en"))
-        .unionByName(stage(quality, 3, "quality"))
-        .unionByName(stage(dedup, 4, "dedup"))
-    )
-    total = raw.agg(F.count(F.lit(1)).alias("n_raw"))
-    return counts.join(F.broadcast(total)).select(
-        "stage_no",
-        "stage",
-        "n_docs",
-        F.round(F.col("n_docs") * 1.0 / F.col("n_raw"), 4).alias("frac_of_raw"),
+    return agg.select(
+        F.explode(
+            F.array(
+                srow(1, "raw", "n_raw"),
+                srow(2, "lang_en", "n_lang"),
+                srow(3, "quality", "n_quality"),
+                srow(4, "dedup", "n_dedup"),
+            )
+        ).alias("s"),
+        "n_raw",
+    ).select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.round(F.col("s.n_docs") * 1.0 / F.col("n_raw"), 4).alias("frac_of_raw"),
     )
 
 

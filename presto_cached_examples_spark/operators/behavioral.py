@@ -53,11 +53,17 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is filter → per-user MIN(ts) → join to the prior stage's
     per-user row. The per-user stage relations shrink monotonically, so
     the chained joins ride broadcast or small shuffles; raw events are
-    only ever scanned and filtered, never windowed or self-joined."""
+    only ever scanned and filtered, never windowed or self-joined.
+    Each stage relation has TWO consumers (the next stage's join and
+    its own count row), so each is localCheckpoint-ed at user grain —
+    without that, every consumer re-derived its whole ancestry and the
+    physical plan read the events fact table SIX times instead of
+    three (round 9; at 100 TB the fact scans are the query's cost)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("tv")
     )
+    v = v.localCheckpoint(eager=False)  # user grain; 2 consumers
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -65,6 +71,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
+    c = c.localCheckpoint(eager=False)  # user grain; 2 consumers
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -1176,6 +1183,9 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = sess.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
+    # session grain; the start/end union + the two sweep consumers
+    # otherwise re-derive the sessionization (4 events scans, round 9)
+    iv = iv.localCheckpoint(eager=False)
     pts = iv.select(
         F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
     ).unionByName(
@@ -1246,13 +1256,17 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one scalar per user BEFORE the next stage joins it (per-user
     rows, uniform key, broadcast-sized stage outputs), with the time
     bound as a join predicate so state stays capped exactly like the
-    interval joins. Final counts are three 1-row aggregates."""
+    interval joins. Final counts are three 1-row aggregates. Stage
+    relations checkpoint at user grain (two consumers each — round 9,
+    same rationale as q_events_funnel: without it the physical plan
+    read events SIX times instead of three)."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("tv"))
     )
+    v = v.localCheckpoint(eager=False)  # user grain; 2 consumers
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -1263,6 +1277,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
+    c = c.localCheckpoint(eager=False)  # user grain; 2 consumers
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -2254,10 +2269,16 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-mover argmax compares integers with a priority tie-break.
 
     Scale: the fact stream collapses to the (month, priority) spine
-    first (bounded |months| x 5); the previous-month join is CALENDAR
-    (the q_seasonal_naive lesson — row-lag mis-pairs on sparse spines)
-    over that model-sized relation, and the per-month window ranks
-    <= 5 rows.
+    first (bounded |months| x 5) and that model-sized aggregate is
+    localCheckpoint-ed (the q_text_pmi pattern, lazily) so its FIVE
+    downstream consumers (totals, current, previous, window, L1
+    aggregate) share ONE orders scan — before round 9 each consumer
+    branch re-read the fact table (8 parquet scans in the physical
+    plan; at 100 TB that is 8 fact scans for a monitor query). The
+    previous-month join is CALENDAR (the q_seasonal_naive lesson —
+    row-lag mis-pairs on sparse spines) over the checkpointed
+    relation, the per-month window ranks <= 5 rows, and the final
+    month-grain join broadcasts.
 
     Reference provenance: C8 history-vs-now comparison
     (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
@@ -2266,6 +2287,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.col("o_orderpriority").alias("prio"),
     ).agg(F.count(F.lit(1)).alias("c"))
+    m = m.localCheckpoint(eager=False)  # |months| x 5; 5 consumers
     t = m.groupBy("month").agg(F.sum("c").alias("tot"))
     cur = m.join(F.broadcast(t), "month")
     prev = cur.select(
@@ -2297,7 +2319,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # den is month-constant: integer-sum the numerators, one division
         F.round(F.sum("num") / F.any_value("den"), 4).alias("l1_shift"),
     )
-    return agg.join(ranked.filter(F.col("rl") == 1), "month").select(
+    return agg.join(F.broadcast(ranked.filter(F.col("rl") == 1)), "month").select(
         "month",
         "n_priorities",
         "l1_shift",
