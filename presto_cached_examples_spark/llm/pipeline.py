@@ -600,6 +600,13 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g")
     )
+    # eval-slice gram grain (small by construction — it broadcasts
+    # below); 2 consumers (the probe join + the eval-id universe), so
+    # persist instead of re-scanning documents a third time. Every
+    # eval doc emits >= 1 gram row (the gram builder floors the
+    # sequence at 1 element), so DISTINCT eval_id over this relation
+    # IS the full eval universe.
+    ev = ev.persist()
     tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
     )
@@ -622,9 +629,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    eval_ids = d.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_id")
-    )
+    eval_ids = ev.select("eval_id").distinct()
     return (
         eval_ids.join(hits, "eval_id", "left")
         .groupBy("eval_id")
@@ -1130,6 +1135,12 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         ((F.col("rnk") - 0.5) / F.col("wt")).alias("vtime"),
     )
+    # narrow (id, source, vtime) rows; the quantile sampler and the
+    # rank decomposition's bucket/offset passes otherwise re-run the
+    # scan AND the per-source window once each (4 documents scans
+    # pre-round-9). First materialization rides the memoized
+    # approxQuantile action, so warm builds stay job-free.
+    v = v.persist()
     # exact global order by (vtime, doc_id) without a global sort —
     # vtime collides across equal-sized sources at equal rank, so the
     # unique doc_id is the tie-break on BOTH engines. Split points are

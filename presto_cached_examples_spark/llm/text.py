@@ -364,7 +364,16 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # depth x width grain (the materialized sketch artifact); 2
+    # consumers (probe join + the total below) — persisted so the
+    # token stream is scanned once for the sketch, once for the
+    # exact side (was 3 scans: grid, total, top — round 9)
+    grid = grid.persist()
+    # every token contributes exactly one grid count per depth row,
+    # so the corpus total is sum(cnt) / depth — no third scan
+    n_total = grid.agg(
+        (F.sum("cnt") / _CMS_DEPTH).cast("long").alias("n_total")
+    )
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -426,10 +435,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).filter(
-        F.col("tf") >= 2
-    )
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # ONE pass builds the (doc, tok) inverted-index relation; tf is a
+    # filter of it and df its per-token row count (count(*) over
+    # distinct (doc, tok) pairs IS countDistinct(doc_id) per token) —
+    # before round 9 tf and df each re-scanned and re-exploded the
+    # corpus, and df shuffled the RAW token stream instead of the
+    # already-aggregated pairs
+    pairs = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    pairs = pairs.persist()  # inverted-index grain (lazy)
+    tf = pairs.filter(F.col("tf") >= 2)
+    df = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(df, "tok")

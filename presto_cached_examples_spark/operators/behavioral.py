@@ -55,7 +55,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chained joins ride broadcast or small shuffles; raw events are
     only ever scanned and filtered, never windowed or self-joined.
     Each stage relation has TWO consumers (the next stage's join and
-    its own count row), so each is localCheckpoint-ed at user grain —
+    its own count row), so each is persisted at user grain —
     without that, every consumer re-derived its whole ancestry and the
     physical plan read the events fact table SIX times instead of
     three (round 9; at 100 TB the fact scans are the query's cost)."""
@@ -63,7 +63,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("tv")
     )
-    v = v.localCheckpoint(eager=False)  # user grain; 2 consumers
+    v = v.persist()  # user grain; 2 consumers (lazy)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -71,7 +71,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
-    c = c.localCheckpoint(eager=False)  # user grain; 2 consumers
+    c = c.persist()  # user grain; 2 consumers (lazy)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -243,6 +243,9 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and the oracle) defines. Nothing ever windows raw events."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    # (day, user) grain; 2 consumers (cover + observed-day spine) —
+    # without the persist each re-scanned events (round 9)
+    du = du.persist()
     cover = du.select(
         F.explode(
             F.sequence(
@@ -296,6 +299,11 @@ def q_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the design note on why the shapes differ."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    # (day, user) grain — users x days, orders below event volume;
+    # THREE consumers (cover, same-day join, active counts) otherwise
+    # re-scan events once each (round 9; lazy persist, deduped across
+    # calls by the cache manager)
+    du = du.persist()
     cover = du.select(
         F.explode(
             F.sequence(
@@ -367,6 +375,10 @@ def q_rolling_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # |days| grain (the write-time sketch artifact); 2 consumers
+    # (observed-day spine + the merge tier) — without the persist
+    # each re-scanned events (round 9)
+    daily = daily.persist()
     days = daily.select(F.col("d").alias("day"))
     est = (
         daily.select(window_days("d"), "sk")
@@ -1185,7 +1197,7 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # session grain; the start/end union + the two sweep consumers
     # otherwise re-derive the sessionization (4 events scans, round 9)
-    iv = iv.localCheckpoint(eager=False)
+    iv = iv.persist()
     pts = iv.select(
         F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
     ).unionByName(
@@ -1257,7 +1269,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, uniform key, broadcast-sized stage outputs), with the time
     bound as a join predicate so state stays capped exactly like the
     interval joins. Final counts are three 1-row aggregates. Stage
-    relations checkpoint at user grain (two consumers each — round 9,
+    relations persist at user grain (two consumers each — round 9,
     same rationale as q_events_funnel: without it the physical plan
     read events SIX times instead of three)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1266,7 +1278,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tv"))
     )
-    v = v.localCheckpoint(eager=False)  # user grain; 2 consumers
+    v = v.persist()  # user grain; 2 consumers (lazy)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -1277,7 +1289,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
-    c = c.localCheckpoint(eager=False)  # user grain; 2 consumers
+    c = c.persist()  # user grain; 2 consumers (lazy)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -2270,7 +2282,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact stream collapses to the (month, priority) spine
     first (bounded |months| x 5) and that model-sized aggregate is
-    localCheckpoint-ed (the q_text_pmi pattern, lazily) so its FIVE
+    persisted (lazily — no build-time jobs) so its FIVE
     downstream consumers (totals, current, previous, window, L1
     aggregate) share ONE orders scan — before round 9 each consumer
     branch re-read the fact table (8 parquet scans in the physical
@@ -2287,7 +2299,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.col("o_orderpriority").alias("prio"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    m = m.localCheckpoint(eager=False)  # |months| x 5; 5 consumers
+    m = m.persist()  # |months| x 5; 5 consumers (lazy — no build-time jobs)
     t = m.groupBy("month").agg(F.sum("c").alias("tot"))
     cur = m.join(F.broadcast(t), "month")
     prev = cur.select(

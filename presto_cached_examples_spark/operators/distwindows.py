@@ -138,7 +138,7 @@ def q_window_range_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (segment, cents) grain — bounded by the cent domain, not rows;
     # 3 consumers (values + both probe streams) otherwise re-scan the
     # base table once each (7 customer scans pre-round-9)
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.persist()
     values = counts.select(
         _SEG, F.col("cents").alias("pos"), F.col("cnt").alias("w"),
         F.lit(None).cast("long").alias("base"), F.lit(0).alias("is_probe"),
@@ -161,7 +161,7 @@ def q_window_range_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_SEG, "base", "is_probe", F.sum("w").over(w_sweep).alias("cum"))
         .filter(F.col("is_probe") > 0)
     )
-    swept = swept.localCheckpoint(eager=False)  # probe grain; hi+lo consumers
+    swept = swept.persist()  # probe grain; hi+lo consumers (lazy)
     hi = swept.filter("is_probe = 1").select(
         _SEG, F.col("base").alias("cents"), F.col("cum").alias("c_hi")
     )

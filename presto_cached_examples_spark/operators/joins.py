@@ -430,29 +430,30 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_id").orderBy(
         F.col("click_ts").desc(), F.col("c_event_id")
     )
-    matched = (
+    # ONE left join + rank (round 9, the q_label_join fold): an
+    # unattributed purchase survives as its single null-click row
+    # (rank 1 — the left join emits the null row only when NO click
+    # matched, so null and non-null click_ts never coexist within a
+    # purchase; click_ts DESC orders nulls last, irrelevant here for
+    # that reason). The previous inner-join-then-left-rejoin shape
+    # re-derived the purchase slice (a second events scan) just to
+    # restore the unmatched rows.
+    return (
         p.join(
             cl,
             (p.user_id == cl.c_user_id)
             & (cl.click_ts <= p.purchase_ts)
             & (cl.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+            "left",
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            F.col("event_id").alias("m_event_id"),
-            "click_ts",
-            F.round("click_value", 2).alias("click_value"),
-        )
-    )
-    return (
-        p.join(matched, p.event_id == matched.m_event_id, "left")
         .select(
             "event_id",
             "user_id",
             "purchase_ts",
             "click_ts",
-            "click_value",
+            F.round("click_value", 2).alias("click_value"),
             F.col("click_ts").isNotNull().alias("attributed"),
         )
     )
@@ -768,23 +769,30 @@ def q_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("click_id").orderBy("p_ts", "p_id")
-    matched = (
+    # ONE left join + rank (round 9): an unmatched click survives as
+    # its single null-label row (rank 1 by construction — a left join
+    # emits the null row only when NO purchase matched, so null and
+    # non-null p_ts never coexist within a click), and a matched
+    # click keeps its earliest future purchase. The previous
+    # inner-join-then-left-rejoin shape re-derived the clicks slice
+    # (a second events scan) just to restore the negatives.
+    return (
         clicks.join(
             purch,
             (F.col("user_id") == F.col("p_user"))
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left",
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("click_id", "p_ts", "p_id")
-    )
-    return clicks.join(matched, "click_id", "left").select(
-        "click_id",
-        "user_id",
-        F.round("c_value", 2).alias("feature_value"),
-        F.col("p_id").isNotNull().alias("label_converted"),
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
-            "time_to_convert_us"
-        ),
+        .select(
+            "click_id",
+            "user_id",
+            F.round("c_value", 2).alias("feature_value"),
+            F.col("p_id").isNotNull().alias("label_converted"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
+                "time_to_convert_us"
+            ),
+        )
     )
