@@ -513,8 +513,10 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
     agg = raw.agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.sum(is_lang).alias("n_lang"),
-        F.sum(is_quality.cast("long")).alias("n_quality"),
+        # coalesce: SUM over zero rows is NULL, but an empty corpus
+        # must report 0 like the COUNT(*) form and the oracle do
+        F.coalesce(F.sum(is_lang), F.lit(0)).alias("n_lang"),
+        F.coalesce(F.sum(is_quality.cast("long")), F.lit(0)).alias("n_quality"),
         F.count_distinct(F.when(is_quality, fp)).alias("n_dedup"),
     )
 

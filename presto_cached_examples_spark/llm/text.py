@@ -435,14 +435,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    # ONE pass builds the (doc, tok) inverted-index relation; tf is a
-    # filter of it and df its per-token row count (count(*) over
-    # distinct (doc, tok) pairs IS countDistinct(doc_id) per token) —
-    # before round 9 tf and df each re-scanned and re-exploded the
-    # corpus, and df shuffled the RAW token stream instead of the
-    # already-aggregated pairs
+    # The (doc, tok) inverted-index relation: tf is a filter of it and
+    # df its per-token row count (count(*) over distinct (doc, tok)
+    # pairs IS countDistinct(doc_id) per token) — so df shuffles the
+    # already-aggregated pairs, never the raw token stream (round 9).
+    # DELIBERATELY NOT persisted: unlike the round's bounded-grain
+    # persists (day/user/label/month grains), the inverted index is
+    # corpus-scale — pinning it trades one columnar re-scan for a
+    # corpus-sized cache entry, the exact fact-pollution anti-pattern
+    # plans/cache.py documents. Two pruned scans is the right cost.
     pairs = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    pairs = pairs.persist()  # inverted-index grain (lazy)
     tf = pairs.filter(F.col("tf") >= 2)
     df = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
