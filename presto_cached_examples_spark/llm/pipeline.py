@@ -773,15 +773,23 @@ def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bt = toks.select("doc_id", "lang", bucket.alias("b"))
     doc_b = bt.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
-    rawb = bt.groupBy("b").agg(F.count(F.lit(1)).alias("raw_k"))
+    # every bucket-level statistic below rolls up from ONE bounded
+    # (bucket, lang) aggregate — |buckets| x |langs| rows, persisted —
+    # instead of each re-scanning and re-exploding the corpus (4
+    # token-stream scans pre-round-9, now 2: doc_b + this)
+    blt = bt.groupBy("b", "lang").agg(F.count(F.lit(1)).alias("k"))
+    blt = blt.persist()
+    rawb = blt.groupBy("b").agg(F.sum("k").alias("raw_k"))
     tgtb = (
-        bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        blt.filter(F.col("lang") == _DSIR_TARGET_LANG)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_k"))
+        .agg(F.sum("k").alias("tgt_k"))
     )
-    tot = bt.agg(
-        F.count(F.lit(1)).alias("raw_total"),
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("tgt_total"),
+    tot = blt.agg(
+        F.coalesce(F.sum("k"), F.lit(0)).alias("raw_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("k"))), F.lit(0)
+        ).alias("tgt_total"),
     )
     lr = F.log(
         (F.coalesce(F.col("tgt_k"), F.lit(0)) + 1.0)
