@@ -192,77 +192,18 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 9): the driver's correctness harness checks
-# only the FIRST 50 queries in the order `queries()` yields them. The r8
-# front cleared the never-driver-run backlog (CORRECTNESS_r08 50/50), so
-# every registered query has a hard driver row and rotation is now pure
-# oldest-green-first refresh (VERDICT r8 item 5: every query re-verified
-# at most ~5 rounds stale). This front = the 45 queries whose latest
-# green driver row is round 4, plus the 5 oldest round-5 greens, in
-# registration order. Everything outside the window is locally
-# re-verified every round by tests/test_oracle_parity.py and
-# tools/check_oracles.py, which hash raw float repr (driver-strength).
+# Verification rotation (round 10): the driver's correctness harness checks
+# only the FIRST 50 queries in the order `queries()` yields them. Every
+# registered query has a hard driver row (CORRECTNESS_r01-r09, zero reds
+# ever), so rotation is pure oldest-green-first refresh. This front = the
+# 45 queries whose latest green driver row is round 5, plus the 5 oldest
+# round-6 greens, in registration order — after this round no query's
+# last driver check is older than round 6 (VERDICT r9 item 3). Everything
+# outside the window is locally re-verified every round by
+# tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
+# float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 4 (oldest cohort, registration order)
-    "q_window_lag",
-    "q_dedup_simhash",
-    "q_sim_topk_lsh",
-    "q_token_freq_cms",
-    "q_rolling_wau",
-    "q_profile_stats",
-    "q_rolling_wau_approx",
-    "q_intersect_all",
-    "q_except_all",
-    "q_lateral_topk",
-    "q_boilerplate_scrub",
-    "q_dedup_incremental",
-    "q_sim_pq",
-    "q_mm_phash",
-    "q_topk_skewed",
-    "q_sim_adc",
-    "q_stream_interval_join",
-    "q_rolling_retention",
-    "q_join_bucketed",
-    "q_graph_components",
-    "q_markov_transitions",
-    "q_anomaly_zscore",
-    "q_text_unigram_lm",
-    "q_mix_weights",
-    "q_event_runs",
-    "q_embed_centroids",
-    "q_resample_interp",
-    "q_quality_logistic",
-    "q_join_bloom",
-    "q_scan_pruned",
-    "q_curation_funnel",
-    "q_graph_pagerank",
-    "q_join_range_bucketed",
-    "q_stream_topk",
-    "q_scan_evolved",
-    "q_local_supplier_volume",
-    "q_product_profit",
-    "q_cdc_merge",
-    "q_attribution_linear",
-    "q_text_entropy",
-    "q_quality_tiers",
-    "q_graph_triangles",
-    "q_scan_json",
-    "q_winsorize",
-    "q_agg_mode",
-    # oldest round-5 greens
-    "q_scan_project",
-    "q_filter_basic",
-    "q_filter_like_null",
-    "q_scan_csv",
-    "q_scan_orc",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 10: the remaining round-5 greens in
-# registration order, then the round-6 cohort. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 5 (45) + oldest round-6 greens (5)
     "q_join_dpp",
     "q_layout_zorder",
     "q_join_inner",
@@ -308,6 +249,70 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_dedup_url",
     "q_domain_caps",
     "q_stream_interval_left",
+    "q_window_frame",
+    "q_window_running",
+    "q_topk_group",
+    "q_sort_limit",
+    "q_union_all",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 11: the remaining round-6 greens in
+# registration order, then the 5 oldest round-7 greens. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 6 (45) + oldest round-7 greens (5)
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_agg_corr",
+    "q_pivot",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_string_regexp",
+    "q_subquery_in",
+    "q_subquery_corr",
+    "q_agg_groupingid",
+    "q_agg_argminmax",
+    "q_date_series",
+    "q_values_cte",
+    "q_top_unshipped",
+    "q_returned_revenue",
+    "q_filtered_revenue",
+    "q_promo_share",
+    "q_agg_stringagg",
+    "q_window_lead",
+    "q_agg_decimal",
+    "q_exists_agg",
+    "q_null_ordering",
+    "q_histogram",
+    "q_cond_count",
+    "q_window_dist_scalable",
+    "q_sample_stratified",
+    "q_join_salted",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_expr",
+    "q_array_funcs",
+    "q_subquery_scalar",
+    "udf_pack_pen",
+    "udaf_weighted_avg",
+    "q_text_tokens",
+    "q_text_langstats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_text_vocab",
+    "q_sim_topk_kmeans",
+    "q_dedup_embed",
+    "q_join_range",
+    "q_join_asof_tol",
+    "q_agg_approx",
+    "q_sessionize",
+    "q_agg_percentiles_approx",
 )
 
 
