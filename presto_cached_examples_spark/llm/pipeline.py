@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.plans.persistence import maybe_persist
 from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.sources.catalog import load_table, spread
 
@@ -608,7 +609,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval doc emits >= 1 gram row (the gram builder floors the
     # sequence at 1 element), so DISTINCT eval_id over this relation
     # IS the full eval universe.
-    ev = ev.persist()
+    ev = maybe_persist(ev, sf_dir)
     tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
     )
@@ -778,7 +779,7 @@ def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of each re-scanning and re-exploding the corpus (4
     # token-stream scans pre-round-9, now 2: doc_b + this)
     blt = bt.groupBy("b", "lang").agg(F.count(F.lit(1)).alias("k"))
-    blt = blt.persist()
+    blt = maybe_persist(blt, sf_dir)
     rawb = blt.groupBy("b").agg(F.sum("k").alias("raw_k"))
     tgtb = (
         blt.filter(F.col("lang") == _DSIR_TARGET_LANG)
@@ -1150,7 +1151,7 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan AND the per-source window once each (4 documents scans
     # pre-round-9). First materialization rides the memoized
     # approxQuantile action, so warm builds stay job-free.
-    v = v.persist()
+    v = maybe_persist(v, sf_dir)
     # exact global order by (vtime, doc_id) without a global sort —
     # vtime collides across equal-sized sources at equal rank, so the
     # unique doc_id is the tie-break on BOTH engines. Split points are

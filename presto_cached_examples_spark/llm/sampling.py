@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.plans.persistence import maybe_persist
 from presto_cached_examples_spark.sources.catalog import load_table
 
 # per-language keep quota out of 10 (en-heavy corpora downsample en last)
@@ -449,7 +450,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row cap MIN doesn't trigger a third scan (round 9: 3 -> 2
     # column-pruned scans; the rank pass is the second, inherently)
     sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
-    sizes = sizes.persist()
+    sizes = maybe_persist(sizes, sf_dir)
     cap = sizes.agg(F.min("n_total").alias("cap"))
     return (
         ranked.join(F.broadcast(sizes), "label")

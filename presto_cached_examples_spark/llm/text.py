@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.plans.persistence import maybe_persist
 from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.sources.catalog import load_table, spread
 
@@ -368,7 +369,7 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (probe join + the total below) — persisted so the
     # token stream is scanned once for the sketch, once for the
     # exact side (was 3 scans: grid, total, top — round 9)
-    grid = grid.persist()
+    grid = maybe_persist(grid, sf_dir)
     # every token contributes exactly one grid count per depth row,
     # so the corpus total is sum(cnt) / depth — no third scan
     n_total = grid.agg(

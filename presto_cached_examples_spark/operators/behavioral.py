@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.session import session_token
 from presto_cached_examples_spark.registry import register
+from presto_cached_examples_spark.plans.persistence import maybe_persist
 from presto_cached_examples_spark.sources.catalog import load_table
 
 
@@ -63,7 +64,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("tv")
     )
-    v = v.persist()  # user grain; 2 consumers (lazy)
+    v = maybe_persist(v, sf_dir)  # user grain; 2 consumers (lazy, gated)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -71,7 +72,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
-    c = c.persist()  # user grain; 2 consumers (lazy)
+    c = maybe_persist(c, sf_dir)  # user grain; 2 consumers (lazy, gated)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -245,7 +246,7 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
     # (day, user) grain; 2 consumers (cover + observed-day spine) —
     # without the persist each re-scanned events (round 9)
-    du = du.persist()
+    du = maybe_persist(du, sf_dir)
     cover = du.select(
         F.explode(
             F.sequence(
@@ -303,7 +304,7 @@ def q_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THREE consumers (cover, same-day join, active counts) otherwise
     # re-scan events once each (round 9; lazy persist, deduped across
     # calls by the cache manager)
-    du = du.persist()
+    du = maybe_persist(du, sf_dir)
     cover = du.select(
         F.explode(
             F.sequence(
@@ -378,7 +379,7 @@ def q_rolling_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |days| grain (the write-time sketch artifact); 2 consumers
     # (observed-day spine + the merge tier) — without the persist
     # each re-scanned events (round 9)
-    daily = daily.persist()
+    daily = maybe_persist(daily, sf_dir)
     days = daily.select(F.col("d").alias("day"))
     est = (
         daily.select(window_days("d"), "sk")
@@ -1197,7 +1198,7 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # session grain; the start/end union + the two sweep consumers
     # otherwise re-derive the sessionization (4 events scans, round 9)
-    iv = iv.persist()
+    iv = maybe_persist(iv, sf_dir)
     pts = iv.select(
         F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
     ).unionByName(
@@ -1278,7 +1279,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tv"))
     )
-    v = v.persist()  # user grain; 2 consumers (lazy)
+    v = maybe_persist(v, sf_dir)  # user grain; 2 consumers (lazy, gated)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -1289,7 +1290,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
     )
-    c = c.persist()  # user grain; 2 consumers (lazy)
+    c = maybe_persist(c, sf_dir)  # user grain; 2 consumers (lazy, gated)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -2299,7 +2300,7 @@ def q_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.col("o_orderpriority").alias("prio"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    m = m.persist()  # |months| x 5; 5 consumers (lazy — no build-time jobs)
+    m = maybe_persist(m, sf_dir)  # |months| x 5; 5 consumers (lazy, gated)
     t = m.groupBy("month").agg(F.sum("c").alias("tot"))
     cur = m.join(F.broadcast(t), "month")
     prev = cur.select(
