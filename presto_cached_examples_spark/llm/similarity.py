@@ -1157,9 +1157,10 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving stage runs ONCE at the largest nprobe and derives the
     smaller tiers by cell-rank filtering (the nprobe=4 candidate set
     subsumes 1 and 2 — a map-side HOF expansion, not three corpus
-    joins); the final scoring joins probe×k-sized relations and
-    aggregates to |nprobes| rows. Nothing in the plan grows faster
-    than the corpus scan; the denominator is a 1-row broadcast scalar.
+    joins); scoring is a union-accounting aggregate over probe×k-sized
+    relations that yields n_retrieved, n_hits and the n_true
+    denominator from one execution of the ground-truth branch.
+    Nothing in the plan grows faster than the corpus scan.
 
     Reference provenance: the demo's own tuning loop — "Timings and
     fps data are logged to the USB UART" (/root/reference/README.md:
@@ -1232,23 +1233,45 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nprobe", "probe_id", "vec_id")
     )
 
-    # truth is probe-bounded (≤ |probes|·k rows) — broadcast it so the
-    # hit-scoring join never shuffles the candidate set
-    truth = F.broadcast(exact.withColumn("hit", F.lit(1)))
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))  # 1-row scalar
-    scored = (
-        u.join(truth, ["probe_id", "vec_id"], "left")
+    # Score by UNION ACCOUNTING, not a join: tag retrieved pairs and
+    # truth pairs (truth map-side-expanded to every tier — it is the
+    # same ≤ |probes|·k rows for all of them), union, and resolve both
+    # flags in one pair-grain aggregate. This computes n_retrieved,
+    # n_hits AND the n_true denominator from a SINGLE execution of the
+    # ground-truth sub-plan — the previous 1-row-scalar denominator
+    # re-ran the whole brute-force branch (2 extra corpus scans, 4
+    # extra shuffles: PLANS.md read 11, VERDICT r8/r9 bar is ≤9).
+    # Exactness: pairs are unique within each side per tier (a corpus
+    # vector lives in one cell; row_number emits each truth pair once),
+    # so MAX over the flags is exact set membership and hits = both
+    # flags set. Everything stays probe×k-bounded.
+    tiers_all = F.array(*[F.lit(n) for n in _SWEEP_NPROBES])
+    ret_rows = u.select(
+        "nprobe", "probe_id", "vec_id", F.lit(1).alias("ret"), F.lit(0).alias("tru")
+    )
+    truth_rows = exact.select(
+        F.explode(tiers_all).alias("nprobe"),
+        "probe_id",
+        "vec_id",
+        F.lit(0).alias("ret"),
+        F.lit(1).alias("tru"),
+    )
+    return (
+        ret_rows.unionByName(truth_rows)
+        .groupBy("nprobe", "probe_id", "vec_id")
+        .agg(F.max("ret").alias("ret"), F.max("tru").alias("tru"))
         .groupBy("nprobe")
         .agg(
-            F.count(F.lit(1)).alias("n_retrieved"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.sum("ret").cast("long").alias("n_retrieved"),
+            F.sum(F.col("ret") * F.col("tru")).cast("long").alias("n_hits"),
+            F.sum("tru").alias("n_true"),
         )
-    )
-    return scored.crossJoin(F.broadcast(n_true)).select(
-        "nprobe",
-        "n_retrieved",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_true"), 4).alias("recall"),
+        .select(
+            "nprobe",
+            "n_retrieved",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_true"), 4).alias("recall"),
+        )
     )
 
 
