@@ -176,19 +176,29 @@ def _decode_png(payload: bytes):
             row = row.reshape(-1, ch).cumsum(axis=0, dtype=np.int64).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up (uint8 addition wraps mod 256)
             row = row + prev
-        elif ftype == 3:  # Average — spec recurrence per sample
-            for i in range(stride):
-                left = int(row[i - ch]) if i >= ch else 0
-                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth — spec predictor per sample
-            for i in range(stride):
-                a = int(row[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+        elif ftype == 3:  # Average — left-recurrence, so sequential by
+            # spec; run it over plain Python lists (numpy per-element
+            # indexing is ~10x slower than list ops — ADVICE r9 item 3,
+            # this is libpng's most common filter on real images)
+            r, u = row.tolist(), prev.tolist()
+            for i in range(ch):
+                r[i] = (r[i] + u[i] // 2) & 0xFF
+            for i in range(ch, stride):
+                r[i] = (r[i] + (r[i - ch] + u[i]) // 2) & 0xFF
+            row = np.array(r, dtype=np.uint8)
+        elif ftype == 4:  # Paeth — same left-recurrence discipline
+            r, u = row.tolist(), prev.tolist()
+            for i in range(ch):
+                r[i] = (r[i] + u[i]) & 0xFF  # a = c = 0 -> predictor is b
+            for i in range(ch, stride):
+                a, b, c = r[i - ch], u[i], u[i - ch]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (int(row[i]) + pred) & 0xFF
+                r[i] = (r[i] + pred) & 0xFF
+            row = np.array(r, dtype=np.uint8)
         elif ftype != 0:  # 0 = None (raw scanline, nothing to undo)
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = row
@@ -214,8 +224,11 @@ def _encode_png(
     level: int = 6,
 ) -> bytes:
     """Minimal stdlib PNG writer (8-bit, non-interlaced): used by the
-    fixture synthesizer and the codec tests. Supports filter types
-    0/1/2 at encode (decode handles all five)."""
+    fixture synthesizer and the codec tests. Supports all five spec
+    filter types at encode — the forward direction predicts from RAW
+    neighbor samples, which are all known up front, so Average/Paeth
+    encode fully vectorized even though their decode is a sequential
+    recurrence."""
     import binascii
     import struct
     import zlib
@@ -244,6 +257,19 @@ def _encode_png(
             enc = row - np.concatenate([zch, row[:-ch]]) if row.size else row
         elif filter_type == 2:  # Up
             enc = row - prev
+        elif filter_type == 3:  # Average: raw - (left_raw + up_raw)//2
+            left = np.concatenate([zch, row[:-ch]]) if row.size else row
+            enc = row - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif filter_type == 4:  # Paeth predictor over raw neighbors
+            a = (np.concatenate([zch, row[:-ch]]) if row.size else row).astype(np.int16)
+            b = prev.astype(np.int16)
+            c = (np.concatenate([zch, prev[:-ch]]) if row.size else prev).astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = row - pred.astype(np.uint8)
         else:
             raise ValueError(f"encoder filter type {filter_type} unsupported")
         raws.append(bytes([filter_type]) + enc.tobytes())

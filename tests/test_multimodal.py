@@ -171,7 +171,8 @@ def test_pil_decode_when_available():
 def test_png_decode_stdlib_all_filters_and_types():
     """REAL compressed-image decode with no optional deps (VERDICT r8
     item 3): encode→decode round-trips for gray/RGB/RGBA/gray+alpha,
-    encoder filters None/Sub/Up; hand-filtered Average and Paeth
+    all five encoder filters (Average/Paeth encode vectorized from
+    raw neighbors); independently hand-filtered Average and Paeth
     scanlines reconstruct; palette expands through PLTE; CRC and
     truncation corruption fail loudly."""
     import binascii
@@ -191,7 +192,7 @@ def test_png_decode_stdlib_all_filters_and_types():
     assert (_decode_png(_encode_png(data, 233, 1, filter_type=1)) == data).all()
     # multi-row / multi-channel, every encoder filter
     for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
-        for ft in (0, 1, 2):
+        for ft in (0, 1, 2, 3, 4):
             arr = rng.randint(0, 256, 5 * 4 * ch, dtype=np.uint8)
             png = _encode_png(arr, 4, 5, color_type=color_type, filter_type=ft)
             assert (_decode_png(png) == arr).all(), (color_type, ft)
@@ -271,7 +272,7 @@ from hypothesis import strategies as st
     w=st.integers(min_value=1, max_value=40),
     h=st.integers(min_value=1, max_value=12),
     color_type=st.sampled_from([0, 2, 4, 6]),
-    filter_type=st.sampled_from([0, 1, 2]),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     level=st.sampled_from([0, 1, 6, 9]),
 )
