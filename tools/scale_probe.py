@@ -60,6 +60,11 @@ QUERIES = [
     "q_text_kn_bigram",
     "q_quality_ppl_filter",
     "q_curation_pipeline",
+    # round-10 additions (VERDICT r9 item 6: the round-9 reshaped
+    # plans — tfidf's df-from-pairs, the funnel's single-scan rollup;
+    # q_quality_dsir's 2-scan rollup is already probed above)
+    "q_text_tfidf",
+    "q_curation_funnel",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
