@@ -465,10 +465,6 @@ def synthesize_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-# round-9 name kept as an alias — same worker, PNG rows unchanged
-synthesize_png_batches = synthesize_image_batches
-
-
 def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image view of documents: every doc's bytes as a real image
     payload — PNG for even doc_ids, baseline JPEG for odd (see
