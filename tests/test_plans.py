@@ -557,3 +557,16 @@ def test_dominant_supplier_prunes_fact_first(spark):
     pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_shipdate" in pushed
     assert "CartesianProduct" not in p
+
+
+def test_ann_recall_sweep_single_truth_execution(spark):
+    """q_ann_recall_sweep: the exact ground-truth branch must execute
+    ONCE — union accounting derives n_retrieved/n_hits/n_true from the
+    same pass (round 10; the doubled branch cost 11 shuffles/6 scans,
+    the VERDICT r8/r9 bar is <=9 shuffles)."""
+    import re
+
+    p = plan_of(build(spark, "q_ann_recall_sweep"), mode="formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 9
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 4
+    assert "CartesianProduct" not in p
