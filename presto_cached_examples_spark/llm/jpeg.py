@@ -165,9 +165,22 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol map for the decoder."""
-    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+def _build_decode(
+    bits: list[int], vals: list[int]
+) -> tuple[list, dict[tuple[int, int], int]]:
+    """Decoder tables: an 8-bit first-level LUT (entry = (symbol,
+    length) for every code of length <= 8, fanned out over all
+    suffixes) plus the exact (length, code) -> symbol map for the
+    9..16-bit tail. One LUT probe replaces up to 8 per-bit walks —
+    the decode hot path is Python, so call count IS the cost."""
+    exact = {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+    lut: list = [None] * 256
+    for (ln, code), sym in exact.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for suffix in range(1 << (8 - ln)):
+                lut[base | suffix] = (sym, ln)
+    return lut, exact
 
 
 class _BitWriter:
@@ -408,36 +421,68 @@ def encode_bytes_exact(data: bytes) -> bytes:
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment, unstuffing
-    0xFF00 and stopping at (not consuming) any real marker."""
+    0xFF00 and stopping at (not consuming) any real marker.
+
+    Peek/consume windowed design: `_fill` keeps a >=16-bit window so a
+    Huffman symbol resolves in one LUT probe + one consume instead of
+    a per-bit walk (the decode hot path is interpreter-bound). Past
+    the segment end the window pads with virtual 1-bits — peeks may
+    read them (a 16-bit peek near the end legitimately overruns), but
+    consuming one means the stream truncated mid-symbol, which raises."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits", "virt")
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
         self.pos = pos
         self.acc = 0
-        self.nbits = 0
+        self.nbits = 0  # bits in window (real + virtual)
+        self.virt = 0  # trailing virtual pad bits in window
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.buf):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.buf[self.pos]
-            if b == 0xFF:
-                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
-                if nxt == 0x00:
-                    self.pos += 2
+    def _fill(self, need: int) -> None:
+        buf, pos = self.buf, self.pos
+        while self.nbits < need:
+            if self.virt == 0 and pos < len(buf):
+                b = buf[pos]
+                if b == 0xFF:
+                    nxt = buf[pos + 1] if pos + 1 < len(buf) else None
+                    if nxt == 0x00:
+                        pos += 2
+                    else:
+                        # real marker — stop loading, pad virtually
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.nbits += 8
+                        self.virt += 8
+                        continue
                 else:
-                    raise ValueError("JPEG entropy stream hit a marker mid-symbol")
+                    pos += 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
             else:
-                self.pos += 1
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                self.virt += 8
+        self.pos = pos
+
+    def peek(self, n: int) -> int:
+        self._fill(n)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits - self.virt:
+            raise ValueError("JPEG entropy stream truncated mid-symbol")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        if n > self.nbits - self.virt:
+            raise ValueError("JPEG entropy stream truncated mid-symbol")
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def at_marker(self) -> int | None:
@@ -449,20 +494,29 @@ class _BitReader:
         return None
 
     def restart(self) -> None:
-        """Consume an RSTn marker and realign (T.81 E.2.4)."""
+        """Consume an RSTn marker and realign (T.81 E.2.4): window
+        leftovers are the previous interval's pad bits — dropped."""
+        self.acc = 0
         self.nbits = 0
+        self.virt = 0
         m = self.at_marker()
         if m is None or not 0xD0 <= m <= 0xD7:
             raise ValueError("expected RSTn restart marker")
         self.pos += 2
 
 
-def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+def _decode_symbol(reader: _BitReader, table) -> int:
+    lut, exact = table
+    hit = lut[reader.peek(8)]
+    if hit is not None:
+        sym, ln = hit
+        reader.consume(ln)
+        return sym
+    window = reader.peek(16)
+    for length in range(9, 17):
+        sym = exact.get((length, window >> (16 - length)))
         if sym is not None:
+            reader.consume(length)
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
 
