@@ -158,6 +158,8 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if k >= len(vals) or code >= (1 << length):
+                raise ValueError("malformed Huffman table (counts exceed code space)")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -559,6 +561,8 @@ def decode_jpeg(payload: bytes):
                 pq, tq = b[0] >> 4, b[0] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
+                if len(b) < 65:
+                    raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
                 qt[tq] = tbl
@@ -566,20 +570,31 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             b = body
             while b:
+                if len(b) < 17:
+                    raise ValueError("JPEG DHT segment truncated")
                 tc, th = b[0] >> 4, b[0] & 0xF
                 bits = list(b[1:17])
                 n = sum(bits)
+                if n > 256 or len(b) < 17 + n:
+                    raise ValueError("JPEG DHT code counts exceed segment")
                 vals = list(b[17 : 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 b = b[17 + n :]
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — baseline-class
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8 only)")
+            if h == 0 or w == 0 or not 1 <= nc <= 4 or len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF dimensions/components invalid")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                sh, sv = hv >> 4, hv & 0xF
+                if sh not in (1, 2, 4) or sv not in (1, 2, 4):
+                    raise ValueError(f"JPEG sampling factors {sh}x{sv} invalid")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -587,16 +602,27 @@ def decode_jpeg(payload: bytes):
                 "hierarchical) — baseline sequential only; PIL path covers it"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI segment truncated")
             ri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns < 1 or len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG SOS header invalid")
             scomps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in sof["comps"] if c["id"] == cs)
-                scomps.append((comp, tt >> 4, tt & 0xF))
+                comp = next((c for c in sof["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG SOS selects unknown component {cs}")
+                dct, act = tt >> 4, tt & 0xF
+                if (0, dct) not in huff or (1, act) not in huff:
+                    raise ValueError("JPEG SOS references undefined Huffman table")
+                if comp["tq"] not in qt:
+                    raise ValueError("JPEG component references undefined quant table")
+                scomps.append((comp, dct, act))
             return _decode_scan(payload, pos, sof, scomps, qt, huff, ri)
         # else: APPn / COM / others — skipped
     raise ValueError("JPEG missing SOS")
@@ -629,6 +655,8 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
             for _ in range(nblk):
                 coef = np.zeros(64, dtype=np.int64)
                 cat = _decode_symbol(reader, huff[(0, dct)])
+                if cat > 16:
+                    raise ValueError("JPEG DC magnitude category out of range")
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 preds[si] += diff
                 coef[0] = preds[si]

@@ -456,3 +456,32 @@ def test_jpeg_subsampled_and_restart_paths():
     rgb = rng.randint(0, 256, 19 * 13 * 3, dtype=np.uint8)
     dec = decode_jpeg(encode_jpeg(rgb, 19, 13, 3, quality=90, subsampling="4:2:0"))
     assert dec.shape == rgb.shape
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_flips=st.integers(min_value=1, max_value=24),
+)
+def test_jpeg_decoder_survives_corruption(seed, n_flips):
+    """Fuzz: random byte corruption of a valid baseline JPEG must
+    either still decode to a uint8 array or raise ValueError /
+    NotImplementedError promptly — never hang, never crash the
+    interpreter, never return a non-array. A crawl-scale corpus WILL
+    contain truncated and bit-rotted images; the Arrow stage's
+    failure mode must be a clean Python exception."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, 16 * 24, dtype=np.uint8)
+    jp = bytearray(encode_jpeg(img, 24, 16, 1, quality=85))
+    for _ in range(n_flips):
+        jp[rng.randint(0, len(jp))] = rng.randint(0, 256)
+    try:
+        out = decode_jpeg(bytes(jp))
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
