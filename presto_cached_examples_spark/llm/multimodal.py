@@ -362,8 +362,11 @@ def decode_payload(payload: bytes, media_type: str):
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            frames = w.readframes(w.getnframes())
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                frames = w.readframes(w.getnframes())
+        except (wave.Error, EOFError, RuntimeError) as e:
+            raise ValueError(f"malformed WAV payload: {e}") from e
         return np.frombuffer(frames, dtype=np.uint8)
     raise NotImplementedError(
         f"decoder for media_type={media_type!r} requires external libraries "
@@ -846,9 +849,15 @@ def _decode_wav(payload: bytes):
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    # stdlib `wave` surfaces corruption as wave.Error, EOFError, or
+    # RuntimeError — normalize to the decoder contract (clean
+    # ValueError on malformed payloads, fuzz-pinned)
+    except (wave.Error, EOFError, RuntimeError) as e:
+        raise ValueError(f"malformed WAV payload: {e}") from e
     if width == 1:
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
     elif width == 2:

@@ -485,3 +485,39 @@ def test_jpeg_decoder_survives_corruption(seed, n_flips):
         return
     assert isinstance(out, np.ndarray) and out.dtype == np.uint8
 
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fmt=st.sampled_from(["png", "wav", "mp4"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_flips=st.integers(min_value=1, max_value=12),
+)
+def test_container_decoders_survive_corruption(fmt, seed, n_flips):
+    """Same corruption contract as the JPEG fuzz, for the other real
+    stdlib decoders: random byte flips in a valid PNG / WAV / MP4 must
+    yield either a successful decode or a clean ValueError /
+    NotImplementedError — the stdlib `wave` module's Error/EOFError/
+    RuntimeError leak-throughs are normalized in _decode_wav."""
+    import numpy as np
+    import pandas as pd
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    if fmt == "png":
+        data = rng.randint(0, 256, 5 * 8, dtype=np.uint8)
+        payload = mm._encode_png(data, 8, 5, filter_type=4)
+        decoder = mm._decode_png
+    else:
+        pdf = pd.DataFrame({"doc_id": [1], "text": ["short fuzz fixture text"]})
+        synth = mm.synthesize_wav_batches if fmt == "wav" else mm.synthesize_mp4_batches
+        payload = bytes(next(synth(iter([pdf])))["payload"][0])
+        decoder = mm._decode_wav if fmt == "wav" else mm._decode_mp4_meta
+    b = bytearray(payload)
+    for _ in range(n_flips):
+        b[rng.randint(0, len(b))] = rng.randint(0, 256)
+    try:
+        decoder(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
