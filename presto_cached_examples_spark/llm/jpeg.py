@@ -416,6 +416,16 @@ def encode_bytes_exact(data: bytes) -> bytes:
     the lossless-through-a-lossy-container fixture construction."""
     if not data:
         raise ValueError("empty payload")
+    if len(data) > 8191:
+        # JPEG dimensions are 16-bit (<= 65535 px = 8191 blocks per
+        # strip), and a multi-row layout can't stay exact: a partial
+        # final block-row would need pad blocks that pollute the
+        # decoded sample stream. Callers fall back to the PNG carrier
+        # (32-bit dims) above this bound — see synthesize_image_batches.
+        raise ValueError(
+            f"payload of {len(data)} bytes exceeds the 8191-byte bound of "
+            "the single-strip exact JPEG construction"
+        )
     vals = np.frombuffer(data, dtype=np.uint8)
     img = np.tile(np.repeat(vals, 8), 8)  # 8 identical rows of (each v x8)
     return encode_jpeg(img, width=8 * len(data), height=8, n_channels=1, quality=100)
@@ -586,8 +596,13 @@ def decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8 only)")
-            if h == 0 or w == 0 or not 1 <= nc <= 4 or len(body) < 6 + 3 * nc:
+            if h == 0 or w == 0 or nc == 0 or len(body) < 6 + 3 * nc:
                 raise ValueError("JPEG SOF dimensions/components invalid")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/duotone) — grayscale "
+                    "and YCbCr only; PIL path covers it"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -611,6 +626,15 @@ def decode_jpeg(payload: bytes):
             ns = body[0]
             if ns < 1 or len(body) < 1 + 2 * ns:
                 raise ValueError("JPEG SOS header invalid")
+            if ns != len(sof["comps"]):
+                # spec-legal multi-scan baseline (one scan per component):
+                # decoding only the first scan would SILENTLY return a
+                # luma-only array — gate to the PIL path instead
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (scan covers a component "
+                    "subset) — single interleaved scan only; PIL path "
+                    "covers it"
+                )
             scomps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si : 3 + 2 * si]

@@ -359,15 +359,7 @@ def decode_payload(payload: bytes, media_type: str):
                 "install it and decode_payload picks it up automatically"
             ) from None
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
-        import io
-        import wave
-
-        try:
-            with wave.open(io.BytesIO(payload), "rb") as w:
-                frames = w.readframes(w.getnframes())
-        except (wave.Error, EOFError, RuntimeError) as e:
-            raise ValueError(f"malformed WAV payload: {e}") from e
-        return np.frombuffer(frames, dtype=np.uint8)
+        return np.frombuffer(_read_wav(payload)[3], dtype=np.uint8)
     raise NotImplementedError(
         f"decoder for media_type={media_type!r} requires external libraries "
         "(ffmpeg); install and register in decode_payload"
@@ -449,7 +441,11 @@ def synthesize_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         mtypes = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             b = text.encode("utf-8")
-            if int(doc_id) % 2 == 0:
+            # the exact JPEG construction is bounded at 8191 bytes
+            # (16-bit strip width); longer docs keep the PNG carrier
+            # (32-bit dims) so the contract is total — the oracles
+            # apply the same rule
+            if int(doc_id) % 2 == 0 or len(b) > 8191:
                 payloads.append(
                     _encode_png(
                         np.frombuffer(b, dtype=np.uint8), len(b), 1, filter_type=1
@@ -520,11 +516,12 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_FEATURES_ORACLE = """
 WITH ch AS (
   SELECT doc_id, unicode(unnest(string_split(text, ''))) AS b,
-         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 64 END AS rep
+         CASE WHEN doc_id % 2 = 0 OR octet_length(ENCODE(text)) > 8191
+              THEN 1 ELSE 64 END AS rep
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+       CASE WHEN ANY_VALUE(rep) = 1 THEN 'image/png' ELSE 'image/jpeg' END
                                      AS media_type,
        CAST(COUNT(*) * ANY_VALUE(rep) AS INT) AS n_bytes,
        AVG(b)                   AS mean_byte,
@@ -666,7 +663,7 @@ WITH b AS (
 ),
 s AS (
   SELECT doc_id, hx, n,
-         CASE WHEN doc_id % 2 = 0 THEN n ELSE 64 * n END AS m
+         CASE WHEN doc_id % 2 = 0 OR n > 8191 THEN n ELSE 64 * n END AS m
   FROM b
 ),
 s2 AS (SELECT *, (m + {_RESIZE_TARGET - 1}) // {_RESIZE_TARGET} AS stride FROM s),
@@ -676,17 +673,17 @@ idx AS (
   FROM s2
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+       CASE WHEN m = n THEN 'image/png' ELSE 'image/jpeg' END
                               AS media_type,
        CAST(m AS INT)         AS orig_bytes,
        CAST(COUNT(*) AS INT)  AS new_bytes,
        string_agg(
          substr(hx,
-                (CASE WHEN doc_id % 2 = 0 THEN j
+                (CASE WHEN m = n THEN j
                       ELSE (j % (8 * n)) // 8 END) * 2 + 1, 2),
          '' ORDER BY j)       AS payload_hex
 FROM idx
-GROUP BY doc_id, m
+GROUP BY doc_id, m, n
 """
 
 
@@ -838,26 +835,34 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_RATE = 8000  # synthesis sample rate (Hz)
 
 
+def _read_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Open a RIFF/WAVE container with the stdlib `wave` module and
+    return (rate, n_channels, sampwidth, raw_frames). The stdlib
+    surfaces corruption as wave.Error, EOFError, or RuntimeError —
+    normalized here, once, to the decoder contract (clean ValueError
+    on malformed payloads, fuzz-pinned); both WAV decode sites route
+    through this helper."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        raise ValueError(f"malformed WAV payload: {e}") from e
+    return rate, nch, width, frames
+
+
 def _decode_wav(payload: bytes):
     """Parse a RIFF/WAVE container with the stdlib `wave` module and
     return (sample_rate, n_channels, sampwidth, samples) where samples
     is a CENTERED int numpy array (unsigned 8-bit PCM is shifted by
     -128; 16/32-bit PCM is already signed little-endian). Real .wav
     files from the wild decode here — no external libraries."""
-    import io
-    import wave
-
     import numpy as np
 
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-            frames = w.readframes(w.getnframes())
-    # stdlib `wave` surfaces corruption as wave.Error, EOFError, or
-    # RuntimeError — normalize to the decoder contract (clean
-    # ValueError on malformed payloads, fuzz-pinned)
-    except (wave.Error, EOFError, RuntimeError) as e:
-        raise ValueError(f"malformed WAV payload: {e}") from e
+    rate, nch, width, frames = _read_wav(payload)
     if width == 1:
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
     elif width == 2:

@@ -521,3 +521,60 @@ def test_container_decoders_survive_corruption(fmt, seed, n_flips):
         decoder(bytes(b))
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_jpeg_non_decodable_variants_gate_cleanly():
+    """Round-10 review fixes: spec-legal shapes the baseline decoder
+    does not cover must raise NotImplementedError (so decode_payload
+    falls through to PIL), never silently return wrong pixels or leak
+    a raw unpack error."""
+    import struct
+
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_bytes_exact,
+        encode_jpeg,
+    )
+
+    # (a) multi-scan baseline: a 3-component SOF whose first scan
+    # covers one component would decode to luma-only — must gate
+    rgb = np.zeros(8 * 8 * 3, dtype=np.uint8)
+    jp = bytearray(encode_jpeg(rgb, 8, 8, 3, quality=100))
+    # rewrite the SOS header to select a single component
+    i = jp.find(b"\xff\xda")
+    ln = struct.unpack(">H", jp[i + 2 : i + 4])[0]
+    single = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 0, 0x3F, 0]
+    )
+    jp2 = bytes(jp[:i]) + single + bytes(jp[i + 2 + ln :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(jp2)
+    # (b) 4-component (CMYK-style) SOF gates, not a raw unpack error
+    i = jp.find(b"\xff\xc0")
+    sof = bytearray(jp[i : i + 2 + struct.unpack(">H", jp[i + 2 : i + 4])[0]])
+    sof[2:4] = struct.pack(">H", 8 + 3 * 4 + 2)
+    sof[9] = 4  # nc
+    sof += bytes([4, 0x11, 1])  # 4th component
+    jp3 = bytes(jp[:i]) + bytes(sof) + bytes(jp[i + 2 + struct.unpack(">H", jp[i + 2 : i + 4])[0] :])
+    with pytest.raises(NotImplementedError, match="components"):
+        decode_jpeg(jp3)
+    # (c) exact-construction length bound raises the contract error
+    with pytest.raises(ValueError, match="8191"):
+        encode_bytes_exact(b"x" * 8192)
+
+
+def test_image_table_long_docs_keep_png_carrier():
+    """Documents beyond the exact-JPEG bound (8191 bytes) stay on the
+    PNG carrier regardless of doc_id parity — the fixture contract is
+    total over any document length, matching the oracles' rule."""
+    import pandas as pd
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    pdf = pd.DataFrame({"doc_id": [1, 3], "text": ["short", "y" * 9000]})
+    out = next(mm.synthesize_image_batches(iter([pdf])))
+    assert list(out["media_type"]) == ["image/jpeg", "image/png"]
+    arr = mm.decode_payload(bytes(out["payload"][1]), "image/png")
+    assert arr.size == 9000
