@@ -345,7 +345,7 @@ def main() -> None:
     # around a wrong number (round 10: ensemble read 9.9s/0.5s-spread
     # in one run, 1.9s the next; the 4-10s inflation rotated across
     # 2-3 artifact-class queries per run). Triage both shapes: any v2
-    # query whose spread exceeds 3s OR whose best sample exceeds 4s
+    # query whose spread exceeds 3s OR whose best sample exceeds 3s
     # (no steady-state v2 query is above ~2.6s) re-samples twice after
     # an explicit full GC. If the fresh pair is tight and fast, the
     # original reading was transient — the published timing is the min
@@ -356,7 +356,7 @@ def main() -> None:
     # still agrees with the slow reading, it is real and stands.
     transients_v2: dict[str, dict[str, float]] = {}
     for name, sp in list(spread_v2.items()):
-        spiked = timings_v2[name] > 4.0
+        spiked = timings_v2[name] > 3.0
         if sp <= 3.0 and not spiked:
             continue
         try:
