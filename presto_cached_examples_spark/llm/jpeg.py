@@ -287,6 +287,10 @@ def encode_jpeg(
     (100 -> all-ones tables). restart_interval > 0 emits DRI + RSTn
     markers every that-many MCUs (exercises the decoder's restart
     path; what hardened streaming encoders emit for error recovery)."""
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(
+            f"JPEG dimensions {width}x{height} out of the 16-bit SOF range"
+        )
     arr = np.asarray(samples, dtype=np.uint8).reshape(height, width * n_channels)
     if n_channels == 1:
         planes = [arr.astype(np.float64)]
@@ -498,10 +502,13 @@ class _BitReader:
         return v
 
     def at_marker(self) -> int | None:
-        """Peek a marker at the current (byte-aligned) position."""
+        """Peek a marker at the current (byte-aligned) position,
+        skipping spec-legal 0xFF fill bytes (T.81 B.1.1.2)."""
         if self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt != 0x00:
+            while self.pos + 1 < len(self.buf) and self.buf[self.pos + 1] == 0xFF:
+                self.pos += 1
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt is not None and nxt != 0x00:
                 return nxt
         return None
 
@@ -549,14 +556,17 @@ def decode_jpeg(payload: bytes):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list, dict[tuple[int, int], int]]] = {}
     sof = None
     ri = 0
     while pos < len(payload):
-        if pos + 4 > len(payload):
-            raise ValueError("JPEG truncated in marker segment")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG truncated in marker segment")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             raise ValueError("JPEG reached EOI before SOS")
@@ -607,8 +617,16 @@ def decode_jpeg(payload: bytes):
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = hv >> 4, hv & 0xF
-                if sh not in (1, 2, 4) or sv not in (1, 2, 4):
+                if not (1 <= sh <= 4) or not (1 <= sv <= 4):
                     raise ValueError(f"JPEG sampling factors {sh}x{sv} invalid")
+                if sh == 3 or sv == 3:
+                    # spec-legal (T.81 B.2.2 allows 1..4) but the
+                    # nearest-neighbor upsample needs integer hmax/h
+                    # ratios — gate to the PIL path, don't call it corrupt
+                    raise NotImplementedError(
+                        f"JPEG sampling factors {sh}x{sv} (non-power-of-2) "
+                        "— 1/2/4 only; PIL path covers it"
+                    )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -623,6 +641,8 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("JPEG SOS segment empty")
             ns = body[0]
             if ns < 1 or len(body) < 1 + 2 * ns:
                 raise ValueError("JPEG SOS header invalid")
@@ -679,7 +699,7 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
             for _ in range(nblk):
                 coef = np.zeros(64, dtype=np.int64)
                 cat = _decode_symbol(reader, huff[(0, dct)])
-                if cat > 16:
+                if cat > 11:  # T.81 Table F.1: DC categories 0..11 at 8-bit
                     raise ValueError("JPEG DC magnitude category out of range")
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 preds[si] += diff
@@ -694,6 +714,10 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
                         continue
                     k += sym >> 4
                     cat = sym & 0xF
+                    if cat == 0 or cat > 10:
+                        # T.81 Table F.2: AC sizes 1..10 at 8-bit; size 0
+                        # is only legal inside EOB/ZRL (handled above)
+                        raise ValueError("JPEG AC run/size symbol invalid")
                     if k > 63:
                         raise ValueError("JPEG AC coefficient index overflow")
                     coef[k] = _extend(reader.read_bits(cat), cat)
@@ -708,15 +732,16 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
             bw, bh = mcux * c["h"], mcuy * c["v"]
         zz = np.stack(stacks[si])  # (n, 64) in MCU-interleaved order
         if len(scomps) > 1:
-            # reorder interleaved blocks into component raster order
-            order = np.zeros(len(zz), dtype=np.int64)
-            i = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            order[(my * c["v"] + by) * bw + mx * c["h"] + bx] = i
-                            i += 1
+            # reorder interleaved blocks into component raster order —
+            # a fixed (mcuy, mcux, v, h) -> (mcuy, v, mcux, h) transpose,
+            # vectorized (the per-block Python loop cost mcuy*mcux*v*h
+            # iterations on megapixel images)
+            order = (
+                np.arange(len(zz), dtype=np.int64)
+                .reshape(mcuy, mcux, c["v"], c["h"])
+                .transpose(0, 2, 1, 3)
+                .ravel()
+            )
             zz = zz[order]
         deq = np.zeros((len(zz), 64), dtype=np.float64)
         deq[:, ZIGZAG] = zz * qt[c["tq"]][ZIGZAG]

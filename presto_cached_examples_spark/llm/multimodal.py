@@ -441,11 +441,13 @@ def synthesize_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         mtypes = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             b = text.encode("utf-8")
-            # the exact JPEG construction is bounded at 8191 bytes
-            # (16-bit strip width); longer docs keep the PNG carrier
-            # (32-bit dims) so the contract is total — the oracles
-            # apply the same rule
-            if int(doc_id) % 2 == 0 or len(b) > 8191:
+            # the exact JPEG construction needs 1..8191 bytes (16-bit
+            # strip width; empty raises) — docs outside that keep the
+            # PNG carrier so the synthesizer never crashes the Arrow
+            # task. The oracles mirror the >8191 rule; empty docs
+            # (none in any fixture) fall outside the oracle contract
+            # on either carrier (zero char rows drop the group).
+            if int(doc_id) % 2 == 0 or not 1 <= len(b) <= 8191:
                 payloads.append(
                     _encode_png(
                         np.frombuffer(b, dtype=np.uint8), len(b), 1, filter_type=1

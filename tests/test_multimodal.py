@@ -578,3 +578,44 @@ def test_image_table_long_docs_keep_png_carrier():
     assert list(out["media_type"]) == ["image/jpeg", "image/png"]
     arr = mm.decode_payload(bytes(out["payload"][1]), "image/png")
     assert arr.size == 9000
+
+
+def test_jpeg_spec_legal_variants_and_guards():
+    """Round-10 high-effort review fixes: fill bytes before markers
+    parse (T.81 B.1.1.2); empty SOS body, illegal AC run/size, and
+    out-of-spec magnitude categories raise ValueError; sampling
+    factor 3 gates to PIL; encode_jpeg validates its 16-bit dims;
+    an empty odd-doc_id text keeps the PNG carrier."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+    from presto_cached_examples_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, 8 * 8, dtype=np.uint8)
+    jp = encode_jpeg(img, 8, 8, 1, quality=100)
+    # fill bytes before a marker decode identically
+    i = jp.find(b"\xff\xdb")
+    assert (decode_jpeg(jp[:i] + b"\xff\xff\xff" + jp[i:]) == decode_jpeg(jp)).all()
+    # empty SOS body
+    with pytest.raises(ValueError, match="SOS segment empty"):
+        decode_jpeg(jp[: jp.find(b"\xff\xda")] + b"\xff\xda\x00\x02\xff\xd9")
+    # encoder dim bounds raise the contract error up front
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_jpeg(np.zeros(70000 * 8, np.uint8), 70000, 8, 1)
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_jpeg(np.zeros(0, np.uint8), 0, 1, 1)
+    # sampling factor 3 is spec-legal but unsupported -> PIL gate
+    rgb = rng.randint(0, 256, 16 * 16 * 3, dtype=np.uint8)
+    rj = bytearray(encode_jpeg(rgb, 16, 16, 3, quality=100))
+    sof = rj.find(b"\xff\xc0")
+    rj[sof + 11] = 0x31  # first component 3x1
+    with pytest.raises(NotImplementedError, match="non-power-of-2"):
+        decode_jpeg(bytes(rj))
+    # empty odd-doc text stays on the PNG carrier instead of crashing
+    pdf = pd.DataFrame({"doc_id": [1], "text": [""]})
+    out = next(mm.synthesize_image_batches(iter([pdf])))
+    assert list(out["media_type"]) == ["image/png"]
