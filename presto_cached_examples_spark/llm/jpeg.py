@@ -435,6 +435,66 @@ def encode_bytes_exact(data: bytes) -> bytes:
     return encode_jpeg(img, width=8 * len(data), height=8, n_channels=1, quality=100)
 
 
+def encode_frames_exact(data: bytes, frame_bytes: int) -> list[bytes]:
+    """Batch form of `encode_bytes_exact` over consecutive fixed-size
+    frames of `data` (a trailing partial frame is dropped): returns one
+    REAL baseline JPEG per frame, each byte-identical to
+    `encode_bytes_exact(frame)` (property-pinned in
+    tests/test_multimodal.py), at a fraction of the cost.
+
+    Why the fast path is exact: with quality-100 all-ones quant tables
+    a uniform 8x8 block's FDCT is DC = 8*(v-128) with every AC exactly
+    zero, so the entropy stream is a pure chain of
+    (DC-category code, diff magnitude bits, EOB) triples — no FDCT, no
+    per-coefficient scan needed. The JFIF/DQT/SOF/DHT/SOS header is a
+    constant for a fixed frame size, so it is rendered once through
+    the ordinary encoder and reused; only the ~40-byte entropy segment
+    is packed per frame (integer bit-concat + T.81 F.1.2.3 stuffing,
+    the same byte stream `_BitWriter` emits)."""
+    if not 1 <= frame_bytes <= 8191:
+        raise ValueError(
+            f"frame_bytes={frame_bytes} outside the 1..8191 bound of the "
+            "single-strip exact JPEG construction"
+        )
+    n = len(data) // frame_bytes
+    if n == 0:
+        return []
+    # Constant header for (8*frame_bytes x 8) grayscale quality-100:
+    # everything up to and including the SOS segment of a real encode.
+    ref = encode_bytes_exact(data[:frame_bytes])
+    sos = ref.index(b"\xff\xda")
+    hdr = ref[: sos + 2 + int.from_bytes(ref[sos + 2 : sos + 4], "big")]
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    eob_code, eob_len = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)[0x00]
+    out = []
+    for f in range(n):
+        frame = data[f * frame_bytes : (f + 1) * frame_bytes]
+        acc = 0
+        nbits = 0
+        pred = 0
+        for v in frame:
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            cat = abs(diff).bit_length()
+            code, ln = dc_codes[cat]
+            acc = (acc << ln) | code
+            nbits += ln
+            if cat:
+                mag = diff if diff >= 0 else diff + (1 << cat) - 1
+                acc = (acc << cat) | (mag & ((1 << cat) - 1))
+                nbits += cat
+            acc = (acc << eob_len) | eob_code
+            nbits += eob_len
+        pad = (-nbits) % 8
+        if pad:  # pad to the byte boundary with 1-bits (spec convention)
+            acc = (acc << pad) | ((1 << pad) - 1)
+            nbits += pad
+        raw = acc.to_bytes(nbits // 8, "big")
+        out.append(hdr + raw.replace(b"\xff", b"\xff\x00") + b"\xff\xd9")
+    return out
+
+
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment, unstuffing
     0xFF00 and stopping at (not consuming) any real marker.

@@ -619,3 +619,147 @@ def test_jpeg_spec_legal_variants_and_guards():
     pdf = pd.DataFrame({"doc_id": [1], "text": [""]})
     out = next(mm.synthesize_image_batches(iter([pdf])))
     assert list(out["media_type"]) == ["image/png"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_bytes=st.integers(min_value=0, max_value=120),
+    frame_bytes=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_batch_encoder_matches_scalar(n_bytes, frame_bytes, seed):
+    """encode_frames_exact's LUT fast path must be BYTE-IDENTICAL to
+    encode_bytes_exact on every frame — the property that lets the
+    MJPEG fixture synthesizer use it without weakening the exact-decode
+    construction (hypothesis)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.jpeg import (
+        encode_bytes_exact,
+        encode_frames_exact,
+    )
+
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, n_bytes, dtype=np.uint8).tobytes()
+    fast = encode_frames_exact(data, frame_bytes)
+    n = n_bytes // frame_bytes
+    assert fast == [
+        encode_bytes_exact(data[i * frame_bytes : (i + 1) * frame_bytes])
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_bytes=st.integers(min_value=0, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_mjpeg_mp4_frame_roundtrip_property(n_bytes, seed):
+    """A synthesized MJPEG MP4 must demux through the real sample-table
+    walk into n//16 samples whose JPEG decode recovers the exact source
+    slices, and must still parse as a valid MP4 through the metadata
+    box walk (hypothesis). Covers both stsc shapes (single-run when
+    n%8==0 or one chunk, two-run otherwise)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+    from presto_cached_examples_spark.llm.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, n_bytes, dtype=np.uint8).tobytes()
+    p = mm._build_mjpeg_mp4(data)
+    codec, spans = mm._decode_mp4_samples(p)
+    n = n_bytes // mm._FRAME_BYTES
+    assert codec == b"jpeg" and len(spans) == n
+    for i, (off, size) in enumerate(spans):
+        arr = decode_jpeg(p[off : off + size])
+        fb = arr.size // 64
+        assert bytes(arr[0 : 8 * fb : 8]) == data[
+            i * mm._FRAME_BYTES : (i + 1) * mm._FRAME_BYTES
+        ]
+    brand, ts, dur, n_tracks = mm._decode_mp4_meta(p)
+    assert (brand, dur, n_tracks) == ("isom", n, 1)
+
+
+def test_mp4_sample_table_co64_fixed_size_and_codec_gate():
+    """The demuxer handles the spec variants the synthesizer doesn't
+    emit — 64-bit chunk offsets (co64) and fixed-size stsz — and the
+    frame extractor gates unknown codecs loudly instead of guessing."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    data = bytes(range(16)) * 5  # 5 frames -> single stsc run
+    p = mm._build_mjpeg_mp4(data)
+    codec, spans = mm._decode_mp4_samples(p)
+
+    # co64: rewrite the stco box as co64 with the same offsets (widths
+    # change, so every stored chunk offset shifts by the growth)
+    i = p.index(b"stco") - 4
+    (stco_size,) = struct.unpack_from(">I", p, i)
+    (n_chunks,) = struct.unpack_from(">I", p, i + 12)
+    offsets = struct.unpack_from(f">{n_chunks}I", p, i + 16)
+    grow = 4 * n_chunks
+    co64 = (
+        struct.pack(">I", stco_size + grow)
+        + b"co64"
+        + b"\x00" * 4
+        + struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">Q", o + grow) for o in offsets)
+    )
+    p64 = bytearray(p[:i] + co64 + p[i + stco_size :])
+    # every enclosing box size (moov/trak/mdia/minf/stbl) grew too
+    for btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(p64).index(btype) - 4
+        (sz,) = struct.unpack_from(">I", bytes(p64), j)
+        struct.pack_into(">I", p64, j, sz + grow)
+    codec64, spans64 = mm._decode_mp4_samples(bytes(p64))
+    assert codec64 == b"jpeg"
+    assert spans64 == [(o + grow, s) for o, s in spans]
+
+    # fixed-size stsz: all samples the same size -> sample_size field
+    sizes = [s for _, s in spans]
+    assert len(set(sizes)) == 1  # uniform byte values -> uniform JPEGs
+    k = p.index(b"stsz") - 4
+    p_fixed = bytearray(p)
+    struct.pack_into(">II", p_fixed, k + 12, sizes[0], len(sizes))
+    # (leave the trailing per-sample table in place; readers must key
+    # off sample_size != 0 and ignore it)
+    codec_f, spans_f = mm._decode_mp4_samples(bytes(p_fixed))
+    assert spans_f == spans
+
+    # unknown codec: loud ffmpeg gate in the extractor
+    p_avc = p.replace(b"jpeg", b"avc1", 1)
+    codec_a, _ = mm._decode_mp4_samples(p_avc)
+    assert codec_a == b"avc1"
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [p_avc]})
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(mm.extract_mjpeg_frames(iter([pdf])))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_flips=st.integers(min_value=1, max_value=12),
+)
+def test_mp4_sample_table_survives_corruption(seed, n_flips):
+    """Corruption contract for the sample-table demuxer: random byte
+    flips in a valid MJPEG MP4 must yield either a successful demux or
+    a clean ValueError / NotImplementedError — struct/index errors are
+    normalized like every other decoder here."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, 80, dtype=np.uint8).tobytes()
+    b = bytearray(mm._build_mjpeg_mp4(data))
+    for _ in range(n_flips):
+        b[rng.randint(0, len(b))] = rng.randint(0, 256)
+    try:
+        mm._decode_mp4_samples(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
