@@ -1395,6 +1395,12 @@ def _decode_mp4_samples(payload: bytes):
             raise ValueError("empty stsd")
         codec = payload[stsd[0] + 12 : stsd[0] + 16]
         fixed_size, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if n_samples > len(payload):
+            # every sample occupies >= 1 byte of the file; a corrupt
+            # count must fail cleanly, not materialize a huge list
+            raise ValueError(
+                f"stsz declares {n_samples} samples in a {len(payload)}-byte file"
+            )
         if fixed_size:
             sizes = [fixed_size] * n_samples
         else:

@@ -763,3 +763,23 @@ def test_mp4_sample_table_survives_corruption(seed, n_flips):
         mm._decode_mp4_samples(bytes(b))
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_mp4_sample_table_bogus_count_fails_cleanly():
+    """A corrupt stsz sample count larger than the file itself must
+    raise ValueError up front — never materialize a count-sized size
+    list (worker OOM) or walk a count-sized sample loop."""
+    import struct
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    p = bytearray(mm._build_mjpeg_mp4(bytes(range(16)) * 3))
+    k = bytes(p).index(b"stsz") - 4
+    # fixed-size variant with an absurd declared count
+    struct.pack_into(">II", p, k + 12, 100, 0xFFFFFFF0)
+    with pytest.raises(ValueError, match="stsz declares"):
+        mm._decode_mp4_samples(bytes(p))
+    # per-sample variant with the same absurd count
+    struct.pack_into(">II", p, k + 12, 0, 0xFFFFFFF0)
+    with pytest.raises(ValueError):
+        mm._decode_mp4_samples(bytes(p))
