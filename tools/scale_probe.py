@@ -65,6 +65,12 @@ QUERIES = [
     # q_quality_dsir's 2-scan rollup is already probed above)
     "q_text_tfidf",
     "q_curation_funnel",
+    # round-10 addition: the real MJPEG-in-MP4 frame path — synthesis
+    # encodes every frame, extraction demuxes the sample table and
+    # JPEG-decodes only every 4th; the work is per-document Python in
+    # an Arrow stage with no shuffle at all, so the curve should be
+    # ~linear in corpus bytes (pure map scaling)
+    "q_mm_frames",
 ]
 
 #: events-family probes (10x events = same horizon, 10x denser, fresh
