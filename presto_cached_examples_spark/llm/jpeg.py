@@ -35,6 +35,7 @@ format.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -132,13 +133,16 @@ for _u in range(8):
 
 
 def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
-    """FDCT over an (n, 8, 8) stack of level-shifted blocks."""
-    return np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
+    """FDCT over an (n, 8, 8) stack of level-shifted blocks: A f A^T
+    as a broadcast matmul chain (einsum re-derives its contraction
+    path on every call — measurable against per-frame video JPEGs)."""
+    return _A @ blocks @ _A.T
 
 
 def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
-    """IDCT over an (n, 8, 8) stack of dequantized coefficients."""
-    return np.einsum("ux,nuv,vy->nxy", _A, coeffs, _A, optimize=True)
+    """IDCT over an (n, 8, 8) stack of dequantized coefficients:
+    A^T c A, broadcast matmul for the same reason as _fdct_blocks."""
+    return _A.T @ coeffs @ _A
 
 
 def quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
@@ -183,6 +187,16 @@ def _build_decode(
             for suffix in range(1 << (8 - ln)):
                 lut[base | suffix] = (sym, ln)
     return lut, exact
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode_from(table: bytes):
+    """Memoized _build_decode keyed on the DHT payload (16 count bytes
+    + values). Real corpora overwhelmingly share tables (Annex K), and
+    a per-frame video JPEG is small enough that rebuilding the LUT was
+    ~25% of its decode time. The returned (lut, exact) pair is shared
+    across decodes and MUST be treated read-only."""
+    return _build_decode(list(table[:16]), list(table[16:]))
 
 
 class _BitWriter:
@@ -657,8 +671,7 @@ def decode_jpeg(payload: bytes):
                 n = sum(bits)
                 if n > 256 or len(b) < 17 + n:
                     raise ValueError("JPEG DHT code counts exceed segment")
-                vals = list(b[17 : 17 + n])
-                huff[(tc, th)] = _build_decode(bits, vals)
+                huff[(tc, th)] = _build_decode_from(bytes(b[1 : 17 + n]))
                 b = b[17 + n :]
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — baseline-class
             if len(body) < 6:
