@@ -783,3 +783,42 @@ def test_mp4_sample_table_bogus_count_fails_cleanly():
     struct.pack_into(">II", p, k + 12, 0, 0xFFFFFFF0)
     with pytest.raises(ValueError):
         mm._decode_mp4_samples(bytes(p))
+
+
+def test_mp4_moov_after_mdat_layout():
+    """Real-world MP4s often place moov AFTER mdat (non-faststart
+    layout). The demuxer walks top-level boxes wherever they are and
+    stco offsets are absolute, so relocating moov (with offsets
+    rebased) must demux to the same frames."""
+    import struct
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+    from presto_cached_examples_spark.llm.jpeg import decode_jpeg
+
+    data = bytes(range(48))  # 3 frames
+    p = mm._build_mjpeg_mp4(data)
+    _, spans = mm._decode_mp4_samples(p)
+
+    # split the synthesized file into its three top-level boxes
+    boxes = [(t, b, e) for t, b, e in mm._parse_mp4_boxes(p)]
+    assert [t for t, _, _ in boxes] == [b"ftyp", b"moov", b"mdat"]
+    (_, fb, fe), (_, mb, me), (_, db, de) = boxes
+    ftyp, moov, mdat = p[: fe], p[mb - 8 : me], p[db - 8 : de]
+    # moov moves after mdat -> every chunk offset drops by len(moov)
+    moov2 = bytearray(moov)
+    k = moov2.index(b"stco") - 4
+    (n_chunks,) = struct.unpack_from(">I", moov2, k + 12)
+    for i in range(n_chunks):
+        (o,) = struct.unpack_from(">I", moov2, k + 16 + 4 * i)
+        struct.pack_into(">I", moov2, k + 16 + 4 * i, o - len(moov))
+    p2 = ftyp + mdat + bytes(moov2)
+
+    codec2, spans2 = mm._decode_mp4_samples(p2)
+    assert codec2 == b"jpeg"
+    assert [s for _, s in spans2] == [s for _, s in spans]
+    for i, (off, size) in enumerate(spans2):
+        arr = decode_jpeg(p2[off : off + size])
+        fbytes = arr.size // 64
+        assert bytes(arr[0 : 8 * fbytes : 8]) == data[i * 16 : (i + 1) * 16]
+    # the metadata walk reads the relocated moov too
+    assert mm._decode_mp4_meta(p2)[0] == "isom"
