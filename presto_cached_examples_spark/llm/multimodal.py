@@ -1215,7 +1215,12 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely need ffmpeg (avc1/hvc1/mp4v/vp09/av01) still gate loudly.
 # ---------------------------------------------------------------------------
 
-_MJPEG_CODECS = (b"jpeg", b"mjpa", b"mjpb")
+#: Sample fourccs whose payloads are interchange-format JPEG streams
+#: decode_jpeg can parse. NOT mjpb: Motion JPEG-B strips the marker
+#: structure entirely (QuickTime spec) — it needs a dedicated reader,
+#: so it gates to ffmpeg with the inter-frame codecs rather than
+#: failing deep inside the JPEG parser with a misleading error.
+_MJPEG_CODECS = (b"jpeg", b"mjpa")
 _SAMPLES_PER_CHUNK = 8  # synthesis chunking (exercises the stsc walk)
 
 
@@ -1493,7 +1498,7 @@ def extract_mjpeg_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             if codec not in _MJPEG_CODECS:
                 raise NotImplementedError(
                     f"video codec {codec!r} needs ffmpeg-class libraries; "
-                    "MJPEG ('jpeg'/'mjpa'/'mjpb') decodes stdlib-side"
+                    "MJPEG-A ('jpeg'/'mjpa') decodes stdlib-side"
                 )
             n_frames = len(spans)
             for idx in range(0, n_frames, _FRAME_STRIDE):

@@ -822,3 +822,20 @@ def test_mp4_moov_after_mdat_layout():
         assert bytes(arr[0 : 8 * fbytes : 8]) == data[i * 16 : (i + 1) * 16]
     # the metadata walk reads the relocated moov too
     assert mm._decode_mp4_meta(p2)[0] == "isom"
+
+
+def test_mjpb_gates_to_ffmpeg():
+    """Motion JPEG-B ('mjpb') samples strip the JPEG marker structure
+    (QuickTime spec) — they are NOT interchange-format streams, so the
+    extractor must gate them to ffmpeg like the inter-frame codecs,
+    not fail deep inside the JPEG parser."""
+    import pandas as pd
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    p = mm._build_mjpeg_mp4(bytes(range(32))).replace(b"jpeg", b"mjpb", 1)
+    codec, _ = mm._decode_mp4_samples(p)
+    assert codec == b"mjpb"
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [p]})
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(mm.extract_mjpeg_frames(iter([pdf])))
