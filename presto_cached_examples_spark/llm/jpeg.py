@@ -449,6 +449,22 @@ def encode_bytes_exact(data: bytes) -> bytes:
     return encode_jpeg(img, width=8 * len(data), height=8, n_channels=1, quality=100)
 
 
+@functools.lru_cache(maxsize=16)
+def _frame_consts(frame_bytes: int):
+    """Constants of the exact-frame construction that depend only on
+    the frame size: the JFIF/DQT/SOF/DHT/SOS header (everything up to
+    and including the SOS segment of a real encode at 8*frame_bytes x
+    8) plus the luma Huffman code tables. Memoized — a synthesizer
+    encodes one document per call but every call shares frame_bytes,
+    and the reference encode here was the dominant per-call cost."""
+    ref = encode_bytes_exact(bytes(frame_bytes))
+    sos = ref.index(b"\xff\xda")
+    hdr = ref[: sos + 2 + int.from_bytes(ref[sos + 2 : sos + 4], "big")]
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    eob = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)[0x00]
+    return hdr, dc_codes, eob
+
+
 def encode_frames_exact(data: bytes, frame_bytes: int) -> list[bytes]:
     """Batch form of `encode_bytes_exact` over consecutive fixed-size
     frames of `data` (a trailing partial frame is dropped): returns one
@@ -473,13 +489,7 @@ def encode_frames_exact(data: bytes, frame_bytes: int) -> list[bytes]:
     n = len(data) // frame_bytes
     if n == 0:
         return []
-    # Constant header for (8*frame_bytes x 8) grayscale quality-100:
-    # everything up to and including the SOS segment of a real encode.
-    ref = encode_bytes_exact(data[:frame_bytes])
-    sos = ref.index(b"\xff\xda")
-    hdr = ref[: sos + 2 + int.from_bytes(ref[sos + 2 : sos + 4], "big")]
-    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    eob_code, eob_len = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)[0x00]
+    hdr, dc_codes, (eob_code, eob_len) = _frame_consts(frame_bytes)
     out = []
     for f in range(n):
         frame = data[f * frame_bytes : (f + 1) * frame_bytes]

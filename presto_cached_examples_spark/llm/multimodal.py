@@ -1041,6 +1041,22 @@ def _parse_mp4_boxes(payload: bytes, start: int = 0, end: int | None = None):
         pos += size
 
 
+def _box(btype: bytes, body: bytes) -> bytes:
+    """Frame an ISO-BMFF box: 4-byte big-endian size + type + body —
+    the single writer-side inverse of _parse_mp4_boxes (both
+    synthesizers build through here)."""
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full_box(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    """Frame an ISO-BMFF FullBox: version/flags word then the body."""
+    import struct
+
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+
 def _decode_mp4_meta(payload: bytes):
     """Parse a real MP4 (ISO BMFF) container's metadata: major brand
     from ftyp, duration/timescale from moov/mvhd (v0 or v1), and the
@@ -1083,8 +1099,7 @@ def synthesize_mp4_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     box-walking tool parse it as a real container."""
     import struct
 
-    def box(btype: bytes, body: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(body)) + btype + body
+    box = _box
 
     for pdf in it:
         payloads = []
@@ -1240,13 +1255,7 @@ def _build_mjpeg_mp4(data: bytes, frame_bytes: int = _FRAME_BYTES) -> bytes:
     n = len(frames)
     sizes = [len(f) for f in frames]
     nchunks = -(-n // _SAMPLES_PER_CHUNK)
-
-    def box(btype: bytes, body: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(body)) + btype + body
-
-    def full(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
-        return box(btype, struct.pack(">I", (version << 24) | flags) + body)
-
+    box, full = _box, _full_box
     width, height = 8 * frame_bytes, 8
 
     def build_moov(chunk_offsets: list[int]) -> bytes:
@@ -1384,7 +1393,8 @@ def _decode_mp4_samples(payload: bytes):
             if minf is None:
                 continue
             stbl = find(children(*minf), b"stbl")
-            break
+            if stbl is not None:  # first USABLE video track wins; a
+                break  # degenerate vide trak must not mask a later valid one
         if stbl is None:
             raise ValueError("MP4 has no video track with a sample table")
         sboxes = children(*stbl)
@@ -1395,10 +1405,23 @@ def _decode_mp4_samples(payload: bytes):
         co64 = find(sboxes, b"co64")
         if stsd is None or stsz is None or stsc is None or (stco or co64) is None:
             raise ValueError("sample table missing stsd/stsz/stsc/stco")
+
+        def need(box_name, b, end, upto):
+            # every table read must stay inside its DECLARING box —
+            # unpack_from is payload-absolute and would otherwise read
+            # a sibling box's bytes as table entries (silent wrong)
+            if upto > end:
+                raise ValueError(
+                    f"{box_name} table extends past its box "
+                    f"(needs {upto - b} bytes, box has {end - b})"
+                )
+
+        need("stsd", stsd[0], stsd[1], stsd[0] + 16)
         (n_desc,) = struct.unpack_from(">I", payload, stsd[0] + 4)
         if n_desc < 1:
             raise ValueError("empty stsd")
         codec = payload[stsd[0] + 12 : stsd[0] + 16]
+        need("stsz", stsz[0], stsz[1], stsz[0] + 12)
         fixed_size, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
         if n_samples > len(payload):
             # every sample occupies >= 1 byte of the file; a corrupt
@@ -1409,16 +1432,23 @@ def _decode_mp4_samples(payload: bytes):
         if fixed_size:
             sizes = [fixed_size] * n_samples
         else:
+            need("stsz", stsz[0], stsz[1], stsz[0] + 12 + 4 * n_samples)
             sizes = list(
                 struct.unpack_from(f">{n_samples}I", payload, stsz[0] + 12)
             )
         if stco is not None:
+            need("stco", stco[0], stco[1], stco[0] + 8)
             (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)
+            need("stco", stco[0], stco[1], stco[0] + 8 + 4 * n_chunks)
             offsets = struct.unpack_from(f">{n_chunks}I", payload, stco[0] + 8)
         else:
+            need("co64", co64[0], co64[1], co64[0] + 8)
             (n_chunks,) = struct.unpack_from(">I", payload, co64[0] + 4)
+            need("co64", co64[0], co64[1], co64[0] + 8 + 8 * n_chunks)
             offsets = struct.unpack_from(f">{n_chunks}Q", payload, co64[0] + 8)
+        need("stsc", stsc[0], stsc[1], stsc[0] + 8)
         (n_runs,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+        need("stsc", stsc[0], stsc[1], stsc[0] + 8 + 12 * n_runs)
         runs = [
             struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)
             for i in range(n_runs)

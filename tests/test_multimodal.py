@@ -839,3 +839,55 @@ def test_mjpb_gates_to_ffmpeg():
     pdf = pd.DataFrame({"doc_id": [1], "payload": [p]})
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         list(mm.extract_mjpeg_frames(iter([pdf])))
+
+
+def test_mp4_sample_tables_clamped_to_their_boxes():
+    """Review fix: table reads must stay inside the DECLARING box.
+    An stsz whose box size covers only its header must raise, not
+    silently read the sibling box's bytes as sample sizes; and a
+    degenerate first video trak (no stbl) must not mask a later valid
+    video trak."""
+    import struct
+
+    from presto_cached_examples_spark.llm import multimodal as mm
+
+    data = bytes(range(64))  # 4 frames
+    p = mm._build_mjpeg_mp4(data)
+    _, spans = mm._decode_mp4_samples(p)
+
+    # shrink the stsz box to its 12-byte header (per-sample entries
+    # now live OUTSIDE the box) and disguise the orphaned entry bytes
+    # as a 'free' box so the BOX WALK stays valid — the clamp, not the
+    # walker, must reject the sibling bytes as table entries
+    k = p.index(b"stsz") - 4
+    p_bad = bytearray(p)
+    struct.pack_into(">I", p_bad, k, 8 + 12)
+    struct.pack_into(">I", p_bad, k + 20, 16)  # orphan region: size 16
+    p_bad[k + 24 : k + 28] = b"free"  # ...type 'free'
+    with pytest.raises(ValueError, match="stsz table extends past its box"):
+        mm._decode_mp4_samples(bytes(p_bad))
+
+    # degenerate leading video trak: hdlr says 'vide' but minf has no
+    # stbl — the demuxer must keep scanning and find the real track
+    hdlr = mm._full_box(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    vmhd = mm._full_box(b"vmhd", b"\x00" * 8, flags=1)
+    mdhd = mm._full_box(
+        b"mdhd", struct.pack(">IIII", 0, 0, 1000, 0) + struct.pack(">HH", 0x55C4, 0)
+    )
+    bad_trak = mm._box(b"trak", mm._box(b"mdia", mdhd + hdlr + mm._box(b"minf", vmhd)))
+    i = p.index(b"moov") - 4
+    (moov_size,) = struct.unpack_from(">I", p, i)
+    moov_body = p[i + 8 : i + moov_size]
+    moov2 = mm._box(b"moov", bad_trak + moov_body)
+    grow = len(moov2) - moov_size
+    # rebase stco offsets for the larger moov
+    moov2 = bytearray(moov2)
+    k2 = moov2.index(b"stco") - 4
+    (n_chunks,) = struct.unpack_from(">I", moov2, k2 + 12)
+    for ci in range(n_chunks):
+        (o,) = struct.unpack_from(">I", moov2, k2 + 16 + 4 * ci)
+        struct.pack_into(">I", moov2, k2 + 16 + 4 * ci, o + grow)
+    p2 = p[:i] + bytes(moov2) + p[i + moov_size :]
+    codec2, spans2 = mm._decode_mp4_samples(p2)
+    assert codec2 == b"jpeg"
+    assert [s for _, s in spans2] == [s for _, s in spans]
