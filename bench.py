@@ -364,7 +364,12 @@ def main() -> None:
         except Exception:
             pass
         t_retry, s_retry = run_set([name], runs=2)
-        if s_retry[name] < 3.0 and (not spiked or t_retry[name] < timings_v2[name]):
+        # "tight AND fast": a spiked query only counts as transient if
+        # the fresh pair lands back under the steady-state ceiling —
+        # a tight retry that is still slow (e.g. 9.9s -> 9.7s) is a
+        # REAL regression and the slow reading must stand in the
+        # artifact, not be relabeled a spike (round-10 review fix)
+        if s_retry[name] < 3.0 and (not spiked or t_retry[name] < 3.0):
             transients_v2[name] = {
                 "original_spread": sp,
                 "original_best": timings_v2[name],

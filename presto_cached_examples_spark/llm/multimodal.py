@@ -289,14 +289,24 @@ def _encode_png(
 def _pil_decode(payload: bytes, media_type: str):
     """Optional-dependency decoder: PIL, registered when importable
     (this container lacks it — the test env-skips, the code path is
-    real). Returns the flat uint8 pixel-sample array."""
+    real). Returns the flat uint8 pixel-sample array. PIL surfaces
+    corruption as UnidentifiedImageError/OSError/SyntaxError —
+    normalized here to the decoder contract (clean ValueError on
+    malformed payloads, the same contract every stdlib decoder in
+    this module is fuzz-pinned to); ImportError passes through so
+    callers can raise their env-gate hint."""
     import io
 
     import numpy as np
     from PIL import Image  # noqa: F401 — ImportError → caller raises
 
-    img = Image.open(io.BytesIO(payload))
-    return np.asarray(img.convert("RGB") if img.mode == "P" else img, dtype=np.uint8).ravel()
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return np.asarray(
+            img.convert("RGB") if img.mode == "P" else img, dtype=np.uint8
+        ).ravel()
+    except (OSError, SyntaxError) as e:
+        raise ValueError(f"malformed {media_type} payload (PIL): {e}") from e
 
 
 def decode_payload(payload: bytes, media_type: str):
@@ -1534,13 +1544,29 @@ def extract_mjpeg_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             for idx in range(0, n_frames, _FRAME_STRIDE):
                 off, size = spans[idx]
                 arr = decode_jpeg(p[off : off + size])
+                # Byte RECOVERY (as opposed to decode) is defined only
+                # for the exact-decode construction: an 8-row plane of
+                # uniform 8x8 blocks. Validate that layout for real —
+                # a wild MJPEG sample with other geometry decodes fine
+                # but has no "source bytes" to recover, and slicing it
+                # anyway would publish meaningless frame bytes (loud
+                # gate, never silent-wrong).
                 if arr.size % 64:
                     raise ValueError(
                         f"MJPEG sample {idx} decoded to {arr.size} samples "
                         "(not whole 8x8 blocks)"
                     )
                 fb = arr.size // 64
-                frame = np.asarray(arr[0 : 8 * fb : 8], dtype=np.uint8)
+                plane = np.asarray(arr, dtype=np.uint8).reshape(8, 8 * fb)
+                blocks = plane[0].reshape(fb, 8)
+                if not ((plane == plane[0]).all() and (blocks == blocks[:, :1]).all()):
+                    raise NotImplementedError(
+                        f"MJPEG sample {idx} is not the uniform-block "
+                        "exact-decode construction; general-geometry frame "
+                        "export needs a thumbnail contract (resize the "
+                        "decoded plane, or use ffmpeg tooling)"
+                    )
+                frame = blocks[:, 0]
                 out.append(
                     {
                         "doc_id": int(doc_id),

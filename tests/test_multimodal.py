@@ -42,7 +42,13 @@ def test_features_match_source_bytes(spark):
         "doc_id",
         (
             F.col("meta.n_bytes")
-            * F.when(F.col("doc_id") % 2 == 0, 1).otherwise(64)
+            # the synthesizer's carrier rule, in full: odd doc_ids ride
+            # the 64x JPEG construction ONLY within its 8191-byte
+            # bound; longer docs keep the 1x PNG carrier (the same
+            # clause _MM_FEATURES_ORACLE carries)
+            * F.when(
+                (F.col("doc_id") % 2 == 0) | (F.col("meta.n_bytes") > 8191), 1
+            ).otherwise(64)
         ).cast("int").alias("n_bytes"),
     )
     mismatch = feats.exceptAll(meta)
