@@ -1018,8 +1018,10 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Video: REAL MP4 container-metadata parse, stdlib-only. The ISO BMFF
 # box structure (ftyp/moov/mvhd/trak) is length-prefixed binary — no
 # codec needed to read duration/timescale/track count, which is
-# exactly the catalog pass a video corpus runs before any (ffmpeg)
-# frame decode. Frame decode itself remains a loud stub.
+# exactly the catalog pass a video corpus runs before spending frame-
+# decode compute. Frame decode itself is REAL for MJPEG tracks since
+# round 10 (_decode_mp4_samples / extract_mjpeg_frames below);
+# inter-frame codecs gate loudly to ffmpeg.
 # ---------------------------------------------------------------------------
 
 _MP4_TIMESCALE = 1000  # synthesis timescale (units per second)
@@ -1071,8 +1073,9 @@ def _decode_mp4_meta(payload: bytes):
     """Parse a real MP4 (ISO BMFF) container's metadata: major brand
     from ftyp, duration/timescale from moov/mvhd (v0 or v1), and the
     track count from moov/trak boxes. Returns (brand, timescale,
-    duration_units, n_tracks). Works on any genuine .mp4 — the only
-    thing it does NOT do is decode frames (needs ffmpeg; loud stub)."""
+    duration_units, n_tracks). Works on any genuine .mp4; frame decode
+    lives in _decode_mp4_samples/extract_mjpeg_frames (real for MJPEG,
+    ffmpeg-gated for inter-frame codecs)."""
     import struct
 
     brand = None
