@@ -361,7 +361,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     w=st.integers(min_value=1, max_value=40),
     h=st.integers(min_value=1, max_value=12),
@@ -391,7 +391,7 @@ def test_png_roundtrip_property(w, h, color_type, filter_type, seed, level):
     assert (_decode_png(png) == arr).all()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     data=st.binary(min_size=1, max_size=200),
 )
@@ -409,7 +409,7 @@ def test_jpeg_exact_construction_property(data):
     assert (out == exp).all()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(
     w=st.integers(min_value=1, max_value=24),
     h=st.integers(min_value=1, max_value=24),
@@ -464,7 +464,7 @@ def test_jpeg_subsampled_and_restart_paths():
     assert dec.shape == rgb.shape
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80, deadline=None, derandomize=True)
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n_flips=st.integers(min_value=1, max_value=24),
@@ -493,7 +493,7 @@ def test_jpeg_decoder_survives_corruption(seed, n_flips):
 
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     fmt=st.sampled_from(["png", "wav", "mp4"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
@@ -627,7 +627,7 @@ def test_jpeg_spec_legal_variants_and_guards():
     assert list(out["media_type"]) == ["image/png"]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     n_bytes=st.integers(min_value=0, max_value=120),
     frame_bytes=st.integers(min_value=1, max_value=24),
@@ -655,7 +655,7 @@ def test_jpeg_batch_encoder_matches_scalar(n_bytes, frame_bytes, seed):
     ]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     n_bytes=st.integers(min_value=0, max_value=400),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
@@ -746,7 +746,7 @@ def test_mp4_sample_table_co64_fixed_size_and_codec_gate():
         list(mm.extract_mjpeg_frames(iter([pdf])))
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n_flips=st.integers(min_value=1, max_value=12),

@@ -146,7 +146,7 @@ _expr = st.recursive(
 
 
 @given(st.lists(_expr, min_size=1, max_size=4))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_neutralize_fuzz_balanced_and_wrapped(exprs):
     """For any nesting of ROUND / calls / string literals: the output
     keeps balanced parens, every ROUND's close paren is followed by the
