@@ -127,14 +127,16 @@ def _png_chunks(payload: bytes):
 def _decode_png(payload: bytes):
     """REAL stdlib-only PNG decode (zlib inflate + per-scanline
     unfiltering), public-format knowledge only (RFC 2083 / the PNG
-    spec): 8-bit depth, color types 0/2/3/4/6, non-interlaced. The
-    Sub/Up reconstructions are vectorized (the carrier's hot path);
-    Average/Paeth keep the spec's per-sample recurrence. Palette
-    images expand through PLTE to RGB (matching PIL's convert("RGB")
-    so the env-gated fast path and this one agree byte-for-byte).
-    16-bit and Adam7 raise NotImplementedError — decode_payload then
-    falls through to PIL when installed. Returns the flat uint8
-    sample array."""
+    spec): 8-bit depth color types 0/2/3/4/6 plus 1/2/4-bit PALETTE
+    (round 10 — the common wild icon/diagram format; filters operate
+    on the packed bytes, indices unpack MSB-first), non-interlaced.
+    The Sub/Up reconstructions are vectorized (the carrier's hot
+    path); Average/Paeth keep the spec's per-sample recurrence.
+    Palette images expand through PLTE to RGB (matching PIL's
+    convert("RGB") so the env-gated fast path and this one agree
+    byte-for-byte). 16-bit, sub-byte grayscale, and Adam7 raise
+    NotImplementedError — decode_payload then falls through to PIL
+    when installed. Returns the flat uint8 sample array."""
     import struct
     import zlib
 
@@ -155,15 +157,27 @@ def _decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonzero compression/filter method")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth != 8 and not (depth in (1, 2, 4) and color_type == 3):
+        # sub-byte PALETTE images are common in the wild (icons,
+        # diagrams — e.g. 4-bit PNGs in /usr/share) and have an
+        # unambiguous RGB expansion, so they decode here (round 10);
+        # 16-bit and sub-byte GRAYSCALE (output-scaling ambiguity)
+        # still gate to PIL
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/color type {color_type} not supported "
+            "(8-bit all types; 1/2/4-bit palette)"
+        )
     if interlace:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color_type} invalid")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+    # scanline geometry: row byte length and the filter's byte
+    # distance ("bpp" in the spec — 1 for sub-byte depths, where the
+    # filters operate on PACKED bytes)
+    stride = (w * ch * depth + 7) // 8
+    fd = max(1, ch * depth // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG raster size mismatch: {len(raw)} != {h * (stride + 1)}")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -174,9 +188,9 @@ def _decode_png(payload: bytes):
         pos += 1
         row = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).copy()
         pos += stride
-        if ftype == 1:  # Sub: out[i] = raw[i] + out[i-ch] — a per-
+        if ftype == 1:  # Sub: out[i] = raw[i] + out[i-fd] — a per-
             # channel prefix sum mod 256, vectorized (uint8 wraps)
-            row = row.reshape(-1, ch).cumsum(axis=0, dtype=np.int64).astype(np.uint8).reshape(-1)
+            row = row.reshape(-1, fd).cumsum(axis=0, dtype=np.int64).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up (uint8 addition wraps mod 256)
             row = row + prev
         elif ftype == 3:  # Average — left-recurrence, so sequential by
@@ -184,17 +198,17 @@ def _decode_png(payload: bytes):
             # indexing is ~10x slower than list ops — ADVICE r9 item 3,
             # this is libpng's most common filter on real images)
             r, u = row.tolist(), prev.tolist()
-            for i in range(ch):
+            for i in range(fd):
                 r[i] = (r[i] + u[i] // 2) & 0xFF
-            for i in range(ch, stride):
-                r[i] = (r[i] + (r[i - ch] + u[i]) // 2) & 0xFF
+            for i in range(fd, stride):
+                r[i] = (r[i] + (r[i - fd] + u[i]) // 2) & 0xFF
             row = np.array(r, dtype=np.uint8)
         elif ftype == 4:  # Paeth — same left-recurrence discipline
             r, u = row.tolist(), prev.tolist()
-            for i in range(ch):
+            for i in range(fd):
                 r[i] = (r[i] + u[i]) & 0xFF  # a = c = 0 -> predictor is b
-            for i in range(ch, stride):
-                a, b, c = r[i - ch], u[i], u[i - ch]
+            for i in range(fd, stride):
+                a, b, c = r[i - fd], u[i], u[i - fd]
                 p = a + b - c
                 pa = p - a if p >= a else a - p
                 pb = p - b if p >= b else b - p
@@ -206,7 +220,15 @@ def _decode_png(payload: bytes):
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = row
         prev = row
-    samples = out.reshape(-1)
+    if depth < 8:
+        # unpack the packed palette indices: MSB-first d-bit groups
+        # per scanline, trailing pad bits dropped per row
+        bits = np.unpackbits(out, axis=1)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(h, -1, depth) * weights).sum(axis=2)
+        samples = vals[:, :w].astype(np.uint8).reshape(-1)
+    else:
+        samples = out.reshape(-1)
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")

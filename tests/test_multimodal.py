@@ -897,3 +897,125 @@ def test_mp4_sample_tables_clamped_to_their_boxes():
     codec2, spans2 = mm._decode_mp4_samples(p2)
     assert codec2 == b"jpeg"
     assert [s for _, s in spans2] == [s for _, s in spans]
+
+
+def _palette_png(w, h, depth, indices, plte, filters=None):
+    """Hand-built sub-byte palette PNG: MSB-first d-bit packing, one
+    filter byte per row (filters[y], default None=0); Sub filtering
+    operates on the PACKED bytes with fd=1, per the spec."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    rows = b""
+    for y in range(h):
+        packed = 0
+        n = 0
+        row = bytearray()
+        for x in range(w):
+            packed = (packed << depth) | indices[y * w + x]
+            n += depth
+            if n == 8:
+                row.append(packed)
+                packed = n = 0
+        if n:
+            row.append(packed << (8 - n))
+        ft = filters[y] if filters else 0
+        if ft == 1:  # Sub on packed bytes, byte distance 1
+            row = bytearray(
+                [(row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(len(row))]
+            )
+        rows += bytes([ft]) + bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    depth=st.sampled_from([1, 2, 4]),
+    w=st.integers(min_value=1, max_value=19),
+    h=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    use_sub=st.booleans(),
+)
+def test_png_subbyte_palette_decode(depth, w, h, seed, use_sub):
+    """1/2/4-bit palette PNGs (the common wild icon format) decode
+    stdlib-only: packed MSB-first indices, per-row pad bits dropped,
+    filters applied on the packed bytes, PLTE-expanded to RGB
+    (hypothesis; round-10 un-gating)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png
+
+    rng = np.random.RandomState(seed)
+    k = 2**depth
+    plte = bytes(rng.randint(0, 256, 3 * k, dtype=np.uint8))
+    idx = rng.randint(0, k, w * h)
+    filters = [1 if use_sub else 0] * h
+    png = _palette_png(w, h, depth, list(idx), plte, filters)
+    got = _decode_png(png)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert (got == pal[idx].reshape(-1)).all()
+
+
+def test_png_subbyte_grayscale_still_gates():
+    """Sub-byte GRAYSCALE keeps the PIL gate (output-scaling
+    ambiguity); only sub-byte PALETTE was un-gated."""
+    import struct
+    import zlib
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 4, 0, 0, 0, 0)  # ct0, d4
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x12\x34" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        _decode_png(png)
+
+
+def test_png_decodes_real_wild_files():
+    """Cross-validation against files produced by INDEPENDENT encoders
+    (libpng-era system images, present in most Linux containers): the
+    stdlib decoder must agree with each file's IHDR geometry. Skips
+    where the files don't exist."""
+    import glob
+    import os
+    import struct
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png
+
+    candidates = ["/usr/share/pixmaps/debian-logo.png"] + sorted(
+        glob.glob("/usr/share/info/*.png")
+    )
+    checked = 0
+    for f in candidates:
+        if not os.path.exists(f):
+            continue
+        data = open(f, "rb").read()
+        i = data.index(b"IHDR") + 4
+        w, h, depth, ct, _c, _f, ilace = struct.unpack(">IIBBBBB", data[i : i + 13])
+        if ilace or depth == 16 or (depth < 8 and ct != 3):
+            continue  # declared gates
+        arr = _decode_png(data)
+        ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[ct]
+        assert arr.size == w * h * ch, f
+        checked += 1
+    if not checked:
+        pytest.skip("no wild PNG files present in this environment")
