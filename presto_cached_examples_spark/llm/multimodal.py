@@ -124,66 +124,33 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def _decode_png(payload: bytes):
-    """REAL stdlib-only PNG decode (zlib inflate + per-scanline
-    unfiltering), public-format knowledge only (RFC 2083 / the PNG
-    spec): 8-bit depth color types 0/2/3/4/6 plus 1/2/4-bit PALETTE
-    (round 10 — the common wild icon/diagram format; filters operate
-    on the packed bytes, indices unpack MSB-first), non-interlaced.
-    The Sub/Up reconstructions are vectorized (the carrier's hot
-    path); Average/Paeth keep the spec's per-sample recurrence.
-    Palette images expand through PLTE to RGB (matching PIL's
-    convert("RGB") so the env-gated fast path and this one agree
-    byte-for-byte). 16-bit, sub-byte grayscale, and Adam7 raise
-    NotImplementedError — decode_payload then falls through to PIL
-    when installed. Returns the flat uint8 sample array."""
-    import struct
-    import zlib
+#: Adam7 pass grid, (x_offset, y_offset, x_stride, y_stride) per pass
+#: (PNG spec §8.2; tests pin the canonical 8x8 pass-number matrix).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _unfilter_raster(raw: bytes, pos: int, n_rows: int, stride: int, fd: int):
+    """Undo PNG scanline filtering over one raster of `n_rows` rows of
+    `stride` bytes (each preceded by its filter-type byte) starting at
+    `pos` in the inflated stream; `fd` is the filter's byte distance
+    ("bpp"). Returns (rows array (n_rows, stride), next pos). Shared
+    by the sequential path and each Adam7 pass (which filter their
+    sub-rasters independently, spec §8.2)."""
     import numpy as np
 
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-    if ihdr is None or len(ihdr) != 13 or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if comp != 0 or filt != 0:
-        raise ValueError("PNG nonzero compression/filter method")
-    if depth != 8 and not (depth in (1, 2, 4) and color_type == 3):
-        # sub-byte PALETTE images are common in the wild (icons,
-        # diagrams — e.g. 4-bit PNGs in /usr/share) and have an
-        # unambiguous RGB expansion, so they decode here (round 10);
-        # 16-bit and sub-byte GRAYSCALE (output-scaling ambiguity)
-        # still gate to PIL
-        raise NotImplementedError(
-            f"PNG bit depth {depth}/color type {color_type} not supported "
-            "(8-bit all types; 1/2/4-bit palette)"
-        )
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"PNG color type {color_type} invalid")
-    ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
-    # scanline geometry: row byte length and the filter's byte
-    # distance ("bpp" in the spec — 1 for sub-byte depths, where the
-    # filters operate on PACKED bytes)
-    stride = (w * ch * depth + 7) // 8
-    fd = max(1, ch * depth // 8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG raster size mismatch: {len(raw)} != {h * (stride + 1)}")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    if pos + n_rows * (stride + 1) > len(raw):
+        raise ValueError("PNG raster truncated")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    for y in range(n_rows):
         ftype = raw[pos]
         pos += 1
         row = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).copy()
@@ -220,6 +187,93 @@ def _decode_png(payload: bytes):
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = row
         prev = row
+    return out, pos
+
+
+def _decode_png(payload: bytes):
+    """REAL stdlib-only PNG decode (zlib inflate + per-scanline
+    unfiltering), public-format knowledge only (RFC 2083 / the PNG
+    spec): 8-bit depth color types 0/2/3/4/6 plus 1/2/4-bit PALETTE
+    (round 10 — the common wild icon/diagram format; filters operate
+    on the packed bytes, indices unpack MSB-first), non-interlaced.
+    The Sub/Up reconstructions are vectorized (the carrier's hot
+    path); Average/Paeth keep the spec's per-sample recurrence.
+    Palette images expand through PLTE to RGB (matching PIL's
+    convert("RGB") so the env-gated fast path and this one agree
+    byte-for-byte). Adam7 INTERLACED 8-bit images decode too (round
+    10): seven independently-filtered passes scattered on the spec's
+    fixed grid. 16-bit and sub-byte grayscale raise
+    NotImplementedError — decode_payload then falls through to PIL
+    when installed. Returns the flat uint8 sample array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonzero compression/filter method")
+    if depth != 8 and not (depth in (1, 2, 4) and color_type == 3):
+        # sub-byte PALETTE images are common in the wild (icons,
+        # diagrams — e.g. 4-bit PNGs in /usr/share) and have an
+        # unambiguous RGB expansion, so they decode here (round 10);
+        # 16-bit and sub-byte GRAYSCALE (output-scaling ambiguity)
+        # still gate to PIL
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/color type {color_type} not supported "
+            "(8-bit all types; 1/2/4-bit palette)"
+        )
+    if interlace and depth != 8:
+        raise NotImplementedError("interlaced sub-byte PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color_type} invalid")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        # Adam7: seven independently-filtered sub-rasters, scattered
+        # into the image on the spec's fixed offset/stride grid
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty passes are wholly absent (spec)
+            sub, pos = _unfilter_raster(raw, pos, ph, pw * ch, ch)
+            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG interlaced raster size mismatch: {len(raw)} != {pos}"
+            )
+        samples = img.reshape(-1)
+        if color_type == 3:
+            if plte is None or len(plte) % 3:
+                raise ValueError("palette PNG missing/malformed PLTE")
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if samples.size and int(samples.max()) >= pal.shape[0]:
+                raise ValueError("PNG palette index out of range")
+            samples = pal[samples].reshape(-1)
+        return samples
+    # scanline geometry: row byte length and the filter's byte
+    # distance ("bpp" in the spec — 1 for sub-byte depths, where the
+    # filters operate on PACKED bytes)
+    stride = (w * ch * depth + 7) // 8
+    fd = max(1, ch * depth // 8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG raster size mismatch: {len(raw)} != {h * (stride + 1)}")
+    out, _ = _unfilter_raster(raw, 0, h, stride, fd)
     if depth < 8:
         # unpack the packed palette indices: MSB-first d-bit groups
         # per scanline, trailing pad bits dropped per row
@@ -239,42 +293,20 @@ def _decode_png(payload: bytes):
     return samples
 
 
-def _encode_png(
-    samples,
-    width: int,
-    height: int,
-    color_type: int = 0,
-    filter_type: int = 1,
-    palette: bytes | None = None,
-    level: int = 6,
-) -> bytes:
-    """Minimal stdlib PNG writer (8-bit, non-interlaced): used by the
-    fixture synthesizer and the codec tests. Supports all five spec
-    filter types at encode — the forward direction predicts from RAW
-    neighbor samples, which are all known up front, so Average/Paeth
-    encode fully vectorized even though their decode is a sequential
-    recurrence."""
-    import binascii
-    import struct
-    import zlib
-
+def _filter_raster(arr, ch: int, filter_type: int) -> list:
+    """Forward-filter one raster (rows of raw samples) with the given
+    PNG filter type, returning the per-row bytes (filter byte + data).
+    The forward direction predicts from RAW neighbor samples, which
+    are all known up front, so Average/Paeth encode fully vectorized
+    even though their decode is a sequential recurrence. Shared by
+    the sequential writer and each Adam7 pass."""
     import numpy as np
 
-    ch = _PNG_CHANNELS[color_type]
-    arr = np.asarray(samples, dtype=np.uint8).reshape(height, width * ch)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
     raws = []
-    prev = np.zeros(width * ch, dtype=np.uint8)
+    stride = arr.shape[1] if arr.ndim == 2 else 0
+    prev = np.zeros(stride, dtype=np.uint8)
     zch = np.zeros(ch, dtype=np.uint8)
-    for y in range(height):
+    for y in range(arr.shape[0]):
         row = arr[y]
         if filter_type == 0:
             enc = row
@@ -299,7 +331,59 @@ def _encode_png(
             raise ValueError(f"encoder filter type {filter_type} unsupported")
         raws.append(bytes([filter_type]) + enc.tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return raws
+
+
+def _encode_png(
+    samples,
+    width: int,
+    height: int,
+    color_type: int = 0,
+    filter_type: int = 1,
+    palette: bytes | None = None,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal stdlib PNG writer (8-bit; sequential or Adam7
+    interlaced): used by the fixture synthesizer and the codec tests.
+    Supports all five spec filter types at encode (see
+    _filter_raster); interlace=True emits the seven Adam7 passes, each
+    filtered independently, which is what the decoder's interlaced
+    path round-trips against."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch = _PNG_CHANNELS[color_type]
+    arr = np.asarray(samples, dtype=np.uint8).reshape(height, width * ch)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    if interlace:
+        img = arr.reshape(height, width, ch)
+        raws = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty passes are wholly absent (spec)
+            raws += _filter_raster(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                ch,
+                filter_type,
+            )
+    else:
+        raws = _filter_raster(arr, ch, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
     if palette is not None:
         parts.append(chunk(b"PLTE", palette))
@@ -340,9 +424,9 @@ def decode_payload(payload: bytes, media_type: str):
       (_decode_netpbm), so the pixel path executes even in containers
       with no imaging libraries;
     - 'image/png' — REAL compressed-image decode, stdlib-only
-      (_decode_png: zlib inflate + scanline unfiltering, VERDICT r8
-      item 3); 16-bit/interlaced variants fall through to PIL when
-      installed;
+      (_decode_png: zlib inflate + scanline unfiltering, sequential
+      or Adam7, sub-byte palette too); 16-bit/sub-byte-grayscale
+      variants fall through to PIL when installed;
     - 'image/jpeg' — REAL baseline-sequential JPEG decode, stdlib+numpy
       only (llm/jpeg.py: Huffman + dequant + IDCT, VERDICT r9 item 5);
       progressive/arithmetic/12-bit fall through to PIL when installed;
@@ -365,13 +449,14 @@ def decode_payload(payload: bytes, media_type: str):
         try:
             return _decode_png(payload)
         except NotImplementedError:
-            # 16-bit / Adam7 — the env-gated fast path covers these
+            # 16-bit / sub-byte grayscale — the env-gated fast path
             try:
                 return _pil_decode(payload, media_type)
             except ImportError:
                 raise NotImplementedError(
-                    "16-bit/interlaced PNG needs PIL; 8-bit non-interlaced "
-                    "decodes stdlib-only via _decode_png"
+                    "16-bit/sub-byte-grayscale PNG needs PIL; 8-bit "
+                    "(sequential or Adam7) and sub-byte palette decode "
+                    "stdlib-only via _decode_png"
                 ) from None
     if media_type in ("image/jpeg", "image/jpg"):
         from presto_cached_examples_spark.llm.jpeg import decode_jpeg

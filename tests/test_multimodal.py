@@ -1019,3 +1019,53 @@ def test_png_decodes_real_wild_files():
         checked += 1
     if not checked:
         pytest.skip("no wild PNG files present in this environment")
+
+
+def test_adam7_pass_grid_matches_spec():
+    """The Adam7 constants must reproduce the canonical 8x8 pass-number
+    matrix from the PNG spec (§8.2) — anchoring the pass grid
+    independently of the encoder/decoder pair."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _ADAM7
+
+    grid = np.zeros((8, 8), dtype=int)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, 1):
+        grid[y0::dy, x0::dx] = p
+    expect = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    assert (grid == np.array(expect)).all()
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color_type=st.sampled_from([0, 2, 6]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_adam7_roundtrip_property(w, h, color_type, filter_type, seed):
+    """Adam7-interlaced 8-bit PNGs round-trip through the stdlib
+    encoder/decoder across shapes (including sizes below one full 8x8
+    pass block, where several passes are empty), color types, and all
+    five filters (hypothesis; round-10 un-gating)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png, _encode_png
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, w * h * ch, dtype=np.uint8)
+    png = _encode_png(
+        data, w, h, color_type=color_type, filter_type=filter_type, interlace=True
+    )
+    assert (_decode_png(png) == data).all()
