@@ -27,10 +27,13 @@ the decode side of it is plain decode_jpeg), which is what lets the
 DuckDB oracles replay JPEG-path pixel math from document characters
 (tests/test_multimodal.py pins all 256 byte values).
 
-Reference tie: the demo decodes/renders real pixel data every frame
-(/root/reference/src/SinglePsramBuffer480x480.cpp:83,144-148); this
-module is the engine-side analog for the dominant real-corpus image
-format.
+Reference tie (analogy only — the demo does no JPEG work): it renders
+raw RGB565 pixels into a PSRAM frame buffer each frame via
+picographics circle draws (/root/reference/src/
+SinglePsramBuffer480x480.cpp:73,144-148); this module supplies the
+pixel-producing tier a data engine needs for the dominant real-corpus
+image format, whose semantics come entirely from the public ITU-T
+T.81 spec.
 """
 
 from __future__ import annotations
@@ -195,8 +198,13 @@ def _build_decode_from(table: bytes):
     + values). Real corpora overwhelmingly share tables (Annex K), and
     a per-frame video JPEG is small enough that rebuilding the LUT was
     ~25% of its decode time. The returned (lut, exact) pair is shared
-    across decodes and MUST be treated read-only."""
-    return _build_decode(list(table[:16]), list(table[16:]))
+    across every decode using the table, so it is frozen — tuple +
+    MappingProxyType — and an accidental in-place write raises
+    immediately instead of corrupting later decodes (ADVICE r10)."""
+    import types
+
+    lut, exact = _build_decode(list(table[:16]), list(table[16:]))
+    return tuple(lut), types.MappingProxyType(exact)
 
 
 class _BitWriter:

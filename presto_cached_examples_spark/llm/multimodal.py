@@ -225,6 +225,10 @@ def _decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonzero compression/filter method")
+    if interlace not in (0, 1):
+        # spec allows only 0 (none) / 1 (Adam7); anything else is a
+        # malformed header, not an Adam7 raster (ADVICE r10)
+        raise ValueError(f"PNG invalid interlace method {interlace}")
     if depth != 8 and not (depth in (1, 2, 4) and color_type == 3):
         # sub-byte PALETTE images are common in the wild (icons,
         # diagrams — e.g. 4-bit PNGs in /usr/share) and have an
@@ -931,11 +935,16 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output from characters while the engine path exercises the
     full demux+decode stack.
 
-    Reference provenance: the demo decodes real JPEG pixel data every
-    frame into a PSRAM framebuffer (/root/reference/src/
-    SinglePsramBuffer480x480.cpp:83,144-148); the header-first
-    count-then-payload walk is C2 (/root/reference/src/
-    FT6236.h:90-116)."""
+    Reference provenance (analogy only — the demo does no JPEG or
+    video work): it renders RGB565 pixels into a PSRAM frame buffer
+    every frame via picographics (/root/reference/src/
+    SinglePsramBuffer480x480.cpp:73,144-148 — circle draws, not
+    decode); the count-byte-then-fixed-stride register parse in
+    FT6236::ReadTouch (/root/reference/src/FT6236.h:96,103-115) is
+    the closest structural cousin of reading a declared sample count
+    before the per-sample payload walk. The MP4/JPEG semantics here
+    come from the public ISO-BMFF and ITU-T T.81 specs, not the
+    reference."""
     v = video_frames_table(spark, sf_dir).select("doc_id", "payload")
     return v.mapInPandas(extract_mjpeg_frames, schema=FRAME_SCHEMA).select(
         "doc_id", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
@@ -1331,9 +1340,11 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic functions of (doc_id, text), so DuckDB replays every
     output column arithmetically.
 
-    Reference provenance: C2 header-first walk (/root/reference/src/
-    FT6236.h:90-116 — the fixed-layout count byte is consulted before
-    any slot payload is parsed)."""
+    Reference provenance (analogy only — the demo parses no MP4):
+    FT6236::ReadTouch reads a fixed-layout count byte before parsing
+    the per-slot registers (/root/reference/src/FT6236.h:96,103-115),
+    the same declare-counts-before-payload shape as an ISO-BMFF box
+    walk; the MP4 semantics themselves are public-spec work."""
     v = video_table(spark, sf_dir).select("doc_id", "payload")
     return v.mapInPandas(extract_video_meta, schema=VIDEO_META_SCHEMA)
 
@@ -1351,11 +1362,14 @@ def q_mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Sample fourccs whose payloads are interchange-format JPEG streams
-#: decode_jpeg can parse. NOT mjpb: Motion JPEG-B strips the marker
-#: structure entirely (QuickTime spec) — it needs a dedicated reader,
-#: so it gates to ffmpeg with the inter-frame codecs rather than
-#: failing deep inside the JPEG parser with a misleading error.
-_MJPEG_CODECS = (b"jpeg", b"mjpa")
+#: decode_jpeg can parse. NOT mjpa/mjpb: Motion JPEG-A samples are
+#: field-split (two interleaved fields with APP1 field-offset headers
+#: — decoding one field as a frame would be silently wrong) and
+#: Motion JPEG-B strips the marker structure entirely (QuickTime
+#: spec) — both need a dedicated reader, so they gate to ffmpeg with
+#: the inter-frame codecs rather than failing deep inside the JPEG
+#: parser with a misleading error (ADVICE r10).
+_MJPEG_CODECS = (b"jpeg",)
 _SAMPLES_PER_CHUNK = 8  # synthesis chunking (exercises the stsc walk)
 
 
@@ -1478,11 +1492,11 @@ def _decode_mp4_samples(payload: bytes):
     unknown structure as loud NotImplementedError, never a wrong
     answer.
 
-    Reference provenance: C2 header-first walk — the demo reads the
-    fixed-layout count field before touching any slot payload
-    (/root/reference/src/FT6236.h:90-116); the sample table is the
-    same pattern at container scale (counts first, then per-entry
-    offsets)."""
+    Reference provenance (analogy only — the demo parses no MP4):
+    FT6236::ReadTouch reads a fixed-layout count byte before parsing
+    per-slot registers (/root/reference/src/FT6236.h:96,103-115) —
+    counts-before-payload at register scale; the sample-table
+    semantics here are public ISO-BMFF spec work."""
     import struct
 
     def children(start, end):
@@ -1648,7 +1662,7 @@ def extract_mjpeg_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             if codec not in _MJPEG_CODECS:
                 raise NotImplementedError(
                     f"video codec {codec!r} needs ffmpeg-class libraries; "
-                    "MJPEG-A ('jpeg'/'mjpa') decodes stdlib-side"
+                    "only interchange-format MJPEG ('jpeg') decodes stdlib-side"
                 )
             n_frames = len(spans)
             for idx in range(0, n_frames, _FRAME_STRIDE):

@@ -203,65 +203,6 @@ _LOADED = False
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 5 (45) + oldest round-6 greens (5)
-    "q_join_dpp",
-    "q_layout_zorder",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_label_join",
-    "q_agg_pricing",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_agg_bitwise",
-    "q_window_rank",
-    "q_agg_percentiles",
-    "q_regression_elasticity",
-    "q_bootstrap_ci",
-    "q_path_trigrams",
-    "q_pareto_half",
-    "q_cdc_scd2",
-    "q_cohort_ltv",
-    "q_concurrency_peak",
-    "q_funnel_windowed",
-    "q_sample_weighted",
-    "q_split_assign",
-    "q_text_pmi",
-    "q_regression_zipf",
-    "q_text_bigram_lm",
-    "q_embed_outliers",
-    "q_embed_sq8",
-    "q_ann_pipeline",
-    "q_dedup_containment",
-    "q_dedup_cluster_resolve",
-    "q_contamination_report",
-    "q_mix_temperature",
-    "q_dedup_url",
-    "q_domain_caps",
-    "q_stream_interval_left",
-    "q_window_frame",
-    "q_window_running",
-    "q_topk_group",
-    "q_sort_limit",
-    "q_union_all",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 11: the remaining round-6 greens in
-# registration order, then the 5 oldest round-7 greens. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 6 (45) + oldest round-7 greens (5)
     "q_union_distinct",
     "q_intersect",
@@ -313,6 +254,65 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_agg_approx",
     "q_sessionize",
     "q_agg_percentiles_approx",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 12: the remaining round-7 greens in
+# registration order, then the 5 oldest round-8 greens. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 7 (45) + oldest round-8 greens (5)
+    "q_fuzzy_match",
+    "q_ntile_spend",
+    "q_volume_shipping",
+    "q_mkt_share",
+    "q_cust_order_dist",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    "q_disjunctive_revenue",
+    "q_sole_return_supplier",
+    "q_global_sales_opp",
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_shipmode_priority",
+    "q_parts_supplier_count",
+    "q_dominant_supplier",
+    "q_window_range_scalable",
+    "q_events_funnel",
+    "q_retention_cohort",
+    "q_events_rollup",
+    "q_rfm_segments",
+    "q_sample_hash_topk",
+    "q_json_funcs",
+    "q_text_tfidf",
+    "q_text_repetition",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_ann_recall_sweep",
+    "q_dedup_incremental_bloom",
+    "q_dedup_span",
+    "q_mm_meta",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_decontam",
+    "q_decontam_hashed",
+    "q_text_normalize",
+    "q_quality_dsir",
+    "q_pii_scrub",
+    "q_stream_tumbling",
+    "q_snapshot_diff",
+    "q_drift_report",
+    "q_join_asof",
+    "q_returns_wilson",
+    "q_basket_rules",
 )
 
 

@@ -830,18 +830,22 @@ def test_mp4_moov_after_mdat_layout():
     assert mm._decode_mp4_meta(p2)[0] == "isom"
 
 
-def test_mjpb_gates_to_ffmpeg():
+@pytest.mark.parametrize("fourcc", [b"mjpb", b"mjpa"])
+def test_motion_jpeg_variants_gate_to_ffmpeg(fourcc):
     """Motion JPEG-B ('mjpb') samples strip the JPEG marker structure
-    (QuickTime spec) — they are NOT interchange-format streams, so the
-    extractor must gate them to ffmpeg like the inter-frame codecs,
-    not fail deep inside the JPEG parser."""
+    and Motion JPEG-A ('mjpa') samples are field-split with APP1
+    field-offset headers (QuickTime spec) — neither is an
+    interchange-format stream a whole-frame decode_jpeg call can
+    handle (an mjpa 'decode' would silently yield one field), so the
+    extractor must gate both to ffmpeg like the inter-frame codecs,
+    not fail deep inside the JPEG parser (ADVICE r10)."""
     import pandas as pd
 
     from presto_cached_examples_spark.llm import multimodal as mm
 
-    p = mm._build_mjpeg_mp4(bytes(range(32))).replace(b"jpeg", b"mjpb", 1)
+    p = mm._build_mjpeg_mp4(bytes(range(32))).replace(b"jpeg", fourcc, 1)
     codec, _ = mm._decode_mp4_samples(p)
-    assert codec == b"mjpb"
+    assert codec == fourcc
     pdf = pd.DataFrame({"doc_id": [1], "payload": [p]})
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         list(mm.extract_mjpeg_frames(iter([pdf])))
@@ -988,6 +992,52 @@ def test_png_subbyte_grayscale_still_gates():
     )
     with pytest.raises(NotImplementedError, match="bit depth 4"):
         _decode_png(png)
+
+
+def test_png_invalid_interlace_method_rejected():
+    """IHDR interlace may only be 0 (none) or 1 (Adam7); any other
+    value is a malformed header and must raise a clean ValueError, not
+    be decoded as Adam7 into a confusing raster-size mismatch
+    (ADVICE r10)."""
+    import struct
+    import zlib
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)  # interlace=2
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02" * 2))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace method 2"):
+        _decode_png(png)
+
+
+def test_jpeg_huffman_decode_tables_frozen():
+    """The memoized (lut, exact) pair is shared across every decode
+    keyed on the same DHT bytes, so it must be immutable — an
+    accidental in-place write raises instead of silently corrupting
+    all later decodes sharing the table (ADVICE r10)."""
+    from presto_cached_examples_spark.llm.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _build_decode_from,
+    )
+
+    table = bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    lut, exact = _build_decode_from(table)
+    with pytest.raises(TypeError):
+        lut[0] = None
+    with pytest.raises(TypeError):
+        exact[(1, 0)] = 99
+    # same object back on a second call (the memo is live)
+    assert _build_decode_from(table)[0] is lut
 
 
 def test_png_decodes_real_wild_files():
