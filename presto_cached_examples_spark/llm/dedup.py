@@ -212,23 +212,34 @@ def _band_structs(hash_col):
     """(band, bh) structs from an array of shingle hashes in ONE
     projection — no intermediate 64-column signature row + restruct
     layer (measured overhead at sf0.1, VERDICT r1 #7). Permutation k
-    is xxhash64(shingle_hash, seed=k). (Closure factory, not
-    default-arg lambdas: a two-parameter lambda would be invoked by
-    the HOF engine as (element, index).)"""
+    is xxhash64(shingle_hash, seed=k).
 
-    def min_hash(k: int):
-        return F.array_min(F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(k))))
-
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[min_hash(b * _BAND_SIZE + i) for i in range(_BAND_SIZE)]).alias(
-                    "bh"
-                ),
-            )
-            for b in range(_N_HASHES // _BAND_SIZE)
-        ]
+    Round 11 (VERDICT r10 next #4): the 64 permutations are a GENERIC
+    nested higher-order expression — transform over sequence(0,63) —
+    instead of 64 unrolled array_min(transform(...)) trees. The values
+    are bit-identical (the lambda variable k is the same IntegerType
+    as the old F.lit(k), and Spark's xxhash64 folds array elements
+    with exactly the per-argument accumulation, so hashing the 4-long
+    minhash array == xxhash64(m0..m3)), but janino now compiles one
+    small loop body instead of a 64-permutation expression forest —
+    the fixed codegen constant that made this query 28% of the frozen
+    headline set. Each band computes its own 4 permutations inside
+    its lambda, so every permutation is still evaluated exactly once
+    and there is no shared subexpression for CollapseProject to
+    duplicate."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_SIZE - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.transform(
+                    F.sequence(b * _BAND_SIZE, b * _BAND_SIZE + (_BAND_SIZE - 1)),
+                    lambda k: F.array_min(
+                        F.transform(hash_col, lambda h: F.xxhash64(h, k))
+                    ),
+                )
+            ).alias("bh"),
+        ),
     )
 
 
