@@ -155,6 +155,10 @@ TPCH_QUERIES = [
 #: lag windows and the day/month spines see 10x input on fixed key
 #: domains; dims stay 1x)
 ORDERS_QUERIES = [
+    # round-11 addition (VERDICT r10 item 5): 10 static shuffles — the
+    # customer-grain checkpoint + three parallel ranking branches must
+    # hold their curve as orders densify on the fixed custkey domain
+    "q_rfm_segments",
     "q_revenue_ewma",
     "q_seasonal_naive",
     "q_order_gaps",
