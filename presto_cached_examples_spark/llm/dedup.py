@@ -421,23 +421,35 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = d.select("doc_id", F.transform("toks", lambda t: _md5_long(t)).alias("hs"))
 
-    # bit j of the signature = (sum over token-hashes of ±1 by bit j) > 0
-    def bit_vote(j: int):
-        return F.aggregate(
-            "hs",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = []
-    for j in range(64):
-        vote = bit_vote(j)
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    # pack bits MSB-first into one long
-    sig = bit_cols[0]
-    for bit in bit_cols[1:]:
-        sig = F.shiftleft(sig, 1).bitwiseOR(bit)
+    # bit j of the signature = (sum over token-hashes of ±1 by bit j) > 0.
+    # Round 11: the 64 bit votes are ONE generic nested-HOF expression
+    # (transform over sequence(0,63)) instead of 64 unrolled aggregate
+    # trees + a 64-deep shiftleft chain — the q_dedup_near codegen-
+    # constant fix applied here (cold plan was ~7s of janino compile).
+    # Values are bit-identical: the vote arithmetic is unchanged and the
+    # MSB-first pack folds the bits in the same j=0..63 order the old
+    # chain shifted them. (F.call_function: the python wrapper for
+    # shiftrightunsigned only accepts an int shift, but the underlying
+    # SQL function takes a column — needed because j is a lambda var.)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            F.aggregate(
+                "hs",
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftrightunsigned", h, j).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b)
+    )
     return hashes.select("doc_id", sig.alias("sig"))
 
 
