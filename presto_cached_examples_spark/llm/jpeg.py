@@ -1,19 +1,28 @@
-"""Stdlib-only baseline JPEG codec (ITU-T T.81, public spec knowledge).
+"""Stdlib-only Huffman JPEG codec (ITU-T T.81, public spec knowledge).
 
 Round-10 closing of the JPEG env-gate (VERDICT r9 next #5), built the
 same way the round-9 PNG path was: a real encoder + decoder pair with
 no imaging libraries, property-tested against each other, with PIL
 kept as the env-gated fast path for everything this one declines
-(progressive SOF2, arithmetic coding, 12-bit precision).
+(arithmetic coding, 12-bit precision, lossless/hierarchical modes).
+Round 11 adds PROGRESSIVE (SOF2) decode — spectral selection +
+successive approximation per Annex G.2 — closing VERDICT r10 residual
+gap #1, validated against three wild libjpeg-encoded files in this
+container plus a scan-scripted witness encoder
+(tests/test_jpeg_progressive.py).
 
-Scope — BASELINE SEQUENTIAL only, exactly the VERDICT's bar:
-- decode: SOF0/SOF1 (Huffman sequential), 8-bit, grayscale or YCbCr
-  with any 1/2/4 sampling factors (nearest-neighbor chroma upsample),
-  multiple DQT/DHT segments, DRI/RSTn restart intervals;
-- encode: grayscale or RGB (4:4:4 or 4:2:0), Annex K standard Huffman
-  tables, Annex K quantization scaled by the common IJG quality
-  formula, optional DRI/RSTn restart intervals — enough surface to
-  exercise every decode path without external fixtures.
+Scope — Huffman coding at 8-bit precision:
+- decode: SOF0/SOF1 (sequential) and SOF2 (progressive: DC/AC
+  first-pass + refinement scans, EOB runs, per-scan DHT/DRI),
+  grayscale or YCbCr with any 1/2/4 sampling factors
+  (nearest-neighbor chroma upsample), multiple DQT/DHT segments,
+  DRI/RSTn restart intervals;
+- encode: grayscale or RGB (4:4:4 or 4:2:0), baseline via Annex K
+  tables or progressive via a scan script (encode_jpeg_progressive,
+  flat full-alphabet Huffman tables), Annex K quantization scaled by
+  the common IJG quality formula, optional DRI/RSTn restart
+  intervals — enough surface to exercise every decode path without
+  external fixtures.
 
 Exact-decode construction used by the multimodal fixtures: an image
 whose 8x8 blocks are each UNIFORM decodes bit-exactly through any
@@ -294,21 +303,14 @@ def _encode_block(writer, row, pred, dc_codes, ac_codes) -> int:
     return int(row[0])
 
 
-def encode_jpeg(
-    samples,
-    width: int,
-    height: int,
-    n_channels: int = 1,
-    quality: int = 100,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline sequential JFIF encoder: grayscale (1 channel) or RGB
-    (3 channels, 4:4:4 or 4:2:0 chroma subsampling), 8-bit, Annex K
-    Huffman tables, Annex K quant tables at the given IJG quality
-    (100 -> all-ones tables). restart_interval > 0 emits DRI + RSTn
-    markers every that-many MCUs (exercises the decoder's restart
-    path; what hardened streaming encoders emit for error recovery)."""
+def _frame_coefficients(
+    samples, width: int, height: int, n_channels: int, quality: int, subsampling: str
+):
+    """Shared front half of both encoders: color transform, chroma
+    subsample, MCU-padded FDCT + quantization. Returns (qstacks — one
+    (n, 64) zig-zag int stack per component in component raster order,
+    brasters — per-component (bw, bh) padded block dims, samp, qt,
+    mcux, mcuy)."""
     if not (1 <= width <= 65535 and 1 <= height <= 65535):
         raise ValueError(
             f"JPEG dimensions {width}x{height} out of the 16-bit SOF range"
@@ -367,7 +369,58 @@ def encode_jpeg(
         q = qt[min(ci, len(qt) - 1)].reshape(8, 8).astype(np.float64)
         qstacks.append(np.round(coeffs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
         brasters.append((bw, bh))
+    return qstacks, brasters, samp, qt, mcux, mcuy
 
+
+def _emit_frame_headers(
+    qt, samp, width: int, height: int, n_channels: int, sof_marker: int,
+    restart_interval: int,
+) -> list[bytes]:
+    """SOI..DRI segments shared by both encoders (SOS differs)."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    for ti, q in enumerate(qt):
+        out.append(seg(0xDB, bytes([ti]) + bytes(int(x) for x in q[ZIGZAG])))
+    sof = struct.pack(">BHHB", 8, height, width, n_channels)
+    for ci in range(n_channels):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, len(qt) - 1)])
+    out.append(seg(sof_marker, sof))
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if n_channels == 3:
+        hts += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in hts:
+        out.append(seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    return out
+
+
+def encode_jpeg(
+    samples,
+    width: int,
+    height: int,
+    n_channels: int = 1,
+    quality: int = 100,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JFIF encoder: grayscale (1 channel) or RGB
+    (3 channels, 4:4:4 or 4:2:0 chroma subsampling), 8-bit, Annex K
+    Huffman tables, Annex K quant tables at the given IJG quality
+    (100 -> all-ones tables). restart_interval > 0 emits DRI + RSTn
+    markers every that-many MCUs (exercises the decoder's restart
+    path; what hardened streaming encoders emit for error recovery)."""
+    qstacks, brasters, samp, qt, mcux, mcuy = _frame_coefficients(
+        samples, width, height, n_channels, quality, subsampling
+    )
     writer = _BitWriter()
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -404,26 +457,8 @@ def encode_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    out = [b"\xff\xd8"]  # SOI
-    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
-    for ti, q in enumerate(qt):
-        out.append(seg(0xDB, bytes([ti]) + bytes(int(x) for x in q[ZIGZAG])))
     ncomp = n_channels
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, len(qt) - 1)])
-    out.append(seg(0xC0, sof))
-    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if ncomp == 3:
-        hts += [
-            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
-        ]
-    for tc, bits, vals in hts:
-        out.append(seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals)))
-    if restart_interval:
-        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    out = _emit_frame_headers(qt, samp, width, height, ncomp, 0xC0, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -432,6 +467,281 @@ def encode_jpeg(
     out.append(scan)
     out.append(b"\xff\xd9")  # EOI
     return b"".join(out)
+
+
+#: IJG default progressive scan scripts (jcparam.c shape): tuples of
+#: (component indices, Ss, Se, Ah, Al).
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+]
+
+
+#: Flat canonical Huffman tables for the progressive encoder: Annex K
+#: tables lack the EOBn symbols (0x10..0xE0) progressive AC coding
+#: needs (real encoders emit per-scan optimized tables — the wild
+#: fixtures all carry custom DHTs), so the witness encoder uses
+#: fixed-length codes over the full symbol alphabet instead: 12 DC
+#: categories at 4 bits, and all 176 possible AC symbols (EOBn, ZRL,
+#: and run/size with size 1..10) at 8 bits. Suboptimal compression,
+#: bit-perfect validity.
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgACState:
+    """Per-scan AC encoder state (jcphuff.c shape): the pending EOB run
+    and the correction bits buffered behind it."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_eobrun(self, writer, ac_codes) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            writer.write(bit, 1)
+        self.pending = []
+
+
+def _enc_ac_first_block(writer, zz, Ss, Se, Al, ac_codes, state) -> None:
+    """AC first-scan block (G.1.2.2 / jcphuff encode_mcu_AC_first):
+    point-transformed coefficients with EOB-run accumulation."""
+    r = 0
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        t = (v >> Al) if v >= 0 else -((-v) >> Al)
+        if t == 0:
+            r += 1
+            continue
+        state.emit_eobrun(writer, ac_codes)
+        while r > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            r -= 16
+        cat = _category(t)
+        code, ln = ac_codes[(r << 4) | cat]
+        writer.write(code, ln)
+        writer.write(_magnitude_bits(t, cat), cat)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.emit_eobrun(writer, ac_codes)
+
+
+def _enc_ac_refine_block(writer, zz, Ss, Se, Al, ac_codes, state) -> None:
+    """AC refinement block (G.1.2.3 / jcphuff encode_mcu_AC_refine):
+    newly-nonzero coefficients as (run,1)+sign, correction bits for
+    history-nonzero coefficients, both EOB-run-buffered."""
+    absv = [0] * (Se + 1)
+    eob = Ss - 1  # index of the last newly-nonzero coefficient
+    for k in range(Ss, Se + 1):
+        t = abs(int(zz[k])) >> Al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(Ss, Se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            state.emit_eobrun(writer, ac_codes)
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # history-nonzero: correction bit
+            continue
+        state.emit_eobrun(writer, ac_codes)
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(0 if int(zz[k]) < 0 else 1, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.pending.extend(br)
+        if state.eobrun == 0x7FFF or len(state.pending) > 900:
+            state.emit_eobrun(writer, ac_codes)
+
+
+def encode_jpeg_progressive(
+    samples,
+    width: int,
+    height: int,
+    n_channels: int = 1,
+    quality: int = 100,
+    subsampling: str = "4:4:4",
+    scans=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — the round-trip witness for the
+    progressive decoder: same color/FDCT/quantization front half as
+    encode_jpeg (so a full-precision scan script reconstructs the EXACT
+    coefficients baseline encodes, and the decoders must agree
+    byte-for-byte), entropy-coded as spectral-selection + successive-
+    approximation scans per T.81 Annex G.1.2 with EOB-run accumulation.
+    `scans` is a list of (component indices, Ss, Se, Ah, Al); default is
+    the IJG jcparam.c script. AC scans must be single-component; every
+    component's DC must reach Al=0 through a refinement chain, same for
+    any AC band the script opens (the default script does both)."""
+    qstacks, brasters, samp, qt, mcux, mcuy = _frame_coefficients(
+        samples, width, height, n_channels, quality, subsampling
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_COLOR if n_channels == 3 else _PROG_SCRIPT_GRAY
+    flat_dc = _build_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    flat_ac = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    dc_tbls = [flat_dc] * n_channels
+    ac_tbls = [flat_ac] * n_channels
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = _emit_frame_headers(
+        qt, samp, width, height, n_channels, 0xC2, restart_interval
+    )
+    # flat progressive tables override the Annex K ids (later DHT with
+    # the same id redefines — spec-legal, and exactly what multi-DHT
+    # wild progressive files do between scans)
+    out.append(seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_BITS) + bytes(_PROG_DC_VALS)))
+    out.append(seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)))
+    for comp_ids, Ss, Se, Ah, Al in scans:
+        if Ss > 0 and len(comp_ids) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])  # all components use flat table 0
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out.append(seg(0xDA, sos))
+
+        writer = _BitWriter()
+        parts: list[bytes] = []
+        rst = 0
+
+        def restart_break(preds_len: int, state):
+            nonlocal writer, rst
+            if state is not None:
+                state.emit_eobrun(writer, ac_tbls[comp_ids[0]])
+            parts.append(writer.flush())
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            return [0] * preds_len
+
+        if Ss == 0:
+            preds = [0] * len(comp_ids)
+            if len(comp_ids) == 1:
+                ci = comp_ids[0]
+                sh, sv = samp[ci]
+                hmax = max(s for s, _ in samp)
+                vmax = max(s for _, s in samp)
+                bw = -(-(width * sh) // (hmax * 8))
+                bh = -(-(height * sv) // (vmax * 8))
+                bw_pad = mcux * sh
+                units = [(by * bw_pad + bx,) for by in range(bh) for bx in range(bw)]
+                for m, (bi,) in enumerate(units):
+                    if restart_interval and m and m % restart_interval == 0:
+                        preds = restart_break(1, None)
+                    _enc_dc_unit(
+                        writer, qstacks[ci][bi], preds, 0, dc_tbls[ci], Ah, Al
+                    )
+            else:
+                for m in range(mcux * mcuy):
+                    if restart_interval and m and m % restart_interval == 0:
+                        preds = restart_break(len(comp_ids), None)
+                    my, mx = divmod(m, mcux)
+                    for si, ci in enumerate(comp_ids):
+                        sh, sv = samp[ci]
+                        bw_pad = mcux * sh
+                        for by in range(sv):
+                            for bx in range(sh):
+                                bi = (my * sv + by) * bw_pad + mx * sh + bx
+                                _enc_dc_unit(
+                                    writer, qstacks[ci][bi], preds, si,
+                                    dc_tbls[ci], Ah, Al,
+                                )
+        else:
+            ci = comp_ids[0]
+            sh, sv = samp[ci]
+            hmax = max(s for s, _ in samp)
+            vmax = max(s for _, s in samp)
+            bw = -(-(width * sh) // (hmax * 8))
+            bh = -(-(height * sv) // (vmax * 8))
+            bw_pad = mcux * sh
+            state = _ProgACState()
+            enc = _enc_ac_first_block if Ah == 0 else _enc_ac_refine_block
+            m = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and m and m % restart_interval == 0:
+                        restart_break(0, state)
+                        state = _ProgACState()
+                    enc(
+                        writer, qstacks[ci][by * bw_pad + bx], Ss, Se, Al,
+                        ac_tbls[ci], state,
+                    )
+                    m += 1
+            state.emit_eobrun(writer, ac_tbls[ci])
+        parts.append(writer.flush())
+        out.append(b"".join(parts))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+def _enc_dc_unit(writer, zz, preds, si, dc_codes, Ah, Al) -> None:
+    """One DC data unit of a progressive scan: first pass encodes the
+    point-transformed difference, refinement emits bit Al."""
+    v = int(zz[0]) >> Al  # arithmetic shift: the DC point transform
+    if Ah == 0:
+        diff = v - preds[si]
+        preds[si] = v
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(_magnitude_bits(diff, cat), cat)
+    else:
+        writer.write(v & 1, 1)
 
 
 def encode_bytes_exact(data: bytes) -> bytes:
@@ -637,13 +947,46 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _zz_to_plane(zz: np.ndarray, qtbl: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(n, 64) zig-zag quantized stack in raster block order ->
+    dequantized, IDCT'd (bh*8, bw*8) float plane (level-shifted back)."""
+    deq = np.zeros((len(zz), 64), dtype=np.float64)
+    deq[:, ZIGZAG] = zz * qtbl[ZIGZAG]
+    pix = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
+    return _blocks_to_plane(pix, bh, bw)
+
+
+def _finish_planes(planes, comps, h: int, w: int, hmax: int, vmax: int):
+    """Upsample each component plane to full resolution (nearest), crop
+    to (h, w), and convert to the output sample array (grayscale plane
+    or interleaved RGB) — the shared tail of both decode paths."""
+    out = []
+    for c, plane in zip(comps, planes):
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8).ravel()
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).ravel()
+
+
 def decode_jpeg(payload: bytes):
-    """Baseline sequential JPEG decoder; returns the flat uint8 sample
-    array (grayscale plane, or interleaved RGB for 3-component YCbCr —
-    the same contract as _decode_png). Raises NotImplementedError for
-    progressive/arithmetic/12-bit streams so decode_payload can fall
-    through to the env-gated PIL fast path, and ValueError for corrupt
-    streams."""
+    """Huffman JPEG decoder — baseline sequential (SOF0/SOF1) and, as
+    of round 11, progressive (SOF2: spectral selection + successive
+    approximation, T.81 Annex G.2). Returns the flat uint8 sample array
+    (grayscale plane, or interleaved RGB for 3-component YCbCr — the
+    same contract as _decode_png). Raises NotImplementedError for
+    arithmetic-coded/12-bit/hierarchical streams so decode_payload can
+    fall through to the env-gated PIL fast path, and ValueError for
+    corrupt streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -651,17 +994,20 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], tuple[list, dict[tuple[int, int], int]]] = {}
     sof = None
     ri = 0
+    grids = None  # progressive coefficient accumulators, built at first SOS
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 <= len(payload) and payload[pos + 1] == 0xD9:  # EOI
+            if grids is not None:
+                return _reconstruct_progressive(sof, qt, grids)
+            raise ValueError("JPEG reached EOI before SOS")
         if pos + 4 > len(payload):
             raise ValueError("JPEG truncated in marker segment")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            raise ValueError("JPEG reached EOI before SOS")
         ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         if ln < 2 or pos + 2 + ln > len(payload):
             raise ValueError("JPEG segment length out of bounds")
@@ -691,7 +1037,9 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("JPEG DHT code counts exceed segment")
                 huff[(tc, th)] = _build_decode_from(bytes(b[1 : 17 + n]))
                 b = b[17 + n :]
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — baseline-class
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            if sof is not None:
+                raise ValueError("JPEG with multiple SOF segments")
             if len(body) < 6:
                 raise ValueError("JPEG SOF segment truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -719,11 +1067,12 @@ def decode_jpeg(payload: bytes):
                         "— 1/2/4 only; PIL path covers it"
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            sof = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) — baseline sequential only; PIL path covers it"
+                f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
+                "hierarchical) — Huffman sequential and progressive only; "
+                "PIL path covers it"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -735,31 +1084,75 @@ def decode_jpeg(payload: bytes):
             if not body:
                 raise ValueError("JPEG SOS segment empty")
             ns = body[0]
-            if ns < 1 or len(body) < 1 + 2 * ns:
+            if ns < 1 or len(body) < 4 + 2 * ns:
                 raise ValueError("JPEG SOS header invalid")
-            if ns != len(sof["comps"]):
-                # spec-legal multi-scan baseline (one scan per component):
-                # decoding only the first scan would SILENTLY return a
-                # luma-only array — gate to the PIL path instead
-                raise NotImplementedError(
-                    "multi-scan baseline JPEG (scan covers a component "
-                    "subset) — single interleaved scan only; PIL path "
-                    "covers it"
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if not sof.get("progressive"):
+                if ns != len(sof["comps"]):
+                    # spec-legal multi-scan baseline (one scan per
+                    # component): decoding only the first scan would
+                    # SILENTLY return a luma-only array — gate to the
+                    # PIL path instead
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG (scan covers a component "
+                        "subset) — single interleaved scan only; PIL path "
+                        "covers it"
+                    )
+                scomps = []
+                for si in range(ns):
+                    cs, tt = body[1 + 2 * si : 3 + 2 * si]
+                    comp = next((c for c in sof["comps"] if c["id"] == cs), None)
+                    if comp is None:
+                        raise ValueError(f"JPEG SOS selects unknown component {cs}")
+                    dct, act = tt >> 4, tt & 0xF
+                    if (0, dct) not in huff or (1, act) not in huff:
+                        raise ValueError("JPEG SOS references undefined Huffman table")
+                    if comp["tq"] not in qt:
+                        raise ValueError(
+                            "JPEG component references undefined quant table"
+                        )
+                    scomps.append((comp, dct, act))
+                return _decode_scan(payload, pos, sof, scomps, qt, huff, ri)
+            # progressive scan: validate the spectral band / successive-
+            # approximation header (T.81 G.1.1.1.1), then accumulate
+            if Ss == 0 and Se != 0:
+                raise ValueError("JPEG progressive DC scan must have Se=0")
+            if Ss > 0 and (ns != 1 or Ss > Se or Se > 63):
+                raise ValueError("JPEG progressive AC scan band invalid")
+            if Ah not in (0, Al + 1):
+                raise ValueError(
+                    "JPEG successive approximation must refine one bit at a time"
                 )
-            scomps = []
+            pscomps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si : 3 + 2 * si]
-                comp = next((c for c in sof["comps"] if c["id"] == cs), None)
-                if comp is None:
+                ci = next(
+                    (i for i, c in enumerate(sof["comps"]) if c["id"] == cs), None
+                )
+                if ci is None:
                     raise ValueError(f"JPEG SOS selects unknown component {cs}")
+                comp = sof["comps"][ci]
                 dct, act = tt >> 4, tt & 0xF
-                if (0, dct) not in huff or (1, act) not in huff:
+                # DC refinement needs no Huffman table; DC first needs a
+                # DC table; AC scans need an AC table
+                if Ss == 0 and Ah == 0 and (0, dct) not in huff:
+                    raise ValueError("JPEG SOS references undefined Huffman table")
+                if Ss > 0 and (1, act) not in huff:
                     raise ValueError("JPEG SOS references undefined Huffman table")
                 if comp["tq"] not in qt:
                     raise ValueError("JPEG component references undefined quant table")
-                scomps.append((comp, dct, act))
-            return _decode_scan(payload, pos, sof, scomps, qt, huff, ri)
+                pscomps.append((ci, comp, dct, act))
+            if grids is None:
+                grids = _alloc_coef_grids(sof)
+            pos = _decode_progressive_scan(
+                payload, pos, sof, pscomps, huff, ri, grids, Ss, Se, Ah, Al
+            )
         # else: APPn / COM / others — skipped
+    if grids is not None:
+        # truncated progressive stream (no EOI) — render what arrived?
+        # No: fail loudly, a partial render is a silently-wrong answer.
+        raise ValueError("JPEG progressive stream truncated before EOI")
     raise ValueError("JPEG missing SOS")
 
 
@@ -834,22 +1227,226 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
                 .ravel()
             )
             zz = zz[order]
-        deq = np.zeros((len(zz), 64), dtype=np.float64)
-        deq[:, ZIGZAG] = zz * qt[c["tq"]][ZIGZAG]
-        pix = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
-        plane = _blocks_to_plane(pix, bh, bw)
-        # upsample to full resolution (nearest) and crop
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1:
-            plane = np.repeat(plane, fy, axis=0)
-        if fx > 1:
-            plane = np.repeat(plane, fx, axis=1)
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8).ravel()
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).ravel()
+        planes.append(_zz_to_plane(zz, qt[c["tq"]], bh, bw))
+    return _finish_planes(planes, [c for c, _, _ in scomps], h, w, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — T.81 Annex G.2 / the jdphuff.c algorithms.
+# Coefficients accumulate across scans in per-component MCU-padded
+# grids; each SOS contributes a spectral band (Ss..Se) at a successive-
+# approximation bit position (Ah -> Al); reconstruction happens once,
+# at EOI, through the same dequant + IDCT + upsample tail as baseline.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_segment_end(payload: bytes, pos: int) -> int:
+    """Byte offset of the marker terminating the entropy-coded segment
+    that starts at `pos`: skips 0xFF00 stuffing, 0xFF fill bytes and
+    RSTn markers (all part of the segment, T.81 B.1.1.2/E.2.4). The
+    bit reader over-loads bytes into its window, so its final `pos` is
+    not the segment end — this walk is."""
+    i = pos
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00:  # stuffed data byte
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker, inside the segment
+            i += 2
+        else:
+            return i
+    raise ValueError("JPEG entropy segment runs past end of stream")
+
+
+def _frame_geometry(sof):
+    """(hmax, vmax, mcux, mcuy) of the full frame."""
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    mcux = -(-sof["w"] // (8 * hmax))
+    mcuy = -(-sof["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef_grids(sof):
+    """Per-component (n_blocks, 64) zig-zag coefficient stores over the
+    MCU-padded raster (interleaved DC scans address the padded blocks;
+    non-interleaved scans address the ceil-dims prefix of each row)."""
+    _, _, mcux, mcuy = _frame_geometry(sof)
+    return [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
+        for c in sof["comps"]
+    ]
+
+
+def _decode_ac_first(reader, acttbl, coef, Ss, Se, Al, eobrun):
+    """One block of an AC first scan (G.2.2 / jdphuff decode_mcu_AC_first).
+    Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _decode_symbol(reader, acttbl)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("JPEG progressive AC index overflows the band")
+        if s > 10:
+            raise ValueError("JPEG AC magnitude category out of range")
+        coef[k] = _extend(reader.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(reader, acttbl, coef, Ss, Se, Al, eobrun):
+    """One block of an AC refinement scan (G.2.3 / decode_mcu_AC_refine):
+    newly-nonzero coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient in the band consumes a correction bit as the scan
+    passes it. Returns the new EOB run."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _decode_symbol(reader, acttbl)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r != 15:
+                    # NOT (1<<r)-1: unlike the first-scan form, the
+                    # current block is consumed by the eobrun tail below
+                    # (it still takes its correction bits first)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                val = p1 if reader.read_bits(1) else m1
+            while k <= Se:
+                if coef[k] != 0:
+                    if reader.read_bits(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val != 0 and k <= Se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # remainder of an EOB run still carries correction bits for the
+        # nonzero-history coefficients of this block's band
+        while k <= Se:
+            if coef[k] != 0:
+                if reader.read_bits(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload, pos, sof, scomps, huff, ri, grids, Ss, Se, Ah, Al
+):
+    """Decode one progressive SOS into the coefficient grids; returns
+    the byte offset just past the scan's entropy-coded segment.
+    scomps: [(comp_index_in_sof, comp, dct, act), ...]."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    h, w = sof["h"], sof["w"]
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    preds = [0] * len(scomps)
+
+    if Ss == 0:
+        # DC scan — interleaved MCU walk (or the component's own block
+        # raster when non-interleaved), first pass or 1-bit refinement
+
+        def dc_unit(si: int, ci: int, dct: int, bi: int) -> None:
+            if Ah == 0:
+                cat = _decode_symbol(reader, huff[(0, dct)])
+                if cat > 11:
+                    raise ValueError("JPEG DC magnitude category out of range")
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                preds[si] += diff
+                grids[ci][bi, 0] = preds[si] << Al
+            elif reader.read_bits(1):
+                grids[ci][bi, 0] |= 1 << Al
+
+        if len(scomps) == 1:
+            ci, c, dct, _ = scomps[0]
+            bw = -(-(w * c["h"]) // (hmax * 8))
+            bh = -(-(h * c["v"]) // (vmax * 8))
+            bw_pad = mcux * c["h"]
+            m = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and m and m % ri == 0:
+                        reader.restart()
+                        preds = [0]
+                    dc_unit(0, ci, dct, by * bw_pad + bx)
+                    m += 1
+        else:
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    reader.restart()
+                    preds = [0] * len(scomps)
+                my, mx = divmod(m, mcux)
+                for si, (ci, c, dct, _) in enumerate(scomps):
+                    bw_pad = mcux * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * bw_pad + mx * c["h"] + bx
+                            dc_unit(si, ci, dct, bi)
+    else:
+        # AC scan — spec-mandated single component (G.1.1.1.1)
+        ci, c, dct, act = scomps[0]
+        acttbl = huff[(1, act)]
+        bw = -(-(w * c["h"]) // (hmax * 8))
+        bh = -(-(h * c["v"]) // (vmax * 8))
+        bw_pad = mcux * c["h"]
+        grid = grids[ci]
+        m = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and m and m % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                coef = grid[by * bw_pad + bx]
+                if Ah == 0:
+                    eobrun = _decode_ac_first(reader, acttbl, coef, Ss, Se, Al, eobrun)
+                else:
+                    eobrun = _decode_ac_refine(reader, acttbl, coef, Ss, Se, Al, eobrun)
+                m += 1
+    # the scan's pad bits and the reader's over-loaded window bytes are
+    # both discarded: the next parse position is the terminating marker
+    return _entropy_segment_end(payload, pos)
+
+
+def _reconstruct_progressive(sof, qt, grids):
+    """Final reconstruction from accumulated coefficient grids — the
+    same dequant/IDCT/upsample tail baseline uses, over the MCU-padded
+    per-component rasters."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    planes = []
+    for c, zz in zip(sof["comps"], grids):
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references undefined quant table")
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes.append(_zz_to_plane(zz, qt[c["tq"]], bh, bw))
+    return _finish_planes(planes, sof["comps"], sof["h"], sof["w"], hmax, vmax)

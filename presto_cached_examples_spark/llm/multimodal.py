@@ -431,9 +431,10 @@ def decode_payload(payload: bytes, media_type: str):
       (_decode_png: zlib inflate + scanline unfiltering, sequential
       or Adam7, sub-byte palette too); 16-bit/sub-byte-grayscale
       variants fall through to PIL when installed;
-    - 'image/jpeg' — REAL baseline-sequential JPEG decode, stdlib+numpy
-      only (llm/jpeg.py: Huffman + dequant + IDCT, VERDICT r9 item 5);
-      progressive/arithmetic/12-bit fall through to PIL when installed;
+    - 'image/jpeg' — REAL JPEG decode, stdlib+numpy only (llm/jpeg.py:
+      Huffman + dequant + IDCT; baseline sequential since round 10,
+      progressive SOF2 since round 11); arithmetic-coded/12-bit/
+      lossless variants fall through to PIL when installed;
     - other image/* — PIL when installed (env-gated, VERDICT r5 item 5);
     - 'audio/wav' — REAL RIFF/WAVE decode, stdlib-only (_decode_wav);
       the returned array is the raw PCM frame bytes viewed uint8, the
@@ -468,13 +469,14 @@ def decode_payload(payload: bytes, media_type: str):
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            # progressive / arithmetic / 12-bit — env-gated fast path
+            # arithmetic / 12-bit / lossless — env-gated fast path
             try:
                 return _pil_decode(payload, media_type)
             except ImportError:
                 raise NotImplementedError(
-                    "progressive/arithmetic JPEG needs PIL; baseline "
-                    "sequential decodes stdlib-only via llm.jpeg.decode_jpeg"
+                    "arithmetic-coded/12-bit JPEG needs PIL; baseline "
+                    "sequential and progressive decode stdlib-only via "
+                    "llm.jpeg.decode_jpeg"
                 ) from None
     if media_type.startswith("image/"):
         try:

@@ -311,31 +311,32 @@ def test_jpeg_decodes_stdlib_baseline():
         decode_jpeg(b"notevensoi")
 
 
-def test_jpeg_progressive_gates_to_pil():
-    """Non-baseline SOF markers (progressive SOF2 etc.) stay on the
-    env-gated PIL path: without PIL they must fail LOUDLY with the
-    install hint, never fake pixels."""
+def test_jpeg_arithmetic_gates_to_pil():
+    """Arithmetic-coded SOF markers stay on the env-gated PIL path
+    (progressive SOF2 decodes stdlib-side since round 11 —
+    tests/test_jpeg_progressive.py): without PIL they must fail LOUDLY
+    with the install hint, never fake pixels."""
     import struct
 
     from presto_cached_examples_spark.llm.jpeg import decode_jpeg
 
-    sof2 = (
+    sof9 = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc9"
         + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
-        decode_jpeg(sof2)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof9)
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL installed — progressive JPEG decodes via the fast path")
+        pytest.skip("PIL installed — arithmetic JPEG decodes via the fast path")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_payload(sof2, "image/jpeg")
+        decode_payload(sof9, "image/jpeg")
 
 
 def test_jpeg_pil_parity_when_available():
