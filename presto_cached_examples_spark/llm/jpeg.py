@@ -728,6 +728,101 @@ def encode_jpeg_progressive(
     return b"".join(out)
 
 
+def encode_jpeg_multiscan(
+    samples,
+    width: int,
+    height: int,
+    n_channels: int = 3,
+    quality: int = 100,
+    subsampling: str = "4:4:4",
+    groups=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Multi-scan SEQUENTIAL (SOF0) witness encoder: the same frame
+    coefficients as encode_jpeg, entropy-coded as one full-band
+    sequential scan per component group (`groups` defaults to one scan
+    per component — the classic non-interleaved layout; a group of
+    several components emits an interleaved subset scan). Decoding must
+    be byte-identical to the single-scan baseline decode — this is the
+    round-trip witness for the multi-scan decode path."""
+    qstacks, brasters, samp, qt, mcux, mcuy = _frame_coefficients(
+        samples, width, height, n_channels, quality, subsampling
+    )
+    if groups is None:
+        groups = [[ci] for ci in range(n_channels)]
+    dc_tbls = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (n_channels - 1)
+    ac_tbls = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + [
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ] * (n_channels - 1)
+    hmax = max(s for s, _ in samp)
+    vmax = max(s for _, s in samp)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = _emit_frame_headers(
+        qt, samp, width, height, n_channels, 0xC0, restart_interval
+    )
+    for group in groups:
+        sos = bytes([len(group)])
+        for ci in group:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += b"\x00\x3f\x00"
+        out.append(seg(0xDA, sos))
+
+        writer = _BitWriter()
+        parts: list[bytes] = []
+        rst = 0
+        preds = [0] * len(group)
+
+        def restart_break(n: int):
+            nonlocal writer, rst
+            parts.append(writer.flush())
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            return [0] * n
+
+        if len(group) == 1:
+            ci = group[0]
+            sh, sv = samp[ci]
+            bw = -(-(width * sh) // (hmax * 8))
+            bh = -(-(height * sv) // (vmax * 8))
+            bw_pad = mcux * sh
+            m = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and m and m % restart_interval == 0:
+                        preds = restart_break(1)
+                    preds[0] = _encode_block(
+                        writer, qstacks[ci][by * bw_pad + bx], preds[0],
+                        dc_tbls[ci], ac_tbls[ci],
+                    )
+                    m += 1
+        else:
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    preds = restart_break(len(group))
+                my, mx = divmod(m, mcux)
+                for si, ci in enumerate(group):
+                    sh, sv = samp[ci]
+                    bw_pad = mcux * sh
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * bw_pad + mx * sh + bx
+                            preds[si] = _encode_block(
+                                writer, qstacks[ci][bi], preds[si],
+                                dc_tbls[ci], ac_tbls[ci],
+                            )
+        parts.append(writer.flush())
+        out.append(b"".join(parts))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
 def _enc_dc_unit(writer, zz, preds, si, dc_codes, Ah, Al) -> None:
     """One DC data unit of a progressive scan: first pass encodes the
     point-transformed difference, refinement emits bit Al."""
@@ -994,7 +1089,8 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], tuple[list, dict[tuple[int, int], int]]] = {}
     sof = None
     ri = 0
-    grids = None  # progressive coefficient accumulators, built at first SOS
+    grids = None  # multi-scan coefficient accumulators, built at first SOS
+    seq_seen: set[int] = set()  # components decoded by sequential scans
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1003,6 +1099,15 @@ def decode_jpeg(payload: bytes):
             pos += 1
         if pos + 2 <= len(payload) and payload[pos + 1] == 0xD9:  # EOI
             if grids is not None:
+                if not sof.get("progressive") and seq_seen != set(
+                    range(len(sof["comps"]))
+                ):
+                    # a sequential frame whose scans never covered some
+                    # component — rendering gray for it would be
+                    # silently wrong
+                    raise ValueError(
+                        "JPEG multi-scan stream ended with undecoded components"
+                    )
                 return _reconstruct_progressive(sof, qt, grids)
             raise ValueError("JPEG reached EOI before SOS")
         if pos + 4 > len(payload):
@@ -1089,22 +1194,16 @@ def decode_jpeg(payload: bytes):
             Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
             Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             if not sof.get("progressive"):
-                if ns != len(sof["comps"]):
-                    # spec-legal multi-scan baseline (one scan per
-                    # component): decoding only the first scan would
-                    # SILENTLY return a luma-only array — gate to the
-                    # PIL path instead
-                    raise NotImplementedError(
-                        "multi-scan baseline JPEG (scan covers a component "
-                        "subset) — single interleaved scan only; PIL path "
-                        "covers it"
-                    )
                 scomps = []
                 for si in range(ns):
                     cs, tt = body[1 + 2 * si : 3 + 2 * si]
-                    comp = next((c for c in sof["comps"] if c["id"] == cs), None)
-                    if comp is None:
+                    ci = next(
+                        (i for i, c in enumerate(sof["comps"]) if c["id"] == cs),
+                        None,
+                    )
+                    if ci is None:
                         raise ValueError(f"JPEG SOS selects unknown component {cs}")
+                    comp = sof["comps"][ci]
                     dct, act = tt >> 4, tt & 0xF
                     if (0, dct) not in huff or (1, act) not in huff:
                         raise ValueError("JPEG SOS references undefined Huffman table")
@@ -1112,8 +1211,25 @@ def decode_jpeg(payload: bytes):
                         raise ValueError(
                             "JPEG component references undefined quant table"
                         )
-                    scomps.append((comp, dct, act))
-                return _decode_scan(payload, pos, sof, scomps, qt, huff, ri)
+                    scomps.append((ci, comp, dct, act))
+                if ns == len(sof["comps"]) and grids is None:
+                    # the common single-scan layout: decode and return in
+                    # one pass (no grid accumulation)
+                    return _decode_scan(
+                        payload, pos, sof, [s[1:] for s in scomps], qt, huff, ri
+                    )
+                # spec-legal MULTI-SCAN baseline (T.81 lets a sequential
+                # frame split components across scans — one scan per
+                # component is the common non-interleaved layout):
+                # accumulate like progressive, reconstruct at EOI
+                if grids is None:
+                    grids = _alloc_coef_grids(sof)
+                for ci, *_ in scomps:
+                    seq_seen.add(ci)
+                pos = _decode_sequential_scan_into_grids(
+                    payload, pos, sof, scomps, huff, ri, grids
+                )
+                continue
             # progressive scan: validate the spectral band / successive-
             # approximation header (T.81 G.1.1.1.1), then accumulate
             if Ss == 0 and Se != 0:
@@ -1150,10 +1266,87 @@ def decode_jpeg(payload: bytes):
             )
         # else: APPn / COM / others — skipped
     if grids is not None:
-        # truncated progressive stream (no EOI) — render what arrived?
+        # truncated multi-scan stream (no EOI) — render what arrived?
         # No: fail loudly, a partial render is a silently-wrong answer.
-        raise ValueError("JPEG progressive stream truncated before EOI")
+        raise ValueError("JPEG multi-scan stream truncated before EOI")
     raise ValueError("JPEG missing SOS")
+
+
+def _decode_sequential_block(reader, coef, dctbl, actbl, pred) -> int:
+    """One sequential data unit (T.81 F.2.2): DC diff + AC run/size
+    pairs into a 64-entry zig-zag coefficient array; returns the new
+    DC predictor."""
+    cat = _decode_symbol(reader, dctbl)
+    if cat > 11:  # T.81 Table F.1: DC categories 0..11 at 8-bit
+        raise ValueError("JPEG DC magnitude category out of range")
+    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(reader, actbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        cat = sym & 0xF
+        if cat == 0 or cat > 10:
+            # T.81 Table F.2: AC sizes 1..10 at 8-bit; size 0 is only
+            # legal inside EOB/ZRL (handled above)
+            raise ValueError("JPEG AC run/size symbol invalid")
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coef[k] = _extend(reader.read_bits(cat), cat)
+        k += 1
+    return pred
+
+
+def _decode_sequential_scan_into_grids(payload, pos, sof, scomps, huff, ri, grids):
+    """One sequential scan of a MULTI-SCAN baseline image, accumulated
+    into the shared coefficient grids (T.81 allows a sequential frame
+    to split its components across scans — one scan per component is
+    the common non-interleaved layout). Same walk as the progressive
+    DC branch, full block decode per data unit; returns the byte
+    offset of the scan's terminating marker.
+    scomps: [(comp_index_in_sof, comp, dct, act), ...]."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    h, w = sof["h"], sof["w"]
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(scomps)
+    if len(scomps) == 1:
+        ci, c, dct, act = scomps[0]
+        dctbl, actbl = huff[(0, dct)], huff[(1, act)]
+        bw = -(-(w * c["h"]) // (hmax * 8))
+        bh = -(-(h * c["v"]) // (vmax * 8))
+        bw_pad = mcux * c["h"]
+        m = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and m and m % ri == 0:
+                    reader.restart()
+                    preds = [0]
+                preds[0] = _decode_sequential_block(
+                    reader, grids[ci][by * bw_pad + bx], dctbl, actbl, preds[0]
+                )
+                m += 1
+    else:
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                reader.restart()
+                preds = [0] * len(scomps)
+            my, mx = divmod(m, mcux)
+            for si, (ci, c, dct, act) in enumerate(scomps):
+                dctbl, actbl = huff[(0, dct)], huff[(1, act)]
+                bw_pad = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * bw_pad + mx * c["h"] + bx
+                        preds[si] = _decode_sequential_block(
+                            reader, grids[ci][bi], dctbl, actbl, preds[si]
+                        )
+    return _entropy_segment_end(payload, pos)
 
 
 def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
@@ -1182,30 +1375,9 @@ def _decode_scan(payload, pos, sof, scomps, qt, huff, ri):
             nblk = 1 if len(scomps) == 1 else c["h"] * c["v"]
             for _ in range(nblk):
                 coef = np.zeros(64, dtype=np.int64)
-                cat = _decode_symbol(reader, huff[(0, dct)])
-                if cat > 11:  # T.81 Table F.1: DC categories 0..11 at 8-bit
-                    raise ValueError("JPEG DC magnitude category out of range")
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                preds[si] += diff
-                coef[0] = preds[si]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(reader, huff[(1, act)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    cat = sym & 0xF
-                    if cat == 0 or cat > 10:
-                        # T.81 Table F.2: AC sizes 1..10 at 8-bit; size 0
-                        # is only legal inside EOB/ZRL (handled above)
-                        raise ValueError("JPEG AC run/size symbol invalid")
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient index overflow")
-                    coef[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
+                preds[si] = _decode_sequential_block(
+                    reader, coef, huff[(0, dct)], huff[(1, act)], preds[si]
+                )
                 stacks[si].append(coef)
     planes = []
     for si, (c, _, _) in enumerate(scomps):

@@ -206,6 +206,49 @@ def test_progressive_corruption_fuzz(seed, nflips):
         pass
 
 
+@pytest.mark.parametrize(
+    "nc,sub,w,h,q,ri,groups",
+    [
+        (3, "4:4:4", 24, 16, 100, 0, None),
+        (3, "4:2:0", 37, 23, 80, 0, None),
+        (3, "4:2:0", 40, 24, 90, 2, None),
+        (3, "4:4:4", 32, 16, 85, 0, [[0, 1], [2]]),
+        (1, "4:4:4", 19, 11, 90, 0, None),
+    ],
+)
+def test_multiscan_baseline_roundtrip_equals_single_scan(nc, sub, w, h, q, ri, groups):
+    """Multi-scan SEQUENTIAL decode (round 11 — previously a PIL gate):
+    the same coefficients split across per-component (or interleaved-
+    subset) scans must decode byte-identical to the single interleaved
+    scan, including with restart intervals."""
+    from presto_cached_examples_spark.llm.jpeg import encode_jpeg_multiscan
+
+    rng = np.random.RandomState(w + h + nc)
+    img = rng.randint(0, 256, w * h * nc, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, w, h, n_channels=nc, quality=q, subsampling=sub))
+    ms = decode_jpeg(
+        encode_jpeg_multiscan(
+            img, w, h, n_channels=nc, quality=q, subsampling=sub,
+            groups=groups, restart_interval=ri,
+        )
+    )
+    assert (base == ms).all()
+
+
+def test_multiscan_missing_component_raises():
+    """A sequential multi-scan stream that reaches EOI without covering
+    every component must raise, never render gray for the missing
+    planes."""
+    from presto_cached_examples_spark.llm.jpeg import encode_jpeg_multiscan
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, 16 * 16 * 3, dtype=np.uint8)
+    full = encode_jpeg_multiscan(img, 16, 16)
+    cut = full[: full.rfind(b"\xff\xda")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="undecoded components"):
+        decode_jpeg(cut)
+
+
 def test_progressive_in_decode_payload():
     """decode_payload routes progressive JPEG through the stdlib
     decoder now — no PIL needed (the gate narrows to

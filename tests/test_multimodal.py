@@ -545,8 +545,12 @@ def test_jpeg_non_decodable_variants_gate_cleanly():
         encode_jpeg,
     )
 
-    # (a) multi-scan baseline: a 3-component SOF whose first scan
-    # covers one component would decode to luma-only — must gate
+    # (a) a 3-component SOF whose ONLY scan covers one component is a
+    # broken multi-scan stream (multi-scan baseline DECODES since
+    # round 11 — tests/test_jpeg_progressive.py): the chroma
+    # components never arrive, so the decoder must raise rather than
+    # render luma-only/gray pixels. (The interleaved entropy data may
+    # also desync first — either way, ValueError, never silent.)
     rgb = np.zeros(8 * 8 * 3, dtype=np.uint8)
     jp = bytearray(encode_jpeg(rgb, 8, 8, 3, quality=100))
     # rewrite the SOS header to select a single component
@@ -556,7 +560,7 @@ def test_jpeg_non_decodable_variants_gate_cleanly():
         [1, 1, 0x00, 0, 0x3F, 0]
     )
     jp2 = bytes(jp[:i]) + single + bytes(jp[i + 2 + ln :])
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    with pytest.raises(ValueError):
         decode_jpeg(jp2)
     # (b) 4-component (CMYK-style) SOF gates, not a raw unpack error
     i = jp.find(b"\xff\xc0")
