@@ -32,6 +32,13 @@ QUERIES = [
     "q_dedup_exact",
     "q_dedup_ngram",
     "q_dedup_near",
+    # round-11 addition: the other 64-wide signature op, after both were
+    # folded to generic nested-HOF expressions. Copies are verbatim, so
+    # identical signatures put every copy in the same bands and the true
+    # pair OUTPUT grows ~mult^2 (measured 166k -> 16.9M pairs = 101x at
+    # mult=10) — read the wall ratio against THAT, like q_dedup_embed
+    # (measured 20x wall vs 101x output: sub-linear in the problem)
+    "q_dedup_simhash",
     "q_dedup_containment",
     "q_boilerplate_scrub",
     "q_text_entropy",
