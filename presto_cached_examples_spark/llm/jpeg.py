@@ -1177,7 +1177,8 @@ def decode_jpeg(payload: bytes):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
                 "hierarchical) — Huffman sequential and progressive only; "
-                "PIL path covers it"
+                "these legacy variants need a specialty decoder (stock "
+                "PIL/libjpeg reject most of them too)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:

@@ -311,6 +311,54 @@ def test_jpeg_decodes_stdlib_baseline():
         decode_jpeg(b"notevensoi")
 
 
+def test_jpeg_decodes_real_wild_baseline_files():
+    """Cross-validation against REAL baseline JPEGs produced by an
+    INDEPENDENT encoder (libjpeg-era spark-mllib fixtures: 4:2:0
+    chroma, per-image optimized Huffman tables — nothing shaped like
+    this repo's witness encoder): each decodes to its SOF raster with
+    photographic spread (the wild-PNG test's JPEG sibling, added with
+    the round-11 progressive work)."""
+    import glob
+    import struct
+
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/**/*.jpg",
+            recursive=True,
+        )
+    )
+    if not files:
+        pytest.skip("spark-mllib wild JPEG fixtures not present")
+    checked = 0
+    for f in files:
+        data = open(f, "rb").read()
+        # read the SOF dims independently of the decoder under test
+        i, dims = 2, None
+        while i < len(data) - 9:
+            if data[i] == 0xFF and data[i + 1] in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                dims = (w, h, data[i + 9])
+                break
+            if data[i] == 0xFF and data[i + 1] not in (0x01, 0xD8) and not (
+                0xD0 <= data[i + 1] <= 0xD7
+            ):
+                i += 2 + struct.unpack(">H", data[i + 2 : i + 4])[0]
+            else:
+                i += 1
+        assert dims is not None, f
+        w, h, nc = dims
+        arr = decode_jpeg(data)
+        assert arr.shape == (w * h * nc,), f
+        assert arr.dtype == np.uint8
+        assert float(arr.std()) > 20, f  # photographic content, not a flat render
+        checked += 1
+    assert checked >= 5
+
+
 def test_jpeg_arithmetic_gates_to_pil():
     """Arithmetic-coded SOF markers stay on the env-gated PIL path
     (progressive SOF2 decodes stdlib-side since round 11 —
