@@ -94,6 +94,36 @@ def test_progressive_spectral_selection_only_script():
     assert (base == prog).all()
 
 
+def test_progressive_noninterleaved_dc_scans():
+    """Color frame whose DC arrives in per-component (non-interleaved)
+    scans — spec-legal but produced by neither the wild fixtures nor
+    the IJG default script; the single-component DC walk addresses the
+    component's ceil-dims raster, not the MCU-padded one."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, 37 * 21 * 3, dtype=np.uint8)
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([1], 0, 0, 0, 1),
+        ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0),
+        ([1], 0, 0, 1, 0),
+        ([2], 0, 0, 1, 0),
+    ]
+    for sub in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(
+            encode_jpeg(img, 37, 21, n_channels=3, quality=80, subsampling=sub)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, 37, 21, n_channels=3, quality=80, subsampling=sub, scans=scans
+            )
+        )
+        assert (base == prog).all(), sub
+
+
 def test_progressive_dc_only_exact_bytes():
     """The exact-decode construction (uniform 8x8 blocks, quality 100)
     survives a progressive container too: DC-only content refined to
