@@ -151,6 +151,76 @@ def test_progressive_roundtrip_property(w, h, nc, q, seed):
     assert (base == prog).all()
 
 
+def _random_scan_script(rng, nc):
+    """A random VALID progressive scan script: per component, a DC
+    successive-approximation chain plus a random partition of 1..63
+    into contiguous AC bands each with its own approximation depth;
+    the independent chains are then randomly interleaved (intra-chain
+    order preserved — T.81's only ordering constraint)."""
+    chains = []
+    # DC chain: interleaved-all-components or per-component, depth a0
+    a0 = int(rng.randint(0, 3))
+    if nc > 1 and rng.randint(2):
+        chains.append(
+            [(list(range(nc)), 0, 0, 0 if al == a0 else al + 1, al)
+             for al in range(a0, -1, -1)]
+        )
+    else:
+        for ci in range(nc):
+            d = int(rng.randint(0, 3))
+            chains.append(
+                [([ci], 0, 0, 0 if al == d else al + 1, al)
+                 for al in range(d, -1, -1)]
+            )
+    # AC chains: contiguous band partition per component
+    for ci in range(nc):
+        cuts = sorted(set(int(x) for x in rng.randint(2, 64, size=rng.randint(0, 4))))
+        lo = 1
+        for hi in list(cuts) + [63]:
+            if hi < lo:
+                continue
+            b0 = int(rng.randint(0, 3))
+            chains.append(
+                [([ci], lo, hi, 0 if al == b0 else al + 1, al)
+                 for al in range(b0, -1, -1)]
+            )
+            lo = hi + 1
+    # random interleave preserving intra-chain order; a component's DC
+    # first scan must precede its AC scans, so force DC chains first
+    dc_chains = [c for c in chains if c[0][1] == 0]
+    ac_chains = [c for c in chains if c[0][1] != 0]
+    script = [s for c in dc_chains for s in c]
+    pending = [list(c) for c in ac_chains]
+    while pending:
+        i = int(rng.randint(len(pending)))
+        script.append(pending[i].pop(0))
+        if not pending[i]:
+            pending.pop(i)
+    return script
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    nc=st.sampled_from([1, 3]),
+    q=st.sampled_from([60, 100]),
+)
+def test_progressive_random_scan_scripts(seed, nc, q):
+    """Random valid scan scripts (random band partitions, random
+    successive-approximation depths, random chain interleaving) must
+    all reconstruct the exact baseline pixels — the broadest stress of
+    the EOB-run / refinement bookkeeping."""
+    rng = np.random.RandomState(seed)
+    w, h = int(rng.randint(8, 41)), int(rng.randint(8, 25))
+    img = rng.randint(0, 256, w * h * nc, dtype=np.uint8)
+    scans = _random_scan_script(rng, nc)
+    base = decode_jpeg(encode_jpeg(img, w, h, n_channels=nc, quality=q))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, w, h, n_channels=nc, quality=q, scans=scans)
+    )
+    assert (base == prog).all(), scans
+
+
 @pytest.mark.parametrize("path,w,h,nc", WILD)
 def test_wild_progressive_files_decode(path, w, h, nc):
     """REAL libjpeg-encoded progressive files (independent encoder,
