@@ -1449,10 +1449,14 @@ def _frame_geometry(sof):
 def _alloc_coef_grids(sof):
     """Per-component (n_blocks, 64) zig-zag coefficient stores over the
     MCU-padded raster (interleaved DC scans address the padded blocks;
-    non-interleaved scans address the ceil-dims prefix of each row)."""
+    non-interleaved scans address the ceil-dims prefix of each row).
+    int32, not int64: quantized 8-bit coefficients fit comfortably
+    (|DC| <= 2047 pre-shift, Al <= 13) and the grid is the decode
+    worker's dominant allocation on large images — 256 B/block instead
+    of 512 (libjpeg uses int16 here)."""
     _, _, mcux, mcuy = _frame_geometry(sof)
     return [
-        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64)
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
         for c in sof["comps"]
     ]
 
