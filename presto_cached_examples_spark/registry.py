@@ -192,76 +192,17 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 10): the driver's correctness harness checks
+# Verification rotation (round 12): the driver's correctness harness checks
 # only the FIRST 50 queries in the order `queries()` yields them. Every
-# registered query has a hard driver row (CORRECTNESS_r01-r09, zero reds
+# registered query has a hard driver row (CORRECTNESS_r01-r11, zero reds
 # ever), so rotation is pure oldest-green-first refresh. This front = the
-# 45 queries whose latest green driver row is round 5, plus the 5 oldest
-# round-6 greens, in registration order — after this round no query's
-# last driver check is older than round 6 (VERDICT r9 item 3). Everything
+# 45 queries whose latest green driver row is round 7, plus the 5 oldest
+# round-8 greens, in registration order — after this round no query's
+# last driver check is older than round 8 (VERDICT r11 item 4). Everything
 # outside the window is locally re-verified every round by
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 6 (45) + oldest round-7 greens (5)
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_agg_corr",
-    "q_pivot",
-    "q_unpivot",
-    "q_window_firstlast",
-    "q_string_regexp",
-    "q_subquery_in",
-    "q_subquery_corr",
-    "q_agg_groupingid",
-    "q_agg_argminmax",
-    "q_date_series",
-    "q_values_cte",
-    "q_top_unshipped",
-    "q_returned_revenue",
-    "q_filtered_revenue",
-    "q_promo_share",
-    "q_agg_stringagg",
-    "q_window_lead",
-    "q_agg_decimal",
-    "q_exists_agg",
-    "q_null_ordering",
-    "q_histogram",
-    "q_cond_count",
-    "q_window_dist_scalable",
-    "q_sample_stratified",
-    "q_join_salted",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_expr",
-    "q_array_funcs",
-    "q_subquery_scalar",
-    "udf_pack_pen",
-    "udaf_weighted_avg",
-    "q_text_tokens",
-    "q_text_langstats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_token_count",
-    "q_text_fingerprint",
-    "q_text_vocab",
-    "q_sim_topk_kmeans",
-    "q_dedup_embed",
-    "q_join_range",
-    "q_join_asof_tol",
-    "q_agg_approx",
-    "q_sessionize",
-    "q_agg_percentiles_approx",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 12: the remaining round-7 greens in
-# registration order, then the 5 oldest round-8 greens. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 7 (45) + oldest round-8 greens (5)
     "q_fuzzy_match",
     "q_ntile_spend",
@@ -313,6 +254,65 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_join_asof",
     "q_returns_wilson",
     "q_basket_rules",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 13: the remaining round-8 greens in
+# registration order, then the 5 oldest round-9 greens. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 8 (45) + oldest round-9 greens (5)
+    "q_events_autocorr",
+    "q_events_mad",
+    "q_order_gaps",
+    "q_revenue_ewma",
+    "q_seasonal_naive",
+    "q_ab_lift",
+    "q_events_heatmap",
+    "q_revenue_moving_median",
+    "q_priority_shift",
+    "q_graph_degree_stats",
+    "q_graph_khop",
+    "q_sample_kcenter",
+    "q_sample_balanced",
+    "q_map_funcs",
+    "q_join_nullsafe",
+    "udtf_explode_props",
+    "q_bpe_pair_stats",
+    "q_vocab_coverage",
+    "q_text_kn_bigram",
+    "q_quality_gopher",
+    "q_doc_length_hist",
+    "q_langid_confusion",
+    "q_embed_power_topvec",
+    "q_embed_dim_stats",
+    "q_embed_label_margin",
+    "q_rank_fusion",
+    "q_cluster_purity",
+    "q_dedup_embed_sweep",
+    "q_source_jaccard",
+    "q_dedup_soft",
+    "q_minhash_calibration",
+    "q_mm_audio_stats",
+    "q_mm_video_meta",
+    "q_scrub_dup_spans",
+    "q_mix_schedule",
+    "q_quality_ppl_filter",
+    "q_count_dp",
+    "q_dataset_card",
+    "q_curation_pipeline",
+    "q_quality_ensemble",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup_late",
+    "q_stream_enrich",
+    "q_stream_alert",
+    "q_scan_project",
+    "q_filter_basic",
+    "q_filter_like_null",
+    "q_scan_pruned",
+    "q_scan_evolved",
 )
 
 
