@@ -1091,6 +1091,7 @@ def decode_jpeg(payload: bytes):
     ri = 0
     grids = None  # multi-scan coefficient accumulators, built at first SOS
     seq_seen: set[int] = set()  # components decoded by sequential scans
+    dc_seen: set[int] = set()  # components covered by a progressive DC-first scan
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1099,12 +1100,12 @@ def decode_jpeg(payload: bytes):
             pos += 1
         if pos + 2 <= len(payload) and payload[pos + 1] == 0xD9:  # EOI
             if grids is not None:
-                if not sof.get("progressive") and seq_seen != set(
-                    range(len(sof["comps"]))
-                ):
-                    # a sequential frame whose scans never covered some
-                    # component — rendering gray for it would be
-                    # silently wrong
+                covered = dc_seen if sof.get("progressive") else seq_seen
+                if covered != set(range(len(sof["comps"]))):
+                    # a frame whose scans never delivered DC for some
+                    # component — rendering flat gray for it would be
+                    # silently wrong (ADVICE r11: the progressive path
+                    # used to reconstruct unconditionally)
                     raise ValueError(
                         "JPEG multi-scan stream ended with undecoded components"
                     )
@@ -1262,6 +1263,9 @@ def decode_jpeg(payload: bytes):
                 pscomps.append((ci, comp, dct, act))
             if grids is None:
                 grids = _alloc_coef_grids(sof)
+            if Ss == 0 and Ah == 0:
+                for ci, *_ in pscomps:
+                    dc_seen.add(ci)
             pos = _decode_progressive_scan(
                 payload, pos, sof, pscomps, huff, ri, grids, Ss, Se, Ah, Al
             )
@@ -1282,6 +1286,13 @@ def _decode_sequential_block(reader, coef, dctbl, actbl, pred) -> int:
         raise ValueError("JPEG DC magnitude category out of range")
     diff = _extend(reader.read_bits(cat), cat) if cat else 0
     pred += diff
+    if not -2047 <= pred <= 2047:
+        # T.81 F.1.2.1: 8-bit DC values fit categories 0..11 (±2047); a
+        # legal encoder never accumulates past that, but a corrupt
+        # stream of max-magnitude diffs would — and an unbounded Python
+        # int would later overflow the int32 grid store instead of
+        # failing as the documented ValueError
+        raise ValueError("JPEG DC predictor out of range")
     coef[0] = pred
     k = 1
     while k < 64:
@@ -1561,6 +1572,11 @@ def _decode_progressive_scan(
                     raise ValueError("JPEG DC magnitude category out of range")
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 preds[si] += diff
+                if not -2047 <= preds[si] <= 2047:
+                    # same ±2047 category bound as the sequential path:
+                    # keeps (pred << Al) inside the int32 grids and turns
+                    # a corrupt-stream overflow into the contract ValueError
+                    raise ValueError("JPEG DC predictor out of range")
                 grids[ci][bi, 0] = preds[si] << Al
             elif reader.read_bits(1):
                 grids[ci][bi, 0] |= 1 << Al

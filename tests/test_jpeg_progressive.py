@@ -360,3 +360,70 @@ def test_progressive_in_decode_payload():
     jp = encode_jpeg_progressive(img, 16, 16)
     out = decode_payload(jp, "image/jpeg")
     assert (out == decode_jpeg(jp)).all()
+
+
+def test_dc_predictor_overflow_raises():
+    """ADVICE r11: a corrupt stream of max-magnitude DC diffs must hit
+    the documented ValueError contract, not a numpy OverflowError when
+    the unbounded Python predictor lands in an int32 grid. Crafted at
+    the block level: category-11 diffs of +2047 accumulate past the
+    T.81 ±2047 DC bound on the second block."""
+    from presto_cached_examples_spark.llm import jpeg as J
+
+    dctbl = J._build_decode_from(bytes([1] + [0] * 15 + [11]))
+    actbl = J._build_decode_from(bytes([1] + [0] * 15 + [0x00]))
+    # per block: DC code '0' (cat 11) + 11 magnitude bits of 1 (+2047)
+    # + AC code '0' (EOB); two blocks, pad to a byte with 1s
+    bits = ("0" + "1" * 11 + "0") * 2
+    bits += "1" * (-len(bits) % 8)
+    raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    stuffed = bytearray()
+    for b in raw:  # JPEG entropy stuffing: 0xFF -> 0xFF 0x00
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0)
+    reader = J._BitReader(bytes(stuffed), 0)
+    coef = np.zeros(64, dtype=np.int32)
+    pred = J._decode_sequential_block(reader, coef, dctbl, actbl, 0)
+    assert pred == 2047 and coef[0] == 2047
+    with pytest.raises(ValueError, match="DC predictor out of range"):
+        J._decode_sequential_block(reader, coef, dctbl, actbl, pred)
+
+
+def test_progressive_dc_overflow_raises_valueerror():
+    """The progressive DC-first path carries the same ±2047 predictor
+    bound (the stored value is pred << Al into an int32 grid)."""
+    from presto_cached_examples_spark.llm import jpeg as J
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, 16 * 16, dtype=np.uint8)
+    jp = bytearray(encode_jpeg_progressive(img, 16, 16))
+    # brute-force byte corruption over the first scan's entropy data:
+    # every outcome must stay inside the ValueError/NotImplementedError
+    # contract (specifically never OverflowError from the DC store)
+    sos = jp.find(b"\xff\xda")
+    for off in range(sos + 10, min(sos + 40, len(jp) - 2)):
+        for val in (0x7F, 0xFE):
+            mut = bytearray(jp)
+            mut[off] = val
+            try:
+                decode_jpeg(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_progressive_missing_dc_scan_raises():
+    """ADVICE r11: a progressive frame whose scans never delivered DC
+    for a component must raise at EOI, not render flat mid-gray. Built
+    by splicing the DC-first scan out of a valid stream (refinement /
+    AC scans remain, so the grids stay touched — only DC-first is
+    absent)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, 24 * 16, dtype=np.uint8)
+    jp = encode_jpeg_progressive(img, 24, 16)
+    first = jp.find(b"\xff\xda")
+    second = jp.find(b"\xff\xda", first + 2)
+    assert first != -1 and second != -1, "need >=2 scans to splice"
+    cut = jp[:first] + jp[second:]
+    with pytest.raises(ValueError, match="undecoded components"):
+        decode_jpeg(cut)
