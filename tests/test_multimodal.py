@@ -1024,9 +1024,89 @@ def test_png_subbyte_palette_decode(depth, w, h, seed, use_sub):
     assert (got == pal[idx].reshape(-1)).all()
 
 
-def test_png_subbyte_grayscale_still_gates():
-    """Sub-byte GRAYSCALE keeps the PIL gate (output-scaling
-    ambiguity); only sub-byte PALETTE was un-gated."""
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_subbyte_grayscale_roundtrip(depth, ft):
+    """Round 12: sub-byte GRAYSCALE decodes stdlib-side (the last PNG
+    PIL gate, VERDICT r11 item 1). Values round-trip through
+    pack/filter/unfilter/unpack with the spec §12.5 bit-replication
+    rescale to the full 8-bit range — exact for depths 1/2/4."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png, _encode_png
+
+    rng = np.random.RandomState(depth * 10 + ft)
+    w, h = 13, 7  # non-byte-aligned width exercises per-row pad bits
+    vals = rng.randint(0, 1 << depth, w * h)
+    png = _encode_png(vals, w, h, color_type=0, filter_type=ft, depth=depth)
+    want = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    assert (_decode_png(png) == want).all()
+    assert (decode_payload(png, "image/png") == want).all()
+
+
+@pytest.mark.parametrize("ct", [0, 2, 4, 6])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_16bit_roundtrip(ct, ft):
+    """Round 12: 16-bit samples (all four non-palette color types)
+    decode stdlib-side; big-endian pairs reduce to the high byte
+    (libpng's strip-16), under every filter type."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.RandomState(ct * 10 + ft)
+    w, h = 11, 6
+    vals = rng.randint(0, 65536, w * h * _PNG_CHANNELS[ct]).astype(np.uint16)
+    png = _encode_png(vals, w, h, color_type=ct, filter_type=ft, depth=16)
+    assert (_decode_png(png) == (vals >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("depth,ct", [(16, 0), (16, 6), (4, 0), (1, 0), (2, 3)])
+def test_png_nondefault_depth_interlaced_roundtrip(depth, ct):
+    """Adam7 at non-8 depths: each pass packs/pairs its own scanlines
+    independently (spec §8.2) — the former interlaced sub-byte /
+    16-bit gate is closed too."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.RandomState(depth + ct)
+    w, h = 13, 9  # >8 in both axes so all seven passes are non-empty
+    ch = _PNG_CHANNELS[ct]
+    if depth == 16:
+        vals = rng.randint(0, 65536, w * h * ch).astype(np.uint16)
+        want = (vals >> 8).astype(np.uint8)
+        pal = None
+    elif ct == 3:
+        k = 1 << depth
+        pal_arr = rng.randint(0, 256, 3 * k, dtype=np.uint8)
+        vals = rng.randint(0, k, w * h)
+        want = pal_arr.reshape(-1, 3)[vals].reshape(-1)
+        pal = bytes(pal_arr)
+    else:
+        vals = rng.randint(0, 1 << depth, w * h)
+        want = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        pal = None
+    png = _encode_png(
+        vals, w, h, color_type=ct, filter_type=2, depth=depth,
+        interlace=True, palette=pal,
+    )
+    assert (_decode_png(png) == want).all()
+
+
+def test_png_illegal_depth_color_combos_rejected():
+    """Spec §11.2.2 legality is now enforced as ValueError (malformed
+    header), replacing the former NotImplementedError PIL gate: 16-bit
+    palette, sub-byte truecolor, and non-spec depths never existed as
+    valid files."""
     import struct
     import zlib
 
@@ -1036,15 +1116,60 @@ def test_png_subbyte_grayscale_still_gates():
         c = t + d
         return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
 
-    ihdr = struct.pack(">IIBBBBB", 4, 2, 4, 0, 0, 0, 0)  # ct0, d4
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00\x12\x34" * 2))
-        + chunk(b"IEND", b"")
+    for depth, ct in [(16, 3), (4, 2), (2, 6), (3, 0), (32, 0)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 2, depth, ct, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x12\x34" * 2))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="PNG bit depth|color type"):
+            _decode_png(png)
+
+
+def test_png_wild_16bit_file_decodes():
+    """A real libpng-written 16-bit RGBA file (the only non-8-bit PNG
+    under /usr/share in this container) decodes stdlib-side with the
+    declared geometry."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import _decode_png
+
+    path = "/usr/share/info/gnupg-module-overview.png"
+    try:
+        with open(path, "rb") as f:
+            payload = f.read()
+    except OSError:
+        pytest.skip(f"wild fixture {path} not present")
+    out = _decode_png(payload)
+    assert out.shape == (1052 * 744 * 4,) and out.dtype == np.uint8
+    # a rendered diagram: opaque alpha everywhere, >1 gray level
+    assert (out.reshape(-1, 4)[:, 3] == 255).all()
+    assert len(np.unique(out[::4])) > 1
+
+
+def test_png_16bit_pil_parity_when_available():
+    """With PIL installed, _pil_decode must agree byte-for-byte with
+    the stdlib path on 16-bit and sub-byte grayscale (the high-byte /
+    bit-replication conventions are pinned on both sides)."""
+    import numpy as np
+
+    pytest.importorskip("PIL")
+    from presto_cached_examples_spark.llm.multimodal import (
+        _decode_png,
+        _encode_png,
+        _pil_decode,
     )
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        _decode_png(png)
+
+    rng = np.random.RandomState(42)
+    w, h = 19, 11
+    gray16 = _encode_png(
+        rng.randint(0, 65536, w * h).astype(np.uint16), w, h, depth=16
+    )
+    gray2 = _encode_png(rng.randint(0, 4, w * h), w, h, depth=2)
+    for png in (gray16, gray2):
+        assert (_pil_decode(png, "image/png") == _decode_png(png)).all()
 
 
 def test_png_invalid_interlace_method_rejected():
