@@ -1442,11 +1442,13 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     few hundred. That failure mode is real at any scale for
     small-alphabet fields (tags, categories): always shingle.
 
-    Scale: the q_dedup_near posture — signatures are per-doc
-    aggregates over the shingle stream, the bucket join carries
-    (band, hash, id) triples only, and the exact-verify leg fetches
-    shingle sets per CANDIDATE, never corpus-wide. All hashes are md5,
-    so DuckDB replays the pipeline bit-for-bit.
+    Scale: the q_dedup_near posture — signatures are MAP-SIDE
+    array_min folds over each doc's own shingle array (round 12: no
+    explode/groupBy shuffle and no unrolled column forest — one
+    nested-HOF expression, the r11 _band_structs recipe), the bucket
+    join carries (band, hash, id) triples only, and the exact-verify
+    leg fetches shingle sets per CANDIDATE, never corpus-wide. All
+    hashes are md5, so DuckDB replays the pipeline bit-for-bit.
 
     Reference provenance: C9 measured operating curves
     (/root/reference/README.md:14-21)."""
@@ -1460,27 +1462,42 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(t, i, _MHC_SHINGLE)),
         )
     )
-    sh = d.select("doc_id", F.explode(grams).alias("g"))
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"m{i}")
-            for i in range(_MHC_H)
-        ]
-    )
-    # the signature relation (id + 8 hashes, the artifact a real
-    # deployment materializes at ingest) feeds banding AND both join
-    # sides — compute it once, not three times
-    mh = mh.localCheckpoint(eager=False)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias(
-                    "bv"
-                ),
+    # Round 12 (VERDICT r11 next #2, the r11 _band_structs recipe): the
+    # signature is ONE nested higher-order expression — transform over
+    # sequence(0,H-1) with array_min(transform(grams, md5)) inside —
+    # instead of H unrolled MIN(md5(g||'#i')) aggregate columns. Values
+    # are bit-identical (CAST(i AS STRING) of the sequence variable
+    # equals the old f"#{i}" literal for single digits, and md5 sees
+    # the same concat bytes), but janino compiles one small loop body
+    # per stage instead of the H-wide forest, and the explode +
+    # groupBy(doc_id) SHUFFLE the unrolled form needed for its MIN
+    # aggregates disappears: the per-doc min is an array_min over the
+    # doc's own shingle array, map-side.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_MHC_H - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda g: F.md5(F.concat(g, F.lit("#"), i.cast("string"))),
             )
-            for b in range(_MHC_BANDS)
-        ]
+        ),
+    )
+    # the signature relation (id + the 8-hash array, the artifact a
+    # real deployment materializes at ingest) feeds banding AND both
+    # join sides — compute it once, not three times
+    mh = (
+        d.select("doc_id", grams.alias("ts"))
+        .select("doc_id", sig.alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(_MHC_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("b"),
+            F.md5(
+                F.concat(F.get(F.col("sig"), 2 * b), F.get(F.col("sig"), 2 * b + 1))
+            ).alias("bv"),
+        ),
     )
     bands = mh.select("doc_id", F.explode(band_arr).alias("band")).select(
         "doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv")
@@ -1504,16 +1521,20 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = mh.join(sets, "doc_id").select(
         F.col("doc_id").alias("doc_a"),
         F.col("ts").alias("ts_a"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MHC_H)],
+        F.col("sig").alias("sig_a"),
     )
     b = mh.join(sets, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("ts").alias("ts_b"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MHC_H)],
+        F.col("sig").alias("sig_b"),
     )
-    n_match = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(_MHC_H)
+    # matching-position count over the two equal-length signature
+    # arrays — the folded form of the old H-wide CASE WHEN sum (size
+    # returns the same int the cast produced)
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
     )
     jacc = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
         F.array_union("ts_a", "ts_b")
@@ -1521,7 +1542,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(n_match.cast("int").alias("n_match"), jacc.alias("jacc"))
+        .select(n_match.alias("n_match"), jacc.alias("jacc"))
     )
     return (
         scored.groupBy("n_match")
