@@ -232,6 +232,11 @@ def main() -> None:
     # headroom at sf0.1. The bench box has 128 GiB; give the benched
     # JVM production-shaped headroom (still env-overridable).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Host-load preflight (round 12): a stuck 100%-CPU leftover process
+    # swung the same-tree headline 60% (NOTES round-12 item 7) — record
+    # the 1-minute load average before and after the timed sets so every
+    # BENCH artifact carries its own quiet-box evidence.
+    load_before_1m = round(os.getloadavg()[0], 2)
     spark = get_session(app_name="pce-spark-bench")
     # Isolated-pair lever for the persist gate (VERDICT r9 next #1):
     # SPARK_GRAFT_PERSIST=on|off|auto pins the gate for this run so the
@@ -406,6 +411,7 @@ def main() -> None:
             else -1  # instrumentation-unavailable sentinel, never a delta
         ),
         "queries_gc_ms": gc_ms,
+        "load_1m": [load_before_1m, round(os.getloadavg()[0], 2)],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Truncation-proof record (VERDICT r5 item 7: BENCH_r05.json lost
@@ -456,6 +462,7 @@ def main() -> None:
         "prewarmed": True,
         "persist_gate": persist_gate,
         "timed_gc_total_ms": payload["timed_gc_total_ms"],
+        "load_1m": payload["load_1m"],
         "sf": payload["sf"],
     }
     line = json.dumps(compact)

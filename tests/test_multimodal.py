@@ -1297,3 +1297,59 @@ def test_png_adam7_roundtrip_property(w, h, color_type, filter_type, seed):
         data, w, h, color_type=color_type, filter_type=filter_type, interlace=True
     )
     assert (_decode_png(png) == data).all()
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=11),
+    ft=st.integers(min_value=0, max_value=4),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_depth_color_geometry_property(depth, ct, w, h, ft, interlace, seed):
+    """Round-12 property net over the FULL legal IHDR space: any legal
+    (depth, color type) at any small geometry, any single filter type,
+    sequential or Adam7, must round-trip through encode/decode with
+    the pinned conventions (high byte for 16-bit, bit replication for
+    sub-byte grayscale, PLTE expansion for palette). Degenerate
+    geometries (1×1, 1-px-wide Adam7 with empty passes, odd sub-byte
+    strides) ride along. Illegal combos are skipped — they are header
+    ValueError by contract (tested separately)."""
+    import numpy as np
+
+    from presto_cached_examples_spark.llm.multimodal import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _encode_png,
+    )
+
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if depth not in legal[ct]:
+        return
+    rng = np.random.RandomState(seed)
+    ch = _PNG_CHANNELS[ct]
+    pal = None
+    if depth == 16:
+        vals = rng.randint(0, 65536, w * h * ch).astype(np.uint16)
+        want = (vals >> 8).astype(np.uint8)
+    elif ct == 3:
+        k = 1 << depth
+        pal_arr = rng.randint(0, 256, 3 * k, dtype=np.uint8)
+        vals = rng.randint(0, k, w * h)
+        want = pal_arr.reshape(-1, 3)[vals].reshape(-1)
+        pal = bytes(pal_arr)
+    elif depth < 8:
+        vals = rng.randint(0, 1 << depth, w * h)
+        want = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        vals = rng.randint(0, 256, w * h * ch).astype(np.uint8)
+        want = vals
+    png = _encode_png(
+        vals, w, h, color_type=ct, filter_type=ft, depth=depth,
+        interlace=interlace, palette=pal,
+    )
+    got = _decode_png(png)
+    assert got.dtype == np.uint8 and (got == want).all()
