@@ -192,76 +192,17 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 12): the driver's correctness harness checks
+# Verification rotation (round 13): the driver's correctness harness checks
 # only the FIRST 50 queries in the order `queries()` yields them. Every
-# registered query has a hard driver row (CORRECTNESS_r01-r11, zero reds
+# registered query has a hard driver row (CORRECTNESS_r01-r12, zero reds
 # ever), so rotation is pure oldest-green-first refresh. This front = the
-# 45 queries whose latest green driver row is round 7, plus the 5 oldest
-# round-8 greens, in registration order — after this round no query's
-# last driver check is older than round 8 (VERDICT r11 item 4). Everything
+# 45 queries whose latest green driver row is round 8, plus the 5 oldest
+# round-9 greens, in registration order — after this round no query's
+# last driver check is older than round 9 (VERDICT r12 item 2). Everything
 # outside the window is locally re-verified every round by
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 7 (45) + oldest round-8 greens (5)
-    "q_fuzzy_match",
-    "q_ntile_spend",
-    "q_volume_shipping",
-    "q_mkt_share",
-    "q_cust_order_dist",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_big_orders",
-    "q_disjunctive_revenue",
-    "q_sole_return_supplier",
-    "q_global_sales_opp",
-    "q_min_cost_supplier",
-    "q_important_stock",
-    "q_shipmode_priority",
-    "q_parts_supplier_count",
-    "q_dominant_supplier",
-    "q_window_range_scalable",
-    "q_events_funnel",
-    "q_retention_cohort",
-    "q_events_rollup",
-    "q_rfm_segments",
-    "q_sample_hash_topk",
-    "q_json_funcs",
-    "q_text_tfidf",
-    "q_text_repetition",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_near",
-    "q_sim_topk",
-    "q_sim_topk_ivf",
-    "q_ann_recall_sweep",
-    "q_dedup_incremental_bloom",
-    "q_dedup_span",
-    "q_mm_meta",
-    "q_mm_features",
-    "q_mm_resize",
-    "q_mm_frames",
-    "q_chunk_docs",
-    "q_pack_sequences",
-    "q_decontam",
-    "q_decontam_hashed",
-    "q_text_normalize",
-    "q_quality_dsir",
-    "q_pii_scrub",
-    "q_stream_tumbling",
-    "q_snapshot_diff",
-    "q_drift_report",
-    "q_join_asof",
-    "q_returns_wilson",
-    "q_basket_rules",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 13: the remaining round-8 greens in
-# registration order, then the 5 oldest round-9 greens. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 8 (45) + oldest round-9 greens (5)
     "q_events_autocorr",
     "q_events_mad",
@@ -313,6 +254,65 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_filter_like_null",
     "q_scan_pruned",
     "q_scan_evolved",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 14: the remaining round-9 greens in
+# registration order, then the 5 oldest round-10 greens. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 9 (45) + oldest round-10 greens (5)
+    "q_scan_json",
+    "q_scan_csv",
+    "q_scan_orc",
+    "q_join_bucketed",
+    "q_join_bloom",
+    "q_join_range_bucketed",
+    "q_window_lag",
+    "q_intersect_all",
+    "q_except_all",
+    "q_profile_stats",
+    "q_lateral_topk",
+    "q_resample_interp",
+    "q_winsorize",
+    "q_agg_mode",
+    "q_local_supplier_volume",
+    "q_product_profit",
+    "q_rolling_wau",
+    "q_rolling_retention",
+    "q_rolling_wau_approx",
+    "q_markov_transitions",
+    "q_anomaly_zscore",
+    "q_event_runs",
+    "q_cdc_merge",
+    "q_attribution_linear",
+    "q_graph_components",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_topk_skewed",
+    "q_token_freq_cms",
+    "q_text_unigram_lm",
+    "q_quality_logistic",
+    "q_text_entropy",
+    "q_quality_tiers",
+    "q_dedup_simhash",
+    "q_sim_topk_lsh",
+    "q_sim_pq",
+    "q_sim_adc",
+    "q_embed_centroids",
+    "q_dedup_incremental",
+    "q_mm_phash",
+    "q_boilerplate_scrub",
+    "q_mix_weights",
+    "q_curation_funnel",
+    "q_stream_interval_join",
+    "q_stream_topk",
+    "q_join_dpp",
+    "q_layout_zorder",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_multiway",
 )
 
 
