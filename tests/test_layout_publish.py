@@ -1,0 +1,175 @@
+"""Concurrency-safe layout publish protocol (VERDICT r12 item 1).
+
+The round-12 judge session raced two sessions over the shared
+``spark-warehouse`` layout dirs: one session's rmtree+rewrite of
+``p_events_sf0_001`` landed mid-scan of the other → FAILED_READ_FILE.
+These tests pin the round-13 protocol (sources/layouts.py): a layout
+is staged in a session-unique dir, installed with one atomic rename,
+and NEVER rewritten once published — so the "second session rebuilds
+under the first session's feet" interleave is structurally impossible.
+The second session is simulated by erasing everything session-local
+(catalog tables, memo sets) and re-running the builder: with the old
+protocol that path rewrote the shared dir; with the new one it must
+adopt the published layout byte-untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY
+from presto_cached_examples_spark.sources import layouts
+from presto_cached_examples_spark.operators.scans import (
+    _evolved_snapshots,
+    _landed_docs_path,
+    _partitioned_events,
+    _reap_stale_siblings,
+    _LANDED_DOCS_WRITTEN,
+)
+from presto_cached_examples_spark.operators.joins import _bucketed_tables
+
+
+def _dir_snapshot(root: str) -> list[tuple[str, int, int]]:
+    """(relpath, size, mtime_ns) of every file under root — any write,
+    rewrite, or delete inside a published layout changes this."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+def test_partitioned_events_fresh_session_never_rewrites(spark):
+    """The real round-12 race, interleave-simulated: a 'new session'
+    (no catalog entry) re-running the builder must adopt the published
+    canonical dir without touching a single byte of it."""
+    t = _partitioned_events(spark, SF_TINY)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED `{t}`")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0][1]
+    )
+    canonical = loc.replace("file:", "")
+    before = _dir_snapshot(canonical)
+    ino = os.stat(canonical).st_ino
+    assert before, "published layout is empty"
+    n0 = spark.table(t).count()
+    # simulate the second session: its private catalog has no entry,
+    # so the old code took the rmtree+rewrite path here
+    spark.sql(f"DROP TABLE `{t}`")
+    t2 = _partitioned_events(spark, SF_TINY)
+    assert t2 == t
+    assert os.stat(canonical).st_ino == ino, "canonical dir was replaced"
+    assert _dir_snapshot(canonical) == before, "published layout was rewritten"
+    assert spark.table(t2).count() == n0
+
+
+def test_bucketed_tables_fresh_session_never_rewrites(spark):
+    to, tl = _bucketed_tables(spark, SF_TINY)
+    locs = {}
+    for t in (to, tl):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED `{t}`")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0][1]
+        )
+        locs[t] = loc.replace("file:", "")
+    before = {t: _dir_snapshot(p) for t, p in locs.items()}
+    spark.sql(f"DROP TABLE `{to}`")
+    spark.sql(f"DROP TABLE `{tl}`")
+    to2, tl2 = _bucketed_tables(spark, SF_TINY)
+    assert (to2, tl2) == (to, tl)
+    for t, p in locs.items():
+        assert _dir_snapshot(p) == before[t], f"{t} layout was rewritten"
+    # the adopted external bucketed table still joins exchange-free
+    j = (
+        spark.table(to2)
+        .hint("merge")
+        .join(spark.table(tl2), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_evolved_and_landed_layouts_never_rewrite(spark):
+    p1, p2 = _evolved_snapshots(spark, SF_TINY)
+    root = os.path.dirname(p1)
+    docs = _landed_docs_path(spark, SF_TINY, "json")
+    before_root, before_docs = _dir_snapshot(root), _dir_snapshot(docs)
+    # second session: the landed-docs memo is session-local state
+    _LANDED_DOCS_WRITTEN.clear()
+    q1, q2 = _evolved_snapshots(spark, SF_TINY)
+    docs2 = _landed_docs_path(spark, SF_TINY, "json")
+    assert (q1, q2, docs2) == (p1, p2, docs)
+    assert _dir_snapshot(root) == before_root
+    assert _dir_snapshot(docs) == before_docs
+
+
+def test_publish_loser_discards_staging_keeps_winner(tmp_path):
+    canonical = str(tmp_path / "layout")
+    win = str(tmp_path / "win.stg.a")
+    os.makedirs(win)
+    open(os.path.join(win, "_SUCCESS"), "w").close()
+    open(os.path.join(win, "part-0"), "w").write("winner")
+    assert layouts.publish(win, canonical) is True
+    lose = str(tmp_path / "lose.stg.b")
+    os.makedirs(lose)
+    open(os.path.join(lose, "part-0"), "w").write("loser")
+    assert layouts.publish(lose, canonical) is False
+    assert not os.path.exists(lose), "loser staging must be discarded"
+    assert open(os.path.join(canonical, "part-0")).read() == "winner"
+
+
+def test_publish_reraises_when_canonical_still_missing(tmp_path):
+    """rename failing while the canonical is absent is a REAL error —
+    adopting it would register a table over nothing."""
+    with pytest.raises(OSError):
+        layouts.publish(str(tmp_path / "never_written.stg.x"), str(tmp_path / "gone"))
+
+
+def test_reap_stale_staging_is_age_gated(tmp_path):
+    wh = str(tmp_path)
+    old = os.path.join(wh, "p_events_x.stg.dead")
+    fresh = os.path.join(wh, "p_events_x.stg.live")
+    plain = os.path.join(wh, "p_events_x_aaaa_bbbb")
+    for d in (old, fresh, plain):
+        os.makedirs(d)
+    os.utime(old, (1, 1))  # epoch-old: abandoned
+    layouts.reap_stale_staging(wh, max_age_s=60.0)
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh), "a live builder's staging was reaped"
+    assert os.path.exists(plain), "published layouts are not staging"
+
+
+def test_fingerprint_reaper_never_matches_staging(tmp_path):
+    """The anchored ``<fp>$`` sibling reaper must not see staging dirs
+    — '.stg.' contains non-hex characters by construction."""
+    wh = str(tmp_path)
+    keep = os.path.join(wh, "p_events_sf0_001_aaaa_bbbb")
+    stg = os.path.join(wh, "p_events_sf0_001_cafe_f00d.stg.tok")
+    stale = os.path.join(wh, "p_events_sf0_001_1234_cafe")
+    for d in (keep, stg, stale):
+        os.makedirs(d)
+    _reap_stale_siblings(wh, "p_events_sf0_001_", keep)
+    assert os.path.exists(keep)
+    assert os.path.exists(stg), "reaper deleted a concurrent session's staging"
+    assert not os.path.exists(stale)
+
+
+def test_scan_during_fresh_session_rebuild_interleave(spark):
+    """End-to-end replay of the r12 failure shape: reader scans the
+    layout WHILE the 'new session' builder path runs between its
+    batches. With publish-once semantics the builder never writes, so
+    every scan sees a complete, stable directory."""
+    t = _partitioned_events(spark, SF_TINY)
+    expected = spark.table(t).count()
+    for _ in range(3):
+        spark.sql(f"DROP TABLE `{t}`")
+        _partitioned_events(spark, SF_TINY)
+        assert spark.table(t).count() == expected
