@@ -237,6 +237,14 @@ def main() -> None:
     # the 1-minute load average before and after the timed sets so every
     # BENCH artifact carries its own quiet-box evidence.
     load_before_1m = round(os.getloadavg()[0], 2)
+    # Load GATE (VERDICT r12 item 3): recording load wasn't enough — the
+    # r12 driver artifact shipped at load 19 and read +6.5% on unchanged
+    # code. If the 1-minute load exceeds the threshold before OR after
+    # the timed sets, stamp the artifact `load_warning: true`; NOTES
+    # discipline treats such a run as band-UNQUALIFIED (compare only
+    # quiet-box runs). Threshold default 4 on this 32-cpu box,
+    # env-overridable for other hosts.
+    load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "4"))
     spark = get_session(app_name="pce-spark-bench")
     # Isolated-pair lever for the persist gate (VERDICT r9 next #1):
     # SPARK_GRAFT_PERSIST=on|off|auto pins the gate for this run so the
@@ -414,6 +422,16 @@ def main() -> None:
         "load_1m": [load_before_1m, round(os.getloadavg()[0], 2)],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload["load_warning"] = any(
+        x > load_warn_threshold for x in payload["load_1m"]
+    )
+    if payload["load_warning"]:
+        print(
+            f"WARNING: host load_1m {payload['load_1m']} exceeds "
+            f"{load_warn_threshold} — timings are band-UNQUALIFIED "
+            "(contended box); re-run on a quiet box before comparing.",
+            file=sys.stderr,
+        )
     # Truncation-proof record (VERDICT r5 item 7: BENCH_r05.json lost
     # its headline value to tail-truncated stdout capture): the full
     # payload also lands as a file next to this script, committed with
@@ -463,6 +481,7 @@ def main() -> None:
         "persist_gate": persist_gate,
         "timed_gc_total_ms": payload["timed_gc_total_ms"],
         "load_1m": payload["load_1m"],
+        "load_warning": payload["load_warning"],
         "sf": payload["sf"],
     }
     line = json.dumps(compact)
