@@ -395,7 +395,11 @@ def _encode_png(
         if depth == 16:
             be = np.asarray(vals, dtype=">u2").reshape(n_rows, row_w * ch)
             return be.view(np.uint8).reshape(n_rows, row_w * ch * 2)
-        v = np.asarray(vals, dtype=np.uint8).reshape(n_rows, row_w)
+        # Sub-byte depths (1/2/4) are legal only for grayscale and
+        # palette color types (PNG §11.2.2), both single-channel on the
+        # wire — so row_w * ch == row_w here (ADVICE r12: spell the
+        # ch factor out rather than silently assuming it).
+        v = np.asarray(vals, dtype=np.uint8).reshape(n_rows, row_w * ch)
         shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
         bits = (v[:, :, None] >> shifts) & 1
         return np.packbits(bits.reshape(n_rows, -1), axis=1)

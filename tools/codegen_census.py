@@ -52,6 +52,9 @@ def main() -> int:
     names = args.names or list(specs)
     rows = []
     for name in names:
+        if name not in specs:  # bad CLI name: report it, keep censusing
+            print(f"ERR  {name}: unknown query name")
+            continue
         fn = specs[name].fn
         try:
             t0 = time.time()
