@@ -16,7 +16,6 @@ adopt the published layout byte-untouched.
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -173,3 +172,35 @@ def test_scan_during_fresh_session_rebuild_interleave(spark):
         spark.sql(f"DROP TABLE `{t}`")
         _partitioned_events(spark, SF_TINY)
         assert spark.table(t).count() == expected
+
+
+def test_recert_check_source_classifier():
+    """tools/recert_check.py: the gate re-run trigger must fire on
+    package/bench/tools/entry changes and stay quiet on tests, docs,
+    and round artifacts — misclassifying either way breaks the
+    round-close discipline (silent skip, or permanent false alarm)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "recert_check",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "recert_check.py"),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    for p in (
+        "bench.py",
+        "__spark_entry__.py",
+        "presto_cached_examples_spark/operators/scans.py",
+        "tools/plan_report.py",
+    ):
+        assert rc.is_source(p), p
+    for p in (
+        "tests/test_layout_publish.py",
+        "NOTES.md",
+        "BENCH_r13.json",
+        "CORRECTNESS_r12.json",
+        "bench_out.json",
+        "PROGRESS.jsonl",
+        ".claude/skills/verify/SKILL.md",
+    ):
+        assert not rc.is_source(p), p
