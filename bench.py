@@ -422,12 +422,14 @@ def main() -> None:
         "load_1m": [load_before_1m, round(os.getloadavg()[0], 2)],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    payload["load_warning"] = any(
-        x > load_warn_threshold for x in payload["load_1m"]
-    )
+    # Gate on the PREFLIGHT sample only: the post-run sample measures the
+    # bench's own local[32] work (quiet-box r13 A/B read 17.9/12.6 AFTER
+    # while starting from 0.85/1.41) — only load already present BEFORE
+    # the timed sets is foreign contention.
+    payload["load_warning"] = load_before_1m > load_warn_threshold
     if payload["load_warning"]:
         print(
-            f"WARNING: host load_1m {payload['load_1m']} exceeds "
+            f"WARNING: preflight load_1m {load_before_1m} exceeds "
             f"{load_warn_threshold} — timings are band-UNQUALIFIED "
             "(contended box); re-run on a quiet box before comparing.",
             file=sys.stderr,
