@@ -204,3 +204,53 @@ def test_recert_check_source_classifier():
         ".claude/skills/verify/SKILL.md",
     ):
         assert not rc.is_source(p), p
+
+
+def test_two_process_concurrent_layout_build(tmp_path):
+    """TRUE two-session race (not an interleave simulation): two
+    separate JVM/Python processes build the SAME events layout into
+    the SAME warehouse at the same time. Exactly one publish must win,
+    neither session may ever observe an in-flight directory, both must
+    read the same row count, and no staging debris may survive."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = str(tmp_path / "shared_wh")
+    worker = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from presto_cached_examples_spark import get_session
+from presto_cached_examples_spark.operators.scans import _partitioned_events
+spark = get_session(
+    app_name="race-" + sys.argv[1], cpus="4", shuffle_partitions=4,
+    extra_conf={{"spark.sql.warehouse.dir": {wh!r}}},
+)
+t = _partitioned_events(spark, {SF_TINY!r})
+print("COUNT", spark.table(t).count(), flush=True)
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, tag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        for tag in ("a", "b")
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    counts = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        counts.append([l for l in out.splitlines() if l.startswith("COUNT")][0])
+    assert counts[0] == counts[1], counts
+    entries = os.listdir(wh)
+    canonicals = [e for e in entries if e.startswith("p_events_") and ".stg." not in e]
+    stagings = [e for e in entries if ".stg." in e]
+    assert len(canonicals) == 1, entries
+    assert not stagings, f"staging debris survived: {stagings}"
+    assert os.path.exists(os.path.join(wh, canonicals[0], "_SUCCESS"))
