@@ -252,6 +252,21 @@ def _band_structs(hash_col):
 #: draw is deterministic (fixed xxhash64 seeds) — the verified edge set
 #: equals ground truth on these fixtures, making the driver hash check
 #: exact, not probabilistic.
+#: Oracle verify stage (round 13): the original all-pairs form
+#: (`d a JOIN d b ON a.doc_id < b.doc_id` + per-pair list_intersect)
+#: is RESULT-IDENTICAL but O(n²) in list operations — 2,100 s of the
+#: sf0.1 sweep's wall clock. This form is the textbook inverted-index
+#: set-similarity join instead: unnest the (already distinct) shingle
+#: lists, equi-join on the shingle, and the per-pair match COUNT IS
+#: |A∩B|, so Jaccard ≥ t becomes pure arithmetic:
+#:   |A∩B|/(|A|+|B|-|A∩B|) ≥ t  ⟺  c ≥ t·(nA+nB-c)
+#: Any pair with Jaccard ≥ t > 0 shares ≥1 shingle, so the equi-join
+#: candidate set is a superset of the verified set — no pair is lost.
+#: For t=0.5 both sides are exact in binary FP (c integer, 0.5·int is
+#: exact), so boundary pairs agree bit-for-bit with the old division
+#: form. Proven result-identical: old-vs-new DataFrame equality at
+#: sf0.001/sf0.01, and the sf0.1 driver-strength hash is unchanged
+#: (46d763679b0b654c). 4.6 s at sf0.1, 456× faster.
 _DEDUP_NEAR_ORACLE = f"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
@@ -260,11 +275,12 @@ WITH RECURSIVE d AS (
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
   FROM documents
 ),
+tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
 verified AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM tok x JOIN tok y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id, x.n, y.n
+  HAVING COUNT(*) >= {_JACCARD_THRESHOLD} * (x.n + y.n - COUNT(*))
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM verified
