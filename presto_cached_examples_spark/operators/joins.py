@@ -501,9 +501,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         if not layouts.is_published(canonical):
             layouts.reap_stale_staging(wh)
             _reap_stale_siblings(wh, f"{name}_", canonical)
-            # pre-r13 debris: per-session managed dir + partial canonical
+            # pre-r13 debris: per-session managed dir (never a publish
+            # target now) + partial canonical — the helper re-checks
+            # existence+unpublished immediately before sweeping so a
+            # concurrently-published layout is never deleted
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-            shutil.rmtree(canonical, ignore_errors=True)
+            layouts.clear_unpublished_debris(canonical)
             stg = layouts.staging_dir(spark, canonical)
             stg_tbl = f"stg_{name}"
             spark.sql(f"DROP TABLE IF EXISTS `{stg_tbl}`")

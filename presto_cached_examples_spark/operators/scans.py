@@ -139,11 +139,13 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     if not layouts.is_published(canonical):
         layouts.reap_stale_staging(wh)
         _reap_stale_siblings(wh, f"p_events_{tag}_", canonical)
-        # pre-r13 debris: the old per-session managed dir, and a
-        # canonical left by a killed pre-protocol write (see
-        # sources/layouts.py migration note)
+        # pre-r13 debris: the old per-session managed dir (never a
+        # publish target under the new protocol), and a canonical left
+        # by a killed pre-protocol write — the existence+unpublished
+        # re-check lives inside clear_unpublished_debris so a layout a
+        # concurrent session just PUBLISHED can never be swept
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-        shutil.rmtree(canonical, ignore_errors=True)
+        layouts.clear_unpublished_debris(canonical)
         stg = layouts.staging_dir(spark, canonical)
         src.write.partitionBy("day").mode("overwrite").parquet(stg)
         layouts.publish(stg, canonical)
@@ -251,7 +253,12 @@ def _evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not (layouts.is_published(p1) and layouts.is_published(p2)):
         layouts.reap_stale_staging(wh)
         _reap_stale_siblings(wh, f"evolved_orders_{sftag}_", root)
-        shutil.rmtree(root, ignore_errors=True)  # pre-r13 partial debris
+        # pre-r13 partial debris only — the helper re-checks the
+        # ROOT-level _SUCCESS (stamped below, before publish) right
+        # before the rmtree, so a root a concurrent session just
+        # published can never be swept; pre-r13 roots have snap-level
+        # markers only and valid ones never enter this branch.
+        layouts.clear_unpublished_debris(root)
         stg = layouts.staging_dir(spark, root)
         o = load_table(spark, sf_dir, "orders")
         old = o.filter(F.col("o_orderdate") < F.lit(_EVOLVE_CUTOFF).cast("timestamp"))
@@ -262,6 +269,10 @@ def _evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         new.select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
         ).write.mode("overwrite").parquet(os.path.join(stg, "snap2"))
+        # root-level marker: makes the standard is_published predicate
+        # (and clear_unpublished_debris's sweep guard) valid for the
+        # two-snapshot root, not just the individual snap dirs
+        open(os.path.join(stg, "_SUCCESS"), "w").close()
         layouts.publish(stg, root)
     return p1, p2
 
@@ -327,7 +338,7 @@ def _landed_docs_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         if not layouts.is_published(path):
             layouts.reap_stale_staging(wh)
             _reap_stale_siblings(wh, f"{fmt}_documents_{sftag}_", path)
-            shutil.rmtree(path, ignore_errors=True)  # pre-r13 partial debris
+            layouts.clear_unpublished_debris(path)  # pre-r13 partial only
             stg = layouts.staging_dir(spark, path)
             w = load_table(spark, sf_dir, "documents").write.mode("overwrite")
             if fmt == "csv":

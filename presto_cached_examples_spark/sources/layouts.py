@@ -105,6 +105,20 @@ def is_published(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def clear_unpublished_debris(canonical: str) -> None:
+    """Remove a canonical path that exists WITHOUT its ``_SUCCESS``
+    marker — possible only as debris of a pre-protocol (pre-round-13)
+    session killed mid-write, since :func:`publish` installs dirs
+    whole.  The existence+unpublished re-check happens HERE, right
+    before the rmtree, so a concurrent session's freshly PUBLISHED
+    layout (which has ``_SUCCESS``) can never be swept: an
+    unconditional rmtree after an earlier ``is_published`` check would
+    re-open exactly the delete-under-a-reader window this module
+    exists to close."""
+    if os.path.isdir(canonical) and not is_published(canonical):
+        shutil.rmtree(canonical, ignore_errors=True)
+
+
 def reap_stale_staging(wh: str, max_age_s: float = STAGING_MAX_AGE_S) -> None:
     """Remove abandoned staging dirs (killed sessions) older than
     ``max_age_s``.  Live builders are safe: no layout build holds a

@@ -254,3 +254,22 @@ spark.stop()
     assert len(canonicals) == 1, entries
     assert not stagings, f"staging debris survived: {stagings}"
     assert os.path.exists(os.path.join(wh, canonicals[0], "_SUCCESS"))
+
+
+def test_debris_clear_never_sweeps_published_layouts(tmp_path):
+    """clear_unpublished_debris: the pre-r13 debris sweep must re-check
+    publishedness immediately before the rmtree — an unconditional
+    rmtree after an earlier is_published probe could delete a layout a
+    concurrent session published in between (the TOCTOU variant of the
+    r12 race)."""
+    published = str(tmp_path / "p_events_x_aaaa_bbbb")
+    os.makedirs(published)
+    open(os.path.join(published, "_SUCCESS"), "w").close()
+    layouts.clear_unpublished_debris(published)
+    assert os.path.exists(published), "published layout was swept as debris"
+    debris = str(tmp_path / "p_events_y_aaaa_bbbb")
+    os.makedirs(debris)
+    open(os.path.join(debris, "part-0"), "w").write("partial")
+    layouts.clear_unpublished_debris(debris)
+    assert not os.path.exists(debris), "unpublished debris survived"
+    layouts.clear_unpublished_debris(str(tmp_path / "never_existed"))  # no-op
