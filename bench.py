@@ -40,6 +40,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from presto_cached_examples_spark import get_session, registry
 from presto_cached_examples_spark.session import default_sf_dir
 
+
+def wait_for_quiet(
+    threshold: float,
+    max_wait_s: float,
+    poll_s: float = 10.0,
+    loadfn=os.getloadavg,
+    sleepfn=time.sleep,
+    clock=time.monotonic,
+) -> tuple[float, float]:
+    """Bounded wait for the 1-minute load average to drop under
+    ``threshold`` (VERDICT r13 item 2: two consecutive driver artifacts
+    shipped load-warned; give a run on a transiently-busy box a chance
+    to start quiet instead of stamping it unqualified immediately).
+
+    Re-samples every ``poll_s`` seconds for at most ``max_wait_s``.
+    Returns ``(load_1m, waited_s)`` — the first under-threshold sample
+    (possibly the immediate one, ``waited_s`` 0.0), or the final
+    over-threshold sample once the budget is spent.  The caller stamps
+    ``load_warning`` from the RETURNED sample exactly as before, so a
+    timed-out wait still produces an honestly-warned artifact.  The
+    injectable load/sleep/clock hooks exist for deterministic tests.
+    """
+    start = clock()
+    load = round(loadfn()[0], 2)
+    while load > threshold:
+        left = max_wait_s - (clock() - start)
+        if left <= 0:
+            break
+        sleepfn(min(poll_s, left))
+        load = round(loadfn()[0], 2)
+    return load, round(clock() - start, 1)
+
 # v2 set: the heavy operators added after round 1. Kept OUT of the
 # frozen headline (whose total is the cross-round comparability metric)
 # and reported under a separate JSON key so regressions in the newer
@@ -236,15 +268,24 @@ def main() -> None:
     # swung the same-tree headline 60% (NOTES round-12 item 7) — record
     # the 1-minute load average before and after the timed sets so every
     # BENCH artifact carries its own quiet-box evidence.
-    load_before_1m = round(os.getloadavg()[0], 2)
     # Load GATE (VERDICT r12 item 3): recording load wasn't enough — the
     # r12 driver artifact shipped at load 19 and read +6.5% on unchanged
-    # code. If the 1-minute load exceeds the threshold before OR after
-    # the timed sets, stamp the artifact `load_warning: true`; NOTES
-    # discipline treats such a run as band-UNQUALIFIED (compare only
-    # quiet-box runs). Threshold default 4 on this 32-cpu box,
-    # env-overridable for other hosts.
+    # code. If the 1-minute load exceeds the threshold at preflight,
+    # stamp the artifact `load_warning: true`; NOTES discipline treats
+    # such a run as band-UNQUALIFIED (compare only quiet-box runs).
+    # Threshold default 4 on this 32-cpu box, env-overridable.
     load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "4"))
+    # Bounded wait-for-quiet (VERDICT r13 item 2): the r12 AND r13 driver
+    # artifacts both shipped load-warned (19.01, 16.58 — leftover
+    # contention, not this bench). Rather than stamping immediately,
+    # re-sample for up to SPARK_GRAFT_LOAD_WAIT seconds (default 120;
+    # 0 disables) and start the instant the box goes quiet. A timed-out
+    # wait stamps `load_warning` exactly as before — the wait buys
+    # qualification chances, never lies about contention. The wait
+    # happens BEFORE the Spark session exists so our own JVM startup
+    # never feeds back into the sample.
+    load_wait_budget_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    load_before_1m, load_wait_s = wait_for_quiet(load_warn_threshold, load_wait_budget_s)
     spark = get_session(app_name="pce-spark-bench")
     # Isolated-pair lever for the persist gate (VERDICT r9 next #1):
     # SPARK_GRAFT_PERSIST=on|off|auto pins the gate for this run so the
@@ -420,6 +461,7 @@ def main() -> None:
         ),
         "queries_gc_ms": gc_ms,
         "load_1m": [load_before_1m, round(os.getloadavg()[0], 2)],
+        "load_wait_s": load_wait_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Gate on the PREFLIGHT sample only: the post-run sample measures the
@@ -483,6 +525,7 @@ def main() -> None:
         "persist_gate": persist_gate,
         "timed_gc_total_ms": payload["timed_gc_total_ms"],
         "load_1m": payload["load_1m"],
+        "load_wait_s": payload["load_wait_s"],
         "load_warning": payload["load_warning"],
         "sf": payload["sf"],
     }

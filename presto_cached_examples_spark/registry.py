@@ -192,76 +192,17 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 13): the driver's correctness harness checks
+# Verification rotation (round 14): the driver's correctness harness checks
 # only the FIRST 50 queries in the order `queries()` yields them. Every
-# registered query has a hard driver row (CORRECTNESS_r01-r12, zero reds
-# ever), so rotation is pure oldest-green-first refresh. This front = the
-# 45 queries whose latest green driver row is round 8, plus the 5 oldest
-# round-9 greens, in registration order — after this round no query's
-# last driver check is older than round 9 (VERDICT r12 item 2). Everything
-# outside the window is locally re-verified every round by
+# registered query has a hard driver row (CORRECTNESS_r01-r13, zero reds
+# since r4), so rotation is pure oldest-green-first refresh. This front =
+# the 45 queries whose latest green driver row is round 9, plus the 5
+# oldest round-10 greens, in registration order — after this round no
+# query's last driver check is older than round 10 (VERDICT r13 item 1).
+# Everything outside the window is locally re-verified every round by
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 8 (45) + oldest round-9 greens (5)
-    "q_events_autocorr",
-    "q_events_mad",
-    "q_order_gaps",
-    "q_revenue_ewma",
-    "q_seasonal_naive",
-    "q_ab_lift",
-    "q_events_heatmap",
-    "q_revenue_moving_median",
-    "q_priority_shift",
-    "q_graph_degree_stats",
-    "q_graph_khop",
-    "q_sample_kcenter",
-    "q_sample_balanced",
-    "q_map_funcs",
-    "q_join_nullsafe",
-    "udtf_explode_props",
-    "q_bpe_pair_stats",
-    "q_vocab_coverage",
-    "q_text_kn_bigram",
-    "q_quality_gopher",
-    "q_doc_length_hist",
-    "q_langid_confusion",
-    "q_embed_power_topvec",
-    "q_embed_dim_stats",
-    "q_embed_label_margin",
-    "q_rank_fusion",
-    "q_cluster_purity",
-    "q_dedup_embed_sweep",
-    "q_source_jaccard",
-    "q_dedup_soft",
-    "q_minhash_calibration",
-    "q_mm_audio_stats",
-    "q_mm_video_meta",
-    "q_scrub_dup_spans",
-    "q_mix_schedule",
-    "q_quality_ppl_filter",
-    "q_count_dp",
-    "q_dataset_card",
-    "q_curation_pipeline",
-    "q_quality_ensemble",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup_late",
-    "q_stream_enrich",
-    "q_stream_alert",
-    "q_scan_project",
-    "q_filter_basic",
-    "q_filter_like_null",
-    "q_scan_pruned",
-    "q_scan_evolved",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 14: the remaining round-9 greens in
-# registration order, then the 5 oldest round-10 greens. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 9 (45) + oldest round-10 greens (5)
     "q_scan_json",
     "q_scan_csv",
@@ -313,6 +254,65 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_join_inner",
     "q_join_broadcast",
     "q_join_multiway",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 15: the remaining round-10 greens in
+# registration order, then the 5 oldest round-11 greens. All locally
+# hash-verified every run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 10 (45) + oldest round-11 greens (5)
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_label_join",
+    "q_agg_pricing",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_agg_bitwise",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_running",
+    "q_topk_group",
+    "q_sort_limit",
+    "q_union_all",
+    "q_agg_percentiles",
+    "q_regression_elasticity",
+    "q_bootstrap_ci",
+    "q_path_trigrams",
+    "q_pareto_half",
+    "q_cdc_scd2",
+    "q_cohort_ltv",
+    "q_concurrency_peak",
+    "q_funnel_windowed",
+    "q_sample_weighted",
+    "q_split_assign",
+    "q_text_pmi",
+    "q_regression_zipf",
+    "q_text_bigram_lm",
+    "q_embed_outliers",
+    "q_embed_sq8",
+    "q_ann_pipeline",
+    "q_dedup_containment",
+    "q_dedup_cluster_resolve",
+    "q_contamination_report",
+    "q_mix_temperature",
+    "q_dedup_url",
+    "q_domain_caps",
+    "q_stream_interval_left",
+    "q_join_range",
+    "q_join_asof_tol",
+    "q_agg_approx",
+    "q_union_distinct",
+    "q_intersect",
 )
 
 

@@ -24,13 +24,19 @@ must never observe an in-flight write):
   superseded fingerprint siblings are reaped by the anchored reaper
   (operators/scans.py:_reap_stale_siblings, ADVICE r5/r6).
 
-Residual migration-only hazard, documented rather than defended: a
-canonical dir that exists WITHOUT its ``_SUCCESS`` marker can only be
-debris from a pre-round-13 session killed mid-write (the publish
-protocol never exposes such a state).  Builders rmtree that debris
-before staging; two sessions racing over the SAME debris could briefly
-re-create the old hazard, but steady-state published layouts are never
-rewritten, which is what the round-12 race actually hit.
+A canonical dir that exists WITHOUT its ``_SUCCESS`` marker can only
+be debris from a pre-round-13 session killed mid-write (the publish
+protocol never exposes such a state).  Since round 14 that debris is
+swept with the same atomic primitive the protocol already trusts:
+:func:`clear_unpublished_debris` renames it aside to a session-unique
+``.trash.<token>`` sibling first and rmtrees only the renamed dir, so
+a layout a concurrent session just published can never be caught by a
+long-running rmtree — losers of the rename race simply find nothing,
+and the one pathological interleave left (a third session clears the
+debris and a publish lands between our publishedness probe and our
+rename) is detected by re-probing the TRASH dir and undone with a
+second atomic rename back.  (VERDICT r13 item 3 — this closed the
+last documented window of the r12 delete-under-a-reader family.)
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ import os
 import re
 import shutil
 import time
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +57,7 @@ from presto_cached_examples_spark.session import session_token
 STAGING_MAX_AGE_S = 3600.0
 
 _STG_MARK = ".stg."
+_TRASH_MARK = ".trash."
 
 
 def warehouse_dir(spark: SparkSession) -> str:
@@ -83,19 +91,32 @@ def publish(staging: str, canonical: str) -> bool:
     race the staging is discarded and the winner's (byte-equivalent)
     layout is adopted.  Returns True if THIS call published.
 
-    A rename failure with the canonical path still absent is a real
-    filesystem error (staging is always a sibling, so never EXDEV) and
-    is re-raised — silently adopting a missing dir would register a
-    catalog table over nothing and serve empty scans.
+    A lost race is adopted ONLY when the canonical path is actually a
+    PUBLISHED layout (ADVICE r13 item 1: blindly adopting any existing
+    dir could latch onto pre-protocol debris another session is about
+    to sweep, silently serving empty scans for the session's life).
+    If the rename failed against something unpublished, the debris is
+    cleared and the publish retried once; a rename failure with the
+    canonical path absent is a real filesystem error (staging is
+    always a sibling, so never EXDEV) and is re-raised.
     """
-    try:
-        os.rename(staging, canonical)
-        return True
-    except OSError:
-        if not os.path.isdir(canonical):
-            raise
-        shutil.rmtree(staging, ignore_errors=True)
-        return False
+    for attempt in (0, 1):
+        try:
+            os.rename(staging, canonical)
+            return True
+        except OSError:
+            if is_published(canonical):
+                shutil.rmtree(staging, ignore_errors=True)
+                return False
+            if not os.path.isdir(canonical):
+                raise
+            if attempt:
+                raise
+            # unpublished dir blocking the rename: pre-protocol debris
+            # (publish never exposes such a state) — sweep it with the
+            # atomic rename-aside and retry exactly once
+            clear_unpublished_debris(canonical)
+    raise AssertionError("unreachable")
 
 
 def is_published(path: str) -> bool:
@@ -109,28 +130,54 @@ def clear_unpublished_debris(canonical: str) -> None:
     """Remove a canonical path that exists WITHOUT its ``_SUCCESS``
     marker — possible only as debris of a pre-protocol (pre-round-13)
     session killed mid-write, since :func:`publish` installs dirs
-    whole.  The existence+unpublished re-check happens HERE, right
-    before the rmtree, so a concurrent session's freshly PUBLISHED
-    layout (which has ``_SUCCESS``) can never be swept: an
-    unconditional rmtree after an earlier ``is_published`` check would
-    re-open exactly the delete-under-a-reader window this module
-    exists to close."""
-    if os.path.isdir(canonical) and not is_published(canonical):
-        shutil.rmtree(canonical, ignore_errors=True)
+    whole.
+
+    Sweep protocol (VERDICT r13 item 3): the debris is first renamed
+    aside to a unique ``.trash.<token>`` sibling — one atomic syscall —
+    and only the renamed dir is rmtree'd.  A direct rmtree of the
+    canonical path held a probe→rmtree window as wide as the rmtree
+    itself, during which a concurrent session's freshly PUBLISHED
+    layout could be deleted under its reader (the r12 failure family);
+    with the rename the canonical path is vacated instantly, losers of
+    a concurrent sweep race just get ENOENT, and a concurrent publish
+    can never be caught mid-delete.  The one interleave rename alone
+    cannot exclude — another session sweeps the same debris AND a
+    publish lands between our probe and our rename, so we renamed a
+    live layout — is detected by re-probing the trash dir and undone
+    with a second atomic rename back (the canonical slot was vacated
+    by us, so the restore can only lose to an equivalent republish,
+    in which case our copy is surplus)."""
+    if not os.path.isdir(canonical) or is_published(canonical):
+        return
+    trash = f"{canonical}{_TRASH_MARK}{uuid.uuid4().hex[:12]}"
+    try:
+        os.rename(canonical, trash)
+    except OSError:
+        return  # lost the sweep race — the debris is already gone
+    if is_published(trash):
+        # probe→rename interleave: we renamed a just-published layout
+        try:
+            os.rename(trash, canonical)
+        except OSError:
+            # slot reoccupied by a concurrent (byte-equivalent) publish
+            shutil.rmtree(trash, ignore_errors=True)
+        return
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def reap_stale_staging(wh: str, max_age_s: float = STAGING_MAX_AGE_S) -> None:
-    """Remove abandoned staging dirs (killed sessions) older than
-    ``max_age_s``.  Live builders are safe: no layout build holds a
-    staging dir for anywhere near the threshold, and a builder's own
-    fresh staging always has a young mtime."""
+    """Remove abandoned staging AND trash dirs (killed sessions) older
+    than ``max_age_s``.  Live builders are safe: no layout build holds
+    a staging dir for anywhere near the threshold, a debris sweep holds
+    its ``.trash.`` dir for milliseconds, and a builder's own fresh
+    staging always has a young mtime."""
     try:
         entries = os.listdir(wh)
     except FileNotFoundError:
         return
     now = time.time()
     for e in entries:
-        if _STG_MARK not in e:
+        if _STG_MARK not in e and _TRASH_MARK not in e:
             continue
         p = os.path.join(wh, e)
         try:

@@ -1,0 +1,107 @@
+"""bench.py wait-for-quiet preflight (VERDICT r13 item 2).
+
+Two consecutive driver BENCH artifacts shipped ``load_warning: true``
+(preflight load 19.01 / 16.58 from foreign contention). The bounded
+wait gives such a run a chance to START quiet; a timed-out wait must
+still stamp the warning honestly. These tests drive the helper with
+injected load/clock/sleep hooks so they are deterministic and take no
+wall-clock time; the real-load A/B (spinners vs quiet) is a round-close
+NOTES demonstration, not a unit test.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+_spec = importlib.util.spec_from_file_location("pce_bench", _BENCH)
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("pce_bench", bench)
+_spec.loader.exec_module(bench)
+
+
+class _FakeClock:
+    """Monotonic clock advanced only by the fake sleep."""
+
+    def __init__(self) -> None:
+        self.t = 1000.0
+        self.sleeps: list[float] = []
+
+    def __call__(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        assert s >= 0
+        self.sleeps.append(s)
+        self.t += s
+
+
+def _loads(samples):
+    it = iter(samples)
+    last = [None]
+
+    def fn():
+        try:
+            last[0] = next(it)
+        except StopIteration:
+            pass  # hold the final sample (load stays put)
+        return (last[0], 0.0, 0.0)
+
+    return fn
+
+
+def test_already_quiet_returns_immediately():
+    clock = _FakeClock()
+    load, waited = bench.wait_for_quiet(
+        4.0, 120.0, poll_s=10.0, loadfn=_loads([0.85]), sleepfn=clock.sleep, clock=clock
+    )
+    assert load == 0.85
+    assert waited == 0.0
+    assert clock.sleeps == []  # no pointless sleep on a quiet box
+
+
+def test_starts_when_load_drops_mid_wait():
+    clock = _FakeClock()
+    load, waited = bench.wait_for_quiet(
+        4.0,
+        120.0,
+        poll_s=10.0,
+        loadfn=_loads([16.58, 12.0, 7.3, 3.9]),
+        sleepfn=clock.sleep,
+        clock=clock,
+    )
+    assert load == 3.9 <= 4.0  # the RETURNED sample is the quiet one
+    assert waited == 30.0  # three 10 s polls
+    assert clock.sleeps == [10.0, 10.0, 10.0]
+
+
+def test_timeout_returns_final_loaded_sample():
+    clock = _FakeClock()
+    load, waited = bench.wait_for_quiet(
+        4.0, 120.0, poll_s=10.0, loadfn=_loads([19.01]), sleepfn=clock.sleep, clock=clock
+    )
+    assert load == 19.01  # caller stamps load_warning from this — honest
+    assert waited >= 120.0
+    # the budget bounds total sleep: 12 polls of 10 s, never more
+    assert sum(clock.sleeps) <= 120.0 + 1e-9
+    assert len(clock.sleeps) == 12
+
+
+def test_zero_budget_disables_wait():
+    clock = _FakeClock()
+    load, waited = bench.wait_for_quiet(
+        4.0, 0.0, poll_s=10.0, loadfn=_loads([16.58]), sleepfn=clock.sleep, clock=clock
+    )
+    assert load == 16.58
+    assert waited == 0.0
+    assert clock.sleeps == []  # SPARK_GRAFT_LOAD_WAIT=0 → exactly the old behavior
+
+
+def test_final_poll_clipped_to_budget():
+    clock = _FakeClock()
+    bench.wait_for_quiet(
+        4.0, 25.0, poll_s=10.0, loadfn=_loads([9.9]), sleepfn=clock.sleep, clock=clock
+    )
+    assert clock.sleeps == [10.0, 10.0, 5.0]  # last poll shrinks, never overruns

@@ -125,6 +125,67 @@ def test_publish_loser_discards_staging_keeps_winner(tmp_path):
     assert open(os.path.join(canonical, "part-0")).read() == "winner"
 
 
+def test_publish_never_adopts_unpublished_debris(tmp_path):
+    """ADVICE r13 item 1: a publish whose rename loses against a dir
+    WITHOUT ``_SUCCESS`` must not adopt it — that dir is pre-protocol
+    debris another session may sweep at any moment; adopting it would
+    serve empty scans for the session's life. The debris is cleared and
+    the publish retried, so the COMPLETE staging wins."""
+    canonical = str(tmp_path / "layout_aaaa_bbbb")
+    os.makedirs(canonical)
+    open(os.path.join(canonical, "part-0"), "w").write("debris")  # no _SUCCESS
+    stg = str(tmp_path / "layout_aaaa_bbbb.stg.tok")
+    os.makedirs(stg)
+    open(os.path.join(stg, "_SUCCESS"), "w").close()
+    open(os.path.join(stg, "part-0"), "w").write("complete")
+    assert layouts.publish(stg, canonical) is True
+    assert open(os.path.join(canonical, "part-0")).read() == "complete"
+    assert layouts.is_published(canonical)
+    assert not [e for e in os.listdir(tmp_path) if layouts._TRASH_MARK in e], (
+        "sweep left trash debris behind"
+    )
+
+
+def test_debris_sweep_restores_stolen_published_layout(tmp_path, monkeypatch):
+    """The one interleave rename-aside alone cannot exclude: a publish
+    lands between the sweep's publishedness probe and its rename, so
+    the sweep renamed a LIVE layout aside. The re-probe on the trash
+    dir must detect this and atomically restore the layout."""
+    canonical = str(tmp_path / "layout_cafe_f00d")
+    os.makedirs(canonical)
+    open(os.path.join(canonical, "_SUCCESS"), "w").close()
+    open(os.path.join(canonical, "part-0"), "w").write("live")
+    real = layouts.is_published
+    probes = {"n": 0}
+
+    def racy_probe(path):
+        probes["n"] += 1
+        # first probe: simulate the concurrent-publish interleave by
+        # reporting the (actually published) canonical as debris
+        return False if probes["n"] == 1 else real(path)
+
+    monkeypatch.setattr(layouts, "is_published", racy_probe)
+    layouts.clear_unpublished_debris(canonical)
+    assert real(canonical), "stolen published layout was not restored"
+    assert open(os.path.join(canonical, "part-0")).read() == "live"
+    assert not [e for e in os.listdir(tmp_path) if layouts._TRASH_MARK in e]
+
+
+def test_reap_covers_abandoned_trash(tmp_path):
+    """A sweeper killed between its rename-aside and its rmtree leaves
+    a ``.trash.`` dir; the staging reaper retires it on the same age
+    gate (and never touches a fresh one mid-sweep)."""
+    wh = str(tmp_path)
+    dead = os.path.join(wh, "layout_aaaa_bbbb.trash.deadbeef0123")
+    fresh = os.path.join(wh, "layout_aaaa_bbbb.trash.0123deadbeef")
+    for d in (dead, fresh):
+        os.makedirs(d)
+    os.utime(dead, (1, 1))
+    layouts.reap_stale_staging(wh, max_age_s=60.0)
+    assert not os.path.exists(dead)
+    assert os.path.exists(fresh), "a concurrent sweep's trash dir was reaped mid-delete"
+
+
 def test_publish_reraises_when_canonical_still_missing(tmp_path):
     """rename failing while the canonical is absent is a REAL error —
     adopting it would register a table over nothing."""
@@ -153,12 +214,18 @@ def test_fingerprint_reaper_never_matches_staging(tmp_path):
     keep = os.path.join(wh, "p_events_sf0_001_aaaa_bbbb")
     stg = os.path.join(wh, "p_events_sf0_001_cafe_f00d.stg.tok")
     stale = os.path.join(wh, "p_events_sf0_001_1234_cafe")
-    for d in (keep, stg, stale):
+    young = os.path.join(wh, "p_events_sf0_001_5678_beef")
+    for d in (keep, stg, stale, young):
         os.makedirs(d)
+    os.utime(stale, (1, 1))  # superseded long ago — no reader can remain
     _reap_stale_siblings(wh, "p_events_sf0_001_", keep)
     assert os.path.exists(keep)
     assert os.path.exists(stg), "reaper deleted a concurrent session's staging"
     assert not os.path.exists(stale)
+    # ADVICE r13 item 2: a RECENTLY superseded sibling may still be
+    # mid-scan by a session that started on the old fixture — the
+    # reaper must age-gate it exactly like stale staging
+    assert os.path.exists(young), "fresh superseded sibling reaped under a possible reader"
 
 
 def test_scan_during_fresh_session_rebuild_interleave(spark):
@@ -204,6 +271,65 @@ def test_recert_check_source_classifier():
         ".claude/skills/verify/SKILL.md",
     ):
         assert not rc.is_source(p), p
+
+
+def test_recert_check_sees_through_merge_commits(tmp_path):
+    """ADVICE r13 item 3: the old per-commit ``git show --name-only``
+    walk printed no file list for merge commits, so a merge bringing in
+    source changes exited 0. The tree-diff rewrite must flag it — and
+    must treat a change fully reverted before HEAD as covered (the
+    certification is of the tree)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = os.path.join(repo, "tools", "recert_check.py")
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args],
+            cwd=tmp_path,
+            check=True,
+            capture_output=True,
+            env=dict(
+                os.environ,
+                GIT_AUTHOR_NAME="t",
+                GIT_AUTHOR_EMAIL="t@t",
+                GIT_COMMITTER_NAME="t",
+                GIT_COMMITTER_EMAIL="t@t",
+            ),
+        )
+
+    def sha():
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=tmp_path, text=True
+        ).strip()
+
+    def check(certified):
+        return subprocess.run(
+            [sys.executable, rc, certified], cwd=tmp_path, capture_output=True, text=True
+        )
+
+    git("init", "-q", "-b", "main")
+    (tmp_path / "bench.py").write_text("v1\n")
+    git("add", "."), git("commit", "-qm", "base")
+    certified = sha()
+    # source change arriving ONLY via a merge commit
+    git("checkout", "-qb", "feature")
+    (tmp_path / "bench.py").write_text("v2\n")
+    git("commit", "-aqm", "feature: source change")
+    git("checkout", "-q", "main")
+    (tmp_path / "README.md").write_text("doc\n")
+    git("add", "."), git("commit", "-qm", "docs only")
+    git("merge", "-q", "--no-ff", "-m", "merge feature", "feature")
+    r = check(certified)
+    assert r.returncode == 1, f"merge-borne source change passed: {r.stdout}"
+    assert "bench.py" in r.stdout
+    # revert the source change: the TREE matches certification again
+    (tmp_path / "bench.py").write_text("v1\n")
+    git("commit", "-aqm", "revert source change")
+    r = check(certified)
+    assert r.returncode == 0, r.stdout
 
 
 def test_two_process_concurrent_layout_build(tmp_path):
@@ -254,6 +380,86 @@ spark.stop()
     assert len(canonicals) == 1, entries
     assert not stagings, f"staging debris survived: {stagings}"
     assert os.path.exists(os.path.join(wh, canonicals[0], "_SUCCESS"))
+
+
+def test_two_process_debris_clear_races_publish_and_scan(tmp_path):
+    """VERDICT r13 item 3 done-criterion: a TRUE two-process race of the
+    migration path — pre-round-13 debris sits at the canonical path, one
+    process builds/publishes/scans the events layout while a second
+    process hammers ``clear_unpublished_debris`` on that same canonical
+    the whole time. The builder must come up green (correct counts on
+    repeated scans), the published layout must survive the sweeper, and
+    no trash or staging debris may remain."""
+    import re
+    import subprocess
+    import sys
+
+    from presto_cached_examples_spark.sources.catalog import source_fingerprint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = str(tmp_path / "shared_wh")
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", SF_TINY.rstrip("/").rsplit("/", 1)[-1])
+    canonical = os.path.join(wh, f"p_events_{tag}_{source_fingerprint(SF_TINY, 'events')}")
+    # pre-protocol debris: exists, has data files, no _SUCCESS
+    os.makedirs(canonical)
+    open(os.path.join(canonical, "part-00000"), "w").write("killed mid-write")
+    builder = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from presto_cached_examples_spark import get_session
+from presto_cached_examples_spark.operators.scans import _partitioned_events
+spark = get_session(
+    app_name="race-builder", cpus="4", shuffle_partitions=4,
+    extra_conf={{"spark.sql.warehouse.dir": {wh!r}}},
+)
+t = _partitioned_events(spark, {SF_TINY!r})
+for _ in range(5):
+    print("COUNT", spark.table(t).count(), flush=True)
+spark.stop()
+"""
+    sweeper = f"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from presto_cached_examples_spark.sources import layouts
+canonical = {canonical!r}
+deadline = time.monotonic() + 240
+sweeps = 0
+while time.monotonic() < deadline:
+    layouts.clear_unpublished_debris(canonical)
+    sweeps += 1
+    if layouts.is_published(canonical):
+        break
+    time.sleep(0.001)
+# keep racing a while AFTER publish — the protocol must make these no-ops
+for _ in range(1000):
+    layouts.clear_unpublished_debris(canonical)
+print("SWEEPS", sweeps, "PUBLISHED", layouts.is_published(canonical), flush=True)
+"""
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        for code in (builder, sweeper)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+    counts = {l for l in outs[0][0].splitlines() if l.startswith("COUNT")}
+    assert len(counts) == 1, f"scan counts unstable under sweeper race: {counts}"
+    assert "PUBLISHED True" in outs[1][0], outs[1][0]
+    assert layouts.is_published(canonical), "published layout did not survive the sweeper"
+    leftovers = [
+        e
+        for e in os.listdir(wh)
+        if layouts._TRASH_MARK in e or layouts._STG_MARK in e
+    ]
+    assert not leftovers, f"trash/staging debris survived: {leftovers}"
 
 
 def test_debris_clear_never_sweeps_published_layouts(tmp_path):

@@ -100,6 +100,7 @@ def test_reaper_is_anchored_to_fingerprint_token(tmp_path):
     unrelated = os.path.join(wh, "evolved_orders_sf0_1_notes")
     for d in (keep, stale, other_fixture, unrelated):
         os.makedirs(d)
+    os.utime(stale, (1, 1))  # age past the r14 in-flight-reader gate
     _reap_stale_siblings(wh, "evolved_orders_sf0_1_", keep)
     assert os.path.exists(keep)
     assert not os.path.exists(stale), "true stale sibling must be reaped"

@@ -11,11 +11,14 @@ instead of remembered:
 
     python3 tools/recert_check.py <certified-sha>
 
-exits 0 and prints ``no post-cert source commits`` when every commit
-after <certified-sha> touches only test files, docs, or round
-artifacts; otherwise it lists the offending commits/files and exits 1,
+exits 0 and prints ``no post-cert source commits`` when the TREE diff
+<certified-sha>..HEAD touches only test files, docs, or round
+artifacts; otherwise it lists the changed source paths and exits 1,
 which means: re-run the gate on HEAD and append the re-certification
-to NOTES.
+to NOTES.  (Tree diff, not a commit walk: merge commits and paths
+with whitespace broke per-commit name parsing — ADVICE r13 item 3;
+a change reverted before HEAD correctly passes, since certification
+is a property of the tree, not the history.)
 
 "Source" is everything that can change what the gate measures: the
 package, __spark_entry__.py, bench.py, and tools/ (the gate runs
@@ -59,26 +62,27 @@ def main() -> int:
     if not out:
         print(f"no commits after {certified} — certification covers HEAD")
         return 0
-    dirty = []
-    for line in out.splitlines():
-        sha, _, subject = line.partition(" ")
-        files = subprocess.check_output(
-            ["git", "show", "--name-only", "--format=", sha], text=True
-        ).split()
-        src = [f for f in files if is_source(f)]
-        if src:
-            dirty.append((sha[:10], subject, src))
-    if not dirty:
+    # Compare TREES, not commit topology (ADVICE r13 item 3): walking
+    # `git show --name-only` per commit mis-splits paths containing
+    # whitespace and shows NO file list for merge commits, so a merge
+    # bringing in source changes passed silently. One NUL-separated
+    # tree diff gives the exact changed-path set regardless of either.
+    raw = subprocess.check_output(
+        ["git", "diff", "--name-only", "-z", f"{certified}..HEAD"]
+    ).decode()
+    changed = [p for p in raw.split("\0") if p]
+    src = sorted(p for p in changed if is_source(p))
+    n = len(out.splitlines())
+    if not src:
         print(
-            f"{len(out.splitlines())} post-cert commit(s), none touching "
+            f"{n} post-cert commit(s), none touching "
             "source — certification still covers HEAD"
         )
         return 0
-    print("POST-CERTIFICATION SOURCE COMMITS — re-run the double gate on HEAD:")
-    for sha, subject, src in dirty:
-        print(f"  {sha} {subject}")
-        for f in src:
-            print(f"      {f}")
+    print("POST-CERTIFICATION SOURCE CHANGES — re-run the double gate on HEAD:")
+    print(f"  {n} commit(s) after {certified[:10]}; changed source paths:")
+    for f in src:
+        print(f"      {f}")
     return 1
 
 
