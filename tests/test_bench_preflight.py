@@ -23,7 +23,13 @@ _spec.loader.exec_module(bench)
 
 
 class _FakeClock:
-    """Monotonic clock advanced only by the fake sleep."""
+    """Monotonic clock advanced only by the fake sleep.
+
+    Like the real pair, ``sleep`` always advances ``monotonic`` by a
+    strictly positive amount (a real sleep(1e-13) still burns ~50 µs
+    and monotonic has ns resolution): without the floor, a denormal
+    budget makes ``1000.0 + 1e-13 == 1000.0`` and the model — not the
+    code under test — spins forever."""
 
     def __init__(self) -> None:
         self.t = 1000.0
@@ -34,8 +40,14 @@ class _FakeClock:
 
     def sleep(self, s: float) -> None:
         assert s >= 0
-        self.sleeps.append(s)
-        self.t += s
+        self.sleeps.append(s)  # requested durations (what the code asked for)
+        before = self.t
+        self.t += max(s, 1e-4)
+        if self.t == before:  # float-epsilon guard at large t
+            self.t = before + abs(before) * 1e-12
+
+    def elapsed(self) -> float:
+        return self.t - 1000.0
 
 
 def _loads(samples):
@@ -105,3 +117,52 @@ def test_final_poll_clipped_to_budget():
         4.0, 25.0, poll_s=10.0, loadfn=_loads([9.9]), sleepfn=clock.sleep, clock=clock
     )
     assert clock.sleeps == [10.0, 10.0, 5.0]  # last poll shrinks, never overruns
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        samples=st.lists(
+            st.floats(min_value=0.0, max_value=64.0, allow_nan=False), min_size=1, max_size=40
+        ),
+        threshold=st.floats(min_value=0.5, max_value=20.0, allow_nan=False),
+        budget=st.floats(min_value=0.0, max_value=60.0, allow_nan=False),
+        poll=st.floats(min_value=0.5, max_value=30.0, allow_nan=False),
+    )
+    def test_wait_for_quiet_invariants(samples, threshold, budget, poll):
+        """Properties that hold for ANY load trajectory:
+
+        1. total sleep never exceeds the budget (the bench can't stall);
+        2. a returned over-threshold sample implies the budget was
+           exhausted (a warning is never stamped while wait remained);
+        3. a returned under-threshold sample is the FIRST quiet poll
+           (the bench starts the moment the box goes quiet);
+        4. the stamped value is exactly the last sample taken.
+        """
+        clock = _FakeClock()
+        taken = []
+        inner = _loads(samples)
+
+        def spy():
+            v = inner()
+            taken.append(v[0])
+            return v
+
+        load, waited = bench.wait_for_quiet(
+            threshold, budget, poll_s=poll, loadfn=spy, sleepfn=clock.sleep, clock=clock
+        )
+        assert sum(clock.sleeps) <= budget + 1e-6  # never ASKS for more than the budget
+        assert waited == round(clock.elapsed(), 1)  # reported wait is the real wait
+        rounded = [round(v, 2) for v in taken]
+        assert load == rounded[-1]
+        if load > threshold:
+            # warned only after the whole budget was spent waiting
+            assert clock.elapsed() >= budget - 1e-6
+            assert all(v > threshold for v in rounded), "gave up past a quiet sample"
+        else:
+            assert all(v > threshold for v in rounded[:-1]), "slept past the first quiet sample"
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass

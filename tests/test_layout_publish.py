@@ -383,13 +383,16 @@ spark.stop()
 
 
 def test_two_process_debris_clear_races_publish_and_scan(tmp_path):
-    """VERDICT r13 item 3 done-criterion: a TRUE two-process race of the
-    migration path — pre-round-13 debris sits at the canonical path, one
-    process builds/publishes/scans the events layout while a second
-    process hammers ``clear_unpublished_debris`` on that same canonical
-    the whole time. The builder must come up green (correct counts on
-    repeated scans), the published layout must survive the sweeper, and
-    no trash or staging debris may remain."""
+    """VERDICT r13 item 3 done-criterion: a TRUE multi-process race of
+    the migration path — pre-round-13 debris sits at the canonical
+    path, one process builds/publishes/scans the events layout while
+    TWO sweeper processes hammer ``clear_unpublished_debris`` on that
+    same canonical the whole time (two sweepers + one publisher is the
+    exact three-party interleave the steal-restore branch exists for:
+    sweeper A probes, sweeper B clears, the publish lands, A renames).
+    The builder must come up green (correct counts on repeated scans),
+    the published layout must survive both sweepers, and no trash or
+    staging debris may remain."""
     import re
     import subprocess
     import sys
@@ -445,14 +448,15 @@ print("SWEEPS", sweeps, "PUBLISHED", layouts.is_published(canonical), flush=True
             env=env,
             cwd=repo,
         )
-        for code in (builder, sweeper)
+        for code in (builder, sweeper, sweeper)
     ]
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
     counts = {l for l in outs[0][0].splitlines() if l.startswith("COUNT")}
     assert len(counts) == 1, f"scan counts unstable under sweeper race: {counts}"
-    assert "PUBLISHED True" in outs[1][0], outs[1][0]
+    for out, _err in outs[1:]:
+        assert "PUBLISHED True" in out, out
     assert layouts.is_published(canonical), "published layout did not survive the sweeper"
     leftovers = [
         e
