@@ -676,6 +676,75 @@ def test_kcenter_oversampling_scan_budget(spark):
     )
 
 
+def test_kcenter_duplicated_corpus_degrades_gracefully(spark, tmp_path):
+    """Standing watch item (VERDICT r9+ "k-center oversampling
+    degradation on fully-duplicated corpora"), now pinned: on an
+    adversarial corpus of massively duplicated vectors every pool
+    score ties at tau, so the certificate can prove only the first
+    pick of each pass. The documented contract is graceful
+    degradation — at worst the OLD one-scan-per-center bound, never a
+    wrong or short selection. Both halves asserted here on 4 distinct
+    points × 32 copies each (pool-sized duplicate runs force the
+    uncertified-tie rescans)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from presto_cached_examples_spark.llm import sampling
+
+    k = sampling._KCENTER_K
+    n = 4 * sampling._KCENTER_POOL  # 4 clusters × pool-many copies
+    distinct = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [7.0, 7.0]]
+    data = [(i, [float(x) for x in distinct[i % 4]], i % 4) for i in range(n)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    sf_dir = str(tmp_path / "dupfix")
+    spark.createDataFrame(data, schema).write.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    sel = sampling._kcenter_select(spark, sf_dir, k=k)
+    scans = sampling._KCENTER_LAST_SCANS["scans"]
+    assert len(sel) == k, "selection came up short on duplicated data"
+    # exact-selection half: brute-force greedy with the same md5 seed
+    # and (max md, min vec_id) tie-break — duplicates make every later
+    # radius 0.0, and the selection must still be THE deterministic one
+    vecs = {vid: v for vid, v, _lbl in data}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    seed = min(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    chosen, radii = [seed], [0.0]
+    while len(chosen) < k:
+        best = None
+        for vid, v in vecs.items():
+            if vid in chosen:
+                continue
+            md = min(d2(v, vecs[c]) for c in chosen)
+            if best is None or (-md, vid) < best[0]:
+                best = ((-md, vid), vid, md)
+        chosen.append(best[1])
+        radii.append(best[2])
+    assert [vid for vid, _v, _d in sel] == chosen
+    assert [round(d, 4) for _vid, _v, d in sel] == [round(r, 4) for r in radii]
+    # the 4 distinct points are covered before any zero-radius
+    # duplicate is spent from the budget
+    first4 = {tuple(vecs[vid]) for vid in chosen[:4]}
+    assert len(first4) == 4, "a duplicate was picked before coverage was complete"
+    assert all(r == 0.0 for r in radii[4:]), "nonzero radius after full coverage"
+    # degradation half: never WORSE than the pre-oversampling bound of
+    # one corpus scan per center (seed included)
+    assert scans <= k, (
+        f"duplicated corpus cost {scans} scans — worse than the "
+        f"one-scan-per-center bound the contract promises"
+    )
+
+
 def test_embed_sweep_counts_are_monotone_and_match_base(spark):
     """Counts must be non-increasing in the threshold, and the 0.25 row
     must match q_dedup_embed's emitted pair count exactly."""
