@@ -1459,11 +1459,13 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-alphabet fields (tags, categories): always shingle.
 
     Scale: the q_dedup_near posture — signatures are MAP-SIDE
-    array_min folds over each doc's own shingle array (round 12: no
-    explode/groupBy shuffle and no unrolled column forest — one
-    nested-HOF expression, the r11 _band_structs recipe), the bucket
-    join carries (band, hash, id) triples only, and the exact-verify
-    leg fetches shingle sets per CANDIDATE, never corpus-wide. All
+    aggregate folds over each doc's own shingle array (round 12: no
+    explode/groupBy shuffle and no unrolled column forest; round 15:
+    the fold keeps the shingle expression in argument position so it
+    is evaluated ONCE per row), the bucket join carries
+    (band, hash, id) triples only, and the exact-verify leg
+    semi-joins to the candidate ids BEFORE shingling (round 15), so
+    the expensive text work never runs corpus-wide twice. All
     hashes are md5, so DuckDB replays the pipeline bit-for-bit.
 
     Reference provenance: C9 measured operating curves
@@ -1479,23 +1481,30 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Round 12 (VERDICT r11 next #2, the r11 _band_structs recipe): the
-    # signature is ONE nested higher-order expression — transform over
-    # sequence(0,H-1) with array_min(transform(grams, md5)) inside —
-    # instead of H unrolled MIN(md5(g||'#i')) aggregate columns. Values
-    # are bit-identical (CAST(i AS STRING) of the sequence variable
-    # equals the old f"#{i}" literal for single digits, and md5 sees
-    # the same concat bytes), but janino compiles one small loop body
-    # per stage instead of the H-wide forest, and the explode +
-    # groupBy(doc_id) SHUFFLE the unrolled form needed for its MIN
-    # aggregates disappears: the per-doc min is an array_min over the
-    # doc's own shingle array, map-side.
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_MHC_H - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("ts"),
-                lambda g: F.md5(F.concat(g, F.lit("#"), i.cast("string"))),
-            )
+    # signature is ONE nested higher-order expression instead of H
+    # unrolled MIN(md5(g||'#i')) aggregate columns — janino compiles a
+    # small loop body and the explode+groupBy shuffle disappears.
+    # Round 15 (guide §1.2 per-task work): the transform-over-
+    # sequence(0,H-1) form re-evaluated the INLINE shingle expression
+    # per outer element once CollapseProject merged the ts projection
+    # into the lambda body (profiled A/B at sf0.1: 1.02 s inline vs
+    # 0.11 s over a materialized ts — ~0.9 s of duplicated shingling).
+    # Folding the OTHER way keeps the shingle array in `aggregate`'s
+    # ARGUMENT position, where it is evaluated exactly once per row,
+    # with no materialization: the accumulator is the H running minima,
+    # each gram folds in via least(acc_i, md5(g||'#'||i)). Values are
+    # bit-identical to the array_min form — same md5 bytes, same
+    # lexicographic min, the "g" sentinel sorts after every 0-f hex
+    # digest and the gram array is never empty (greatest(..., 1)).
+    sig = F.aggregate(
+        F.col("ts"),
+        F.array_repeat(F.lit("g"), _MHC_H),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(_MHC_H - 1)),
+            lambda m, i: F.least(
+                m, F.md5(F.concat(g, F.lit("#"), i.cast("string")))
+            ),
         ),
     )
     # the signature relation (id + the 8-hash array, the artifact a
@@ -1532,8 +1541,25 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
+        # bucket-bounded pair list; 3 consumers below (both verify-leg
+        # semi-joins + the scoring join) — materialize the bucket
+        # self-join once instead of re-running it per consumer
+        .localCheckpoint(eager=False)
     )
-    sets = d.select("doc_id", grams.alias("ts"))
+    # Verify legs (round 15, the q_dedup_near discipline): shingle ONLY
+    # docs that appear in a candidate pair — semi-join first, shingle
+    # after. The old form computed the shingle expression corpus-wide
+    # TWICE (once per join leg) and let the join discard the misses;
+    # on a mostly-clean corpus the candidate slice is a vanishing
+    # fraction of the scan at any scale.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = d.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", grams.alias("ts")
+    )
     a = mh.join(sets, "doc_id").select(
         F.col("doc_id").alias("doc_a"),
         F.col("ts").alias("ts_a"),

@@ -521,9 +521,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
     )
+    # n_grams == len(sequence(1, greatest(|tk|-1, 1))) by construction
+    # (transform preserves length) — computing it as arithmetic instead
+    # of size(grams) avoids building the 2-gram string array a second
+    # time in this projection (HOFs are interpreted; no codegen CSE).
     gram_stats = d.select(
         "doc_id",
-        F.size(grams).alias("n_grams"),
+        F.greatest(F.size(tk) - 1, F.lit(1)).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
     )
     return (

@@ -24,6 +24,13 @@ from presto_cached_examples_spark.sources.catalog import load_table, spread
 
 _SESSION_GAP_MIN = 30
 
+# q_agg_percentiles bucket width for the cumulative-rank decomposition:
+# a DOMAIN constant (cents of l_extendedprice), not a core-count tune —
+# it bounds every raw-row window partition at ≤ 16,384 cent rows and
+# yields ~640 buckets per flag over the ~$105k price domain at every
+# scale factor and every cluster size.
+_PCT_BUCKET_CENTS = 16384
+
 
 @register(
     "q_agg_percentiles",
@@ -59,22 +66,48 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine float discipline: h = (n-1)*p is exact for p in
     {.25, .5, .75} (exact binary fractions), cents are integers, so
     every interpolated quantile is an exact multiple of 0.25 — never
-    the x.xx5 boundary where engines' ULPs disagree."""
+    the x.xx5 boundary where engines' ULPs disagree.
+
+    Round 15 (guide §2.5/§2.6 — straggler stage): the cumulative-rank
+    window used to be partitioned by l_returnflag alone, i.e. THREE
+    tasks sort + prefix-sum + partially aggregate the whole cent-grain
+    relation while 29 cores idle (profiled 2.05 s warm at sf0.1, the
+    slowest headline stage). Decomposed exactly like
+    q_window_dist_scalable: a fixed-width cent bucket (16,384 cents ≈
+    $163.84) splits each flag into ~640 groups; per-(flag, bucket)
+    subtotals prefix-sum in a tiny window (≤ ~2k rows, broadcast back)
+    and the raw-row window runs per (flag, bucket) — every partition
+    is bounded by the BUCKET WIDTH (≤ 16,384 cent rows) forever, so
+    the stage parallelizes at any scale. cum/n are the same integer
+    sums in a different association order — bit-identical, proven by
+    old-vs-new frame equality at sf0.001/0.01/0.1 and the unchanged
+    oracle hash."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
     counts = li.select(
         "l_returnflag", cents.alias("cents")
     ).groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cb = counts.withColumn("bkt", F.floor(F.col("cents") / _PCT_BUCKET_CENTS))
 
-    w_cum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+    bcounts = cb.groupBy("l_returnflag", "bkt").agg(F.sum("cnt").alias("bcnt"))
+    w_off = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bcnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bcnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    w_cum = Window.partitionBy("l_returnflag", "bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy("l_returnflag")
-    b = counts.select(
+    b = cb.join(F.broadcast(offsets), ["l_returnflag", "bkt"]).select(
         "l_returnflag",
         "cents",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+        (F.col("off") + F.sum("cnt").over(w_cum)).alias("cum"),
+        "n",
     )
 
     def quantile(p: float):

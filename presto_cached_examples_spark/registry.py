@@ -370,6 +370,11 @@ def all_specs() -> dict[str, QuerySpec]:
     rest follow in registration order.
     """
     _ensure_loaded()
+    # ADVICE r14 (low): a typo'd/stale rotation entry must fail loudly,
+    # not silently shrink the driver's verification front while the
+    # displaced query keeps its stale green row.
+    unknown = set(_VERIFY_FRONT) - set(_REGISTRY)
+    assert not unknown, f"_VERIFY_FRONT names not registered: {sorted(unknown)}"
     front = [n for n in _VERIFY_FRONT if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]
     return {n: _REGISTRY[n] for n in (*front, *rest)}

@@ -114,6 +114,24 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(sized["max_partition_bytes"]))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate copies the WHOLE generator child into
+        # a `size(child) > 0` filter below explode()/inline(). Every
+        # exploded array in this engine is a computed expression
+        # (shingles, n-grams, band structs, pair HOFs), so the rule
+        # re-evaluates that CPU-heavy construction a second time per
+        # row — and because the filter sinks below the spread()
+        # repartition, the duplicate runs at the SCAN's parallelism
+        # (sf0.1: 1-2 tasks) instead of the cluster's. The rows it
+        # could remove (empty gram arrays) are ~0 on any real corpus,
+        # so it is pure duplicated work at every scale. Round-15 A/B
+        # (alternating same-session pairs, min of 4): q_decontam_hashed
+        # 1.85s -> 0.34s, q_contamination_report 1.76s -> 0.45s, no
+        # query slower. Excluding an optimizer rule cannot change
+        # results, only plans (verified: 245/245 oracle sweep).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as int64 ns and convert at the catalog edge
         # (sources/catalog.py) — same µs truncation DuckDB applies.

@@ -35,8 +35,13 @@ long-running rmtree — losers of the rename race simply find nothing,
 and the one pathological interleave left (a third session clears the
 debris and a publish lands between our publishedness probe and our
 rename) is detected by re-probing the TRASH dir and undone with a
-second atomic rename back.  (VERDICT r13 item 3 — this closed the
-last documented window of the r12 delete-under-a-reader family.)
+second atomic rename back.  (VERDICT r13 item 3.)  Residual window,
+stated precisely (ADVICE r14): between the mistaken rename-aside and
+the restoring rename back the canonical path is absent for TWO
+syscalls — a reader that already registered a table over it during a
+triple race on pre-r13 debris can see a transient FileNotFound and
+should retry; the window is REDUCED from rmtree-duration to that
+bounded two-rename gap, not eliminated.
 """
 
 from __future__ import annotations
