@@ -850,23 +850,34 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = profile(o, "v1")
     b = profile(v2, "v2")
-    # 1 row x 1 row — checkpoint so the per-column report branches
-    # share ONE profiling pass per version instead of re-scanning the
-    # table for every unioned projection (was 20 scans / 40 shuffles)
-    both = a.crossJoin(F.broadcast(b)).localCheckpoint(eager=False)
-    out = None
-    for c in _DRIFT_COLS:
-        row = both.select(
-            F.lit(c).alias("col_name"),
-            F.col("n_v1"),
-            F.col("n_v2"),
-            F.col(f"null_{c}_v1").alias("nulls_v1"),
-            F.col(f"null_{c}_v2").alias("nulls_v2"),
-            F.col(f"nd_{c}_v1").alias("distinct_v1"),
-            F.col(f"nd_{c}_v2").alias("distinct_v2"),
-            F.round(
-                F.col(f"nd_{c}_v2") / F.col(f"nd_{c}_v1") - 1, 4
-            ).alias("distinct_drift"),
+    # Round 15: the per-column report is ONE stack() unpivot of the
+    # single profile row instead of a per-column unionAll of selects
+    # over a localCheckpoint. The old shape needed the checkpoint so
+    # the branches shared one profiling pass; with a single stack
+    # consumer the checkpoint (and its ~1.2 s of build-time physical
+    # planning — localCheckpoint compiles its subtree eagerly on the
+    # driver) disappears while execution stays one pass per version.
+    # Same rows, same order (_DRIFT_COLS), same types.
+    both = a.crossJoin(F.broadcast(b))
+    stack_args = ", ".join(
+        f"'{c}', n_v1, n_v2, null_{c}_v1, null_{c}_v2, nd_{c}_v1, nd_{c}_v2"
+        for c in _DRIFT_COLS
+    )
+    out = both.select(
+        F.expr(
+            f"stack({len(_DRIFT_COLS)}, {stack_args}) AS "
+            "(col_name, n_v1, n_v2, nulls_v1, nulls_v2, distinct_v1, distinct_v2)"
         )
-        out = row if out is None else out.unionAll(row)
+    ).select(
+        "col_name",
+        "n_v1",
+        "n_v2",
+        "nulls_v1",
+        "nulls_v2",
+        "distinct_v1",
+        "distinct_v2",
+        F.round(F.col("distinct_v2") / F.col("distinct_v1") - 1, 4).alias(
+            "distinct_drift"
+        ),
+    )
     return out
