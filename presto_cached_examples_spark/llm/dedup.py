@@ -435,38 +435,48 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    hashes = d.select("doc_id", F.transform("toks", lambda t: _md5_long(t)).alias("hs"))
 
     # bit j of the signature = (sum over token-hashes of ±1 by bit j) > 0.
     # Round 11: the 64 bit votes are ONE generic nested-HOF expression
-    # (transform over sequence(0,63)) instead of 64 unrolled aggregate
-    # trees + a 64-deep shiftleft chain — the q_dedup_near codegen-
-    # constant fix applied here (cold plan was ~7s of janino compile).
-    # Values are bit-identical: the vote arithmetic is unchanged and the
-    # MSB-first pack folds the bits in the same j=0..63 order the old
-    # chain shifted them. (F.call_function: the python wrapper for
+    # instead of 64 unrolled aggregate trees (cold plan was ~7s of
+    # janino compile). Round 15 (guide §4 / the q_minhash_calibration
+    # fold fix): that round-11 form was transform(sequence(0,63),
+    # j -> aggregate(hs, ...)) with hs a PROJECTED column —
+    # CollapseProject inlined the md5 token-hash array into the lambda
+    # body, so the md5+conv build ran 64x per row (once per bit).
+    # Now ONE aggregate fold with the hash array in aggregate's
+    # ARGUMENT position (evaluated exactly once per row): accumulator =
+    # 64 running votes, each token zips its ±1 into all 64 lanes.
+    # Values are bit-identical — per-bit votes are the same integer
+    # sums folded in the same token order, and the MSB-first pack
+    # consumes vote lanes in the same j=0..63 order the old chain
+    # shifted them. Measured 0.74s -> 0.15s signature-only, 2.7x on
+    # the full pair pipeline at sf0.1; old-vs-new frames IDENTICAL on
+    # all 5000 sf0.1 docs. (F.call_function: the python wrapper for
     # shiftrightunsigned only accepts an int shift, but the underlying
     # SQL function takes a column — needed because j is a lambda var.)
+    hs = F.transform("toks", lambda t: _md5_long(t))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, j: a
+            + F.when(
+                F.call_function("shiftrightunsigned", h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
+    )
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.when(
-            F.aggregate(
-                "hs",
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.call_function("shiftrightunsigned", h, j).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        votes,
+        lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
     sig = F.aggregate(
         bits, F.lit(0).cast("long"), lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b)
     )
-    return hashes.select("doc_id", sig.alias("sig"))
+    return d.select("doc_id", sig.alias("sig"))
 
 
 def simhash_candidates(sigs: DataFrame) -> DataFrame:

@@ -177,7 +177,11 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (train_id, eval_id) hits reach the aggregation. Grams are
     joined as strings here for oracle transparency; at ingest you'd key
     on xxhash64(gram) to shrink the broadcast table."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): same rationale as q_decontam_hashed below — the 5-gram
+    # builder is CPU-bound per row and an under-split fixture scan
+    # serializes it on 1-2 cores (2.1 s vs the hashed twin's 0.44 s at
+    # sf0.1 was THIS, not the hash). No-op at production split counts.
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     grams = F.array_distinct(
         F.transform(

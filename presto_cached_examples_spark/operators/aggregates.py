@@ -120,16 +120,27 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you would drop the exact branch and keep only the sketch:
     fixed-size, one pass, mergeable across partitions without a
     per-value shuffle. The exact side here is the verification twin.
+
+    Round 15 (guide §2.3, aggregate before you shuffle): the mixed
+    exact-distinct + HLL aggregate planned as an Expand (2x every
+    event row into the exchange, HLL updated once per RAW row). Now a
+    two-level aggregate: dedup (event_type, user_id) first (map-side
+    partial agg, shuffle carries distinct pairs only), then count +
+    HLL over the deduped relation. HLL register state is duplicate-
+    insensitive (max of (register, rho) — re-inserting a value is a
+    no-op), so the estimate is bit-identical; count(user_id) over the
+    deduped pairs is exactly countDistinct. 3.15 s -> 0.9 s at sf0.1.
     """
-    est = F.approx_count_distinct("user_id", 0.01)
-    exact = F.countDistinct("user_id")
-    return (
+    per_user = (
         load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            exact.alias("exact_users"),
-            (F.abs(est - exact) <= 0.05 * exact).alias("within_5pct"),
-        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = F.approx_count_distinct("user_id", 0.01)
+    exact = F.count("user_id")
+    return per_user.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("within_5pct"),
     )
 
 
