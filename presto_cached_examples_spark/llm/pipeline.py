@@ -777,13 +777,19 @@ def q_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_BUCKETS
     )
     bt = toks.select("doc_id", "lang", bucket.alias("b"))
-    doc_b = bt.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
-    # every bucket-level statistic below rolls up from ONE bounded
-    # (bucket, lang) aggregate — |buckets| x |langs| rows, persisted —
-    # instead of each re-scanning and re-exploding the corpus (4
-    # token-stream scans pre-round-9, now 2: doc_b + this)
-    blt = bt.groupBy("b", "lang").agg(F.count(F.lit(1)).alias("k"))
-    blt = maybe_persist(blt, sf_dir)
+    # Round 15 (guide §2.4): ONE corpus token pass. The (doc, bucket)
+    # grain now carries the doc's (constant) lang, so the bucket-level
+    # distribution rolls up from IT instead of from a second
+    # explode+md5 pass over the corpus (round 9 had cut 4 passes to 2;
+    # this cuts 2 to 1 under the persist gate, and at fixture scale
+    # the two consumers share the db exchange). min(lang) is exact:
+    # lang is functionally determined by doc_id.
+    db = bt.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("k"), F.min("lang").alias("lang")
+    )
+    db = maybe_persist(db, sf_dir)
+    doc_b = db.select("doc_id", "b", "k")
+    blt = db.groupBy("b", "lang").agg(F.sum("k").alias("k"))
     rawb = blt.groupBy("b").agg(F.sum("k").alias("raw_k"))
     tgtb = (
         blt.filter(F.col("lang") == _DSIR_TARGET_LANG)

@@ -253,7 +253,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint family). Identical prose ⇒ identical min-fingerprint,
     and near-identical prose shares it with high probability — a
     cheap SQL-only near-dup prefilter."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): one md5 per 5-token window is CPU-bound per row; the
+    # under-split fixture scan serialized it on 1-2 cores (guide §2.5).
+    # No-op at production split counts.
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     # windows i = 1 .. max(len-4, 1): md5 of the 5-token window starting at i
     win_fps = F.transform(
@@ -1027,7 +1030,10 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate scales with corpus size. Laplace smoothing keeps every
     probability finite and the arithmetic engine-identical (integer
     counts, one division, 4dp round)."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the bigram struct explode is CPU-bound per row; the
+    # under-split fixture scan serialized it on 1-2 cores (guide §2.5).
+    # No-op at production split counts.
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     tk = F.split("text", " ")
     bigrams = d.select(
         "doc_id",

@@ -1145,6 +1145,11 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_ntile_spend split-point memo — (session, sf) keyed, the
+#: _MIX_SPLITS pattern (plan-shaping constants only, never values).
+_NTILE_SPLITS: dict[tuple, list] = {}
+
+
 @register(
     "q_ntile_spend",
     category="window",
@@ -1196,11 +1201,24 @@ def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
         ).alias("spend")
     )
-    # two actions read the customer-grain relation (the split-point
-    # sample pass and the final plan) — checkpoint it so orders
-    # aggregate once (the q_text_pmi pattern)
-    spend = spend.localCheckpoint(eager=True)
-    ranked = global_rank(spend, "spend", "o_custkey", descending=True)
+    # Lazy checkpoint + memoized split points (round 15, the
+    # _RFM_SPLITS/_MIX_SPLITS pattern): the base materializes inside
+    # whichever action touches it first (the sampling pass on the
+    # first build, the query's own action after), and split points —
+    # which shape only the global_rank plan, never the (rank, n)
+    # values — are computed once per (session, sf) instead of on
+    # every plan build.
+    spend = spend.localCheckpoint(eager=False)
+    from presto_cached_examples_spark.session import session_token
+
+    skey = (session_token(spark), sf_dir)
+    if skey not in _NTILE_SPLITS:
+        _NTILE_SPLITS[skey] = spend.approxQuantile(
+            "spend", [i / 64 for i in range(1, 64)], 0.001
+        )
+    ranked = global_rank(
+        spend, "spend", "o_custkey", descending=True, splits=_NTILE_SPLITS[skey]
+    )
     tiled = ranked.select(
         "o_custkey",
         "spend",
