@@ -92,7 +92,22 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-way join → revenue by nation. Dimension chain
     (region→nation→supplier) broadcasts; the fact chain joins in FK
     order so the largest table (lineitem) joins an already-filtered
-    orders side."""
+    orders side.
+
+    Round 15 (guide §3.2, transitive-filter pushdown): the region
+    predicate only bound at the LAST join, so non-ASIA customers and
+    suppliers survived through the c⋈o and lineitem joins — ~5x more
+    rows through the two biggest shuffles than the answer needs.
+    Catalyst cannot infer the semi-filter (the c_nationkey =
+    s_nationkey constraint arrives after the fact joins), so it is
+    explicit now: the ASIA nation keys (a broadcast-sized dimension
+    join, computed once as `asian`) semi-filter customer AND supplier
+    before any fact join, and the final name lookup joins `asian`
+    itself, making the old nation/region re-join (by then a tautology)
+    unnecessary. Result-identical — the semi-filters are implied by
+    the original join chain (old-vs-new frames equal at sf0.1; oracle
+    hash-match at 3 SFs). Warm min 0.94–1.2 → 0.68–1.0 s at sf0.1;
+    at scale the win is the 5x row cut in the fact shuffles."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
@@ -102,13 +117,23 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = (
+        n.alias("nx")
+        .join(
+            F.broadcast(r.alias("rx")),
+            F.col("nx.n_regionkey") == F.col("rx.r_regionkey"),
+        )
+        .select(F.col("nx.n_nationkey").alias("ak"), F.col("nx.n_name").alias("a_name"))
+    )
+    a1, a2, a3 = asian.alias("a1"), asian.alias("a2"), asian.alias("a3")
+    c2 = c.join(F.broadcast(a1), c["c_nationkey"] == F.col("a1.ak"), "left_semi")
+    s2 = s.join(F.broadcast(a2), s["s_nationkey"] == F.col("a2.ak"), "left_semi")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
+        c2.join(o, c2["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s2, (li["l_suppkey"] == s2["s_suppkey"]) & (c2["c_nationkey"] == s2["s_nationkey"]))
+        .join(F.broadcast(a3), s2["s_nationkey"] == F.col("a3.ak"))
+        .groupBy(F.col("a3.a_name").alias("nation"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
