@@ -192,76 +192,20 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 14): the driver's correctness harness checks
+# Verification rotation (round 15): the driver's correctness harness checks
 # only the FIRST 50 queries in the order `queries()` yields them. Every
-# registered query has a hard driver row (CORRECTNESS_r01-r13, zero reds
+# registered query has a hard driver row (CORRECTNESS_r01-r14, zero reds
 # since r4), so rotation is pure oldest-green-first refresh. This front =
-# the 45 queries whose latest green driver row is round 9, plus the 5
-# oldest round-10 greens, in registration order — after this round no
-# query's last driver check is older than round 10 (VERDICT r13 item 1).
+# the 45 queries whose latest green driver row is round 10, plus the 5
+# oldest round-11 greens, in registration order — after this round no
+# query's last driver check is older than round 11 (VERDICT r14 item 1).
+# Round-15 bonus: several queries this optimization round touched
+# (q_agg_approx, q_text_bigram_lm, q_agg_percentiles' bucket rewrite's
+# window siblings) sit in this front, so the driver re-gates them.
 # Everything outside the window is locally re-verified every round by
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 9 (45) + oldest round-10 greens (5)
-    "q_scan_json",
-    "q_scan_csv",
-    "q_scan_orc",
-    "q_join_bucketed",
-    "q_join_bloom",
-    "q_join_range_bucketed",
-    "q_window_lag",
-    "q_intersect_all",
-    "q_except_all",
-    "q_profile_stats",
-    "q_lateral_topk",
-    "q_resample_interp",
-    "q_winsorize",
-    "q_agg_mode",
-    "q_local_supplier_volume",
-    "q_product_profit",
-    "q_rolling_wau",
-    "q_rolling_retention",
-    "q_rolling_wau_approx",
-    "q_markov_transitions",
-    "q_anomaly_zscore",
-    "q_event_runs",
-    "q_cdc_merge",
-    "q_attribution_linear",
-    "q_graph_components",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_topk_skewed",
-    "q_token_freq_cms",
-    "q_text_unigram_lm",
-    "q_quality_logistic",
-    "q_text_entropy",
-    "q_quality_tiers",
-    "q_dedup_simhash",
-    "q_sim_topk_lsh",
-    "q_sim_pq",
-    "q_sim_adc",
-    "q_embed_centroids",
-    "q_dedup_incremental",
-    "q_mm_phash",
-    "q_boilerplate_scrub",
-    "q_mix_weights",
-    "q_curation_funnel",
-    "q_stream_interval_join",
-    "q_stream_topk",
-    "q_join_dpp",
-    "q_layout_zorder",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_multiway",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 15: the remaining round-10 greens in
-# registration order, then the 5 oldest round-11 greens. All locally
-# hash-verified every run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 10 (45) + oldest round-11 greens (5)
     "q_join_left",
     "q_join_full",
@@ -313,6 +257,67 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_agg_approx",
     "q_union_distinct",
     "q_intersect",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 16: the remaining round-11 greens in
+# registration order, then the 5 oldest round-12 greens (computed from
+# CORRECTNESS_r01-r14; staleness histogram before this round:
+# r10:45 r11:50 r12:50 r13:50 r14:50). All locally hash-verified every
+# run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 11 (45) + oldest round-12 greens (5)
+    "q_except",
+    "q_agg_corr",
+    "q_pivot",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_string_regexp",
+    "q_sessionize",
+    "q_subquery_in",
+    "q_subquery_corr",
+    "q_agg_groupingid",
+    "q_agg_argminmax",
+    "q_date_series",
+    "q_values_cte",
+    "q_top_unshipped",
+    "q_returned_revenue",
+    "q_filtered_revenue",
+    "q_promo_share",
+    "q_agg_stringagg",
+    "q_window_lead",
+    "q_agg_decimal",
+    "q_exists_agg",
+    "q_null_ordering",
+    "q_histogram",
+    "q_cond_count",
+    "q_agg_percentiles_approx",
+    "q_window_dist_scalable",
+    "q_sample_stratified",
+    "q_join_salted",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_expr",
+    "q_array_funcs",
+    "q_subquery_scalar",
+    "udf_pack_pen",
+    "udaf_weighted_avg",
+    "q_text_tokens",
+    "q_text_langstats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_text_vocab",
+    "q_sim_topk_kmeans",
+    "q_dedup_embed",
+    "q_snapshot_diff",
+    "q_drift_report",
+    "q_join_asof",
+    "q_fuzzy_match",
+    "q_ntile_spend",
 )
 
 
