@@ -148,6 +148,44 @@ def _langid_score_sql() -> str:
     return ", ".join(cases)
 
 
+def _langid_best():
+    """(score, lang) of the winning language as ONE struct expression.
+
+    Round 15 (guide §1.2 per-task work): the old greatest() + when-
+    chain form referenced every per-language score repeatedly (`top`
+    inside each when, each score in its own when), and interpreted
+    HOFs have no common-subexpression elimination — profiled ~6
+    evaluations of all 15 marker filter-scans per row. This fold
+    builds the 5 (score, lang) structs ONCE (array constructor —
+    each score evaluated exactly once) and keeps the first strict
+    maximum, which IS the old tie order (en > de > es > fr > zh:
+    `when` chains picked the first language equal to the max; a
+    strictly-greater fold keeps the earliest max in array order).
+    """
+    toks = F.split("text", " ")
+
+    def count_marker(m: str):
+        # NB: a plain `lambda t, m=m:` would be called by the HOF engine
+        # as (element, index) — two-arg lambdas get the array index.
+        return F.size(F.filter(toks, lambda t: t == F.lit(m)))
+
+    entries = F.array(
+        *[
+            F.struct(
+                sum((count_marker(m) for m in markers), F.lit(0)).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+    )
+    return F.aggregate(
+        entries,
+        F.struct(F.lit(-1).alias("s"), F.lit("").alias("l")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+
+
+
 @register(
     "q_text_langid",
     category="llm-text",
@@ -175,31 +213,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tie order (en > de > es > fr > zh). On a real
     corpus the markers become char-n-gram profiles; the operator shape
     (k scores per doc → argmax) is the scalable part — one scan, no
-    shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    def count_marker(m: str):
-        # NB: a plain `lambda t, m=m:` would be called by the HOF engine
-        # as (element, index) — two-arg lambdas get the array index.
-        return F.size(F.filter(toks, lambda t: t == F.lit(m)))
-
-    scores = {
-        lang: sum((count_marker(m) for m in markers), F.lit(0))
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    top = F.greatest(*scores.values())
-    guess = (
-        F.when(scores["en"] == top, "en")
-        .when(scores["de"] == top, "de")
-        .when(scores["es"] == top, "es")
-        .when(scores["fr"] == top, "fr")
-        .otherwise("zh")
-    )
+    shuffle. Scoring is the single-evaluation fold of _langid_best
+    (round 15); spread() parallelizes the per-row CPU on under-split
+    fixture scans (no-op at production split counts)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    best = _langid_best()
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        guess.alias("guessed_lang"),
-        top.cast("int").alias("top_score"),
+        best["l"].alias("guessed_lang"),
+        best["s"].cast("int").alias("top_score"),
     )
 
 
@@ -1590,23 +1613,9 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop measures and reports its own stages; the ground-truth
     confusion matrix is the engine-side generalization)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split("text", " ")
-
-    def count_marker(m: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(m)))
-
-    scores = {
-        lang: sum((count_marker(m) for m in markers), F.lit(0))
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    top = F.greatest(*scores.values())
-    guess = (
-        F.when(scores["en"] == top, "en")
-        .when(scores["de"] == top, "de")
-        .when(scores["es"] == top, "es")
-        .when(scores["fr"] == top, "fr")
-        .otherwise("zh")
-    )
+    # the single-evaluation argmax fold (round 15) — see _langid_best;
+    # only the label is needed here, so the scores evaluate once per row
+    guess = _langid_best()["l"]
     cells = (
         d.select(F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
         .groupBy("labeled_lang", "guessed_lang")

@@ -392,9 +392,25 @@ def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `NOT EXISTS other returning supplier` ⇔ n_ret_supp = 1 given l1
     itself returns; `EXISTS other supplier` ⇔ n_supp > 1."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_ret_supp"),
+    # Round 15 (guide §2.3): the two countDistinct aggregates planned
+    # as an Expand — every lineitem row duplicated 2x into the
+    # exchange. Two-level instead: collapse to (order, supplier) grain
+    # first (map-side partial, shuffle carries distinct pairs once),
+    # then count groups. count(l_suppkey) over the grain IS
+    # countDistinct(l_suppkey); max(has R)-then-sum IS
+    # countDistinct(when R) (null-guarded the same way).
+    os_grain = li.groupBy(
+        F.col("l_orderkey").alias("po_orderkey"), "l_suppkey"
+    ).agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("has_ret")
+    )
+    per_order = os_grain.groupBy("po_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.sum(
+            F.when(F.col("l_suppkey").isNotNull(), F.col("has_ret")).otherwise(0)
+        ).alias("n_ret_supp"),
     )
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
