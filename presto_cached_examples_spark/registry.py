@@ -192,81 +192,21 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
-# Verification rotation (round 15): the driver's correctness harness checks
+# Verification rotation (round 16): the driver's correctness harness checks
 # only the FIRST 50 queries in the order `queries()` yields them. Every
-# registered query has a hard driver row (CORRECTNESS_r01-r14, zero reds
+# registered query has a hard driver row (CORRECTNESS_r01-r15, zero reds
 # since r4), so rotation is pure oldest-green-first refresh. This front =
-# the 45 queries whose latest green driver row is round 10, plus the 5
-# oldest round-11 greens, in registration order — after this round no
-# query's last driver check is older than round 11 (VERDICT r14 item 1).
-# Round-15 bonus: several queries this optimization round touched
-# (q_agg_approx, q_text_bigram_lm, q_agg_percentiles' bucket rewrite's
-# window siblings) sit in this front, so the driver re-gates them.
+# the 45 queries whose latest green driver row is round 11, plus the 5
+# oldest round-12 greens, in registration order — after this round no
+# query's last driver check is older than round 12 (VERDICT r15 item 6).
+# Round-16 bonus: the front holds several r15-rewritten paths
+# (q_text_fingerprint, q_text_langid, q_agg_percentiles_approx,
+# q_ntile_spend, q_dedup_embed, q_drift_report), so the driver re-gates
+# last round's rewrites with fresh rows.
 # Everything outside the window is locally re-verified every round by
 # tests/test_oracle_parity.py and tools/check_oracles.py, which hash raw
 # float repr (driver-strength).
 _VERIFY_FRONT: tuple[str, ...] = (
-    # latest green driver row: round 10 (45) + oldest round-11 greens (5)
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_label_join",
-    "q_agg_pricing",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_agg_bitwise",
-    "q_window_rank",
-    "q_window_frame",
-    "q_window_running",
-    "q_topk_group",
-    "q_sort_limit",
-    "q_union_all",
-    "q_agg_percentiles",
-    "q_regression_elasticity",
-    "q_bootstrap_ci",
-    "q_path_trigrams",
-    "q_pareto_half",
-    "q_cdc_scd2",
-    "q_cohort_ltv",
-    "q_concurrency_peak",
-    "q_funnel_windowed",
-    "q_sample_weighted",
-    "q_split_assign",
-    "q_text_pmi",
-    "q_regression_zipf",
-    "q_text_bigram_lm",
-    "q_embed_outliers",
-    "q_embed_sq8",
-    "q_ann_pipeline",
-    "q_dedup_containment",
-    "q_dedup_cluster_resolve",
-    "q_contamination_report",
-    "q_mix_temperature",
-    "q_dedup_url",
-    "q_domain_caps",
-    "q_stream_interval_left",
-    "q_join_range",
-    "q_join_asof_tol",
-    "q_agg_approx",
-    "q_union_distinct",
-    "q_intersect",
-)
-
-DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
-
-# Rotation queue for round 16: the remaining round-11 greens in
-# registration order, then the 5 oldest round-12 greens (computed from
-# CORRECTNESS_r01-r14; staleness histogram before this round:
-# r10:45 r11:50 r12:50 r13:50 r14:50). All locally hash-verified every
-# run regardless of driver-window position.
-_VERIFY_NEXT: tuple[str, ...] = (
     # latest green driver row: round 11 (45) + oldest round-12 greens (5)
     "q_except",
     "q_agg_corr",
@@ -318,6 +258,67 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q_join_asof",
     "q_fuzzy_match",
     "q_ntile_spend",
+)
+
+DRIVER_WINDOW = 50  # how many leading queries the driver's harness checks
+
+# Rotation queue for round 17: the remaining round-12 greens in
+# registration order, then the 5 oldest round-13 greens (computed from
+# CORRECTNESS_r01-r15; staleness histogram before this round:
+# r11:45 r12:50 r13:50 r14:50 r15:50). All locally hash-verified every
+# run regardless of driver-window position.
+_VERIFY_NEXT: tuple[str, ...] = (
+    # latest green driver row: round 12 (45) + oldest round-13 greens (5)
+    "q_returns_wilson",
+    "q_volume_shipping",
+    "q_mkt_share",
+    "q_cust_order_dist",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    "q_disjunctive_revenue",
+    "q_sole_return_supplier",
+    "q_global_sales_opp",
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_shipmode_priority",
+    "q_parts_supplier_count",
+    "q_dominant_supplier",
+    "q_window_range_scalable",
+    "q_events_funnel",
+    "q_retention_cohort",
+    "q_events_rollup",
+    "q_rfm_segments",
+    "q_basket_rules",
+    "q_sample_hash_topk",
+    "q_json_funcs",
+    "q_text_tfidf",
+    "q_text_repetition",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_ann_recall_sweep",
+    "q_dedup_incremental_bloom",
+    "q_dedup_span",
+    "q_mm_meta",
+    "q_mm_features",
+    "q_mm_resize",
+    "q_mm_frames",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_decontam",
+    "q_decontam_hashed",
+    "q_text_normalize",
+    "q_quality_dsir",
+    "q_pii_scrub",
+    "q_stream_tumbling",
+    "q_scan_project",
+    "q_filter_basic",
+    "q_filter_like_null",
+    "q_scan_pruned",
+    "q_scan_evolved",
 )
 
 
@@ -375,11 +376,16 @@ def all_specs() -> dict[str, QuerySpec]:
     rest follow in registration order.
     """
     _ensure_loaded()
-    # ADVICE r14 (low): a typo'd/stale rotation entry must fail loudly,
-    # not silently shrink the driver's verification front while the
-    # displaced query keeps its stale green row.
-    unknown = set(_VERIFY_FRONT) - set(_REGISTRY)
-    assert not unknown, f"_VERIFY_FRONT names not registered: {sorted(unknown)}"
+    # ADVICE r14/r15 (low): a typo'd/stale rotation entry must fail
+    # loudly, not silently shrink the driver's verification front while
+    # the displaced query keeps its stale green row. Validate the staged
+    # queue too (a stale _VERIFY_NEXT name would otherwise hide until
+    # its promotion next round), and raise instead of assert so the
+    # guard survives `python -O`.
+    for label, cohort in (("_VERIFY_FRONT", _VERIFY_FRONT), ("_VERIFY_NEXT", _VERIFY_NEXT)):
+        unknown = set(cohort) - set(_REGISTRY)
+        if unknown:
+            raise ValueError(f"{label} names not registered: {sorted(unknown)}")
     front = [n for n in _VERIFY_FRONT if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]
     return {n: _REGISTRY[n] for n in (*front, *rest)}
