@@ -1519,11 +1519,18 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lengths are map-side (size of split — the array is never
     shuffled); the histogram aggregate keys on (lang, bucket), output
     bounded by |langs| x |buckets| regardless of corpus size. The
-    cumulative window runs on that aggregated relation — dozens of
-    rows — partitioned by lang, so the unbounded-window discipline
-    (tests/test_plans.py) is satisfied on model-sized data, not row
-    data. share divides two exact longs (identical doubles on both
-    engines) and rounds at 4 dp.
+    per-language total and the cumulative sum are BOTH windows over
+    that aggregated relation — dozens of rows — partitioned by lang,
+    so the unbounded-window discipline (tests/test_plans.py) is
+    satisfied on model-sized data, not row data. (Round 16: the total
+    was previously a broadcast-joined groupBy of b, whose broadcast
+    build recomputed the WHOLE corpus histogram — two full document
+    scans per run, plans/r16/q_doc_length_hist_before.txt nodes 1+9;
+    the unordered window shares b's single lang exchange instead —
+    guide §2.4. sum(n_docs) over (partition by lang) is the same exact
+    long total the join delivered; the explicit lang-not-null filter
+    replays the inner join's implicit null drop.) share divides two
+    exact longs (identical doubles on both engines) and rounds at 4 dp.
 
     Reference provenance: C7 summary tables sized by config, not data
     (/root/reference/src/DoublePsramBuffer480x480.cpp:65-66,112-127 —
@@ -1532,7 +1539,8 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     n = F.size(F.split("text", " "))
     b = (
-        d.select("lang", n.alias("n"))
+        d.filter(F.col("lang").isNotNull())
+        .select("lang", n.alias("n"))
         .groupBy(
             "lang",
             (F.floor(F.col("n") / _LEN_BUCKET) * _LEN_BUCKET)
@@ -1544,20 +1552,16 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_tokens"),
         )
     )
-    tot = b.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    wl = Window.partitionBy("lang")
     w = Window.partitionBy("lang").orderBy("bucket_lo")
-    return (
-        b.join(F.broadcast(tot), "lang")
-        .select(
-            "lang",
-            "bucket_lo",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_docs") / F.col("lang_docs"), 4).alias("share"),
-            F.round(
-                F.sum("n_docs").over(w) / F.col("lang_docs"), 4
-            ).alias("cum_share"),
-        )
+    lang_docs = F.sum("n_docs").over(wl)
+    return b.select(
+        "lang",
+        "bucket_lo",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / lang_docs, 4).alias("share"),
+        F.round(F.sum("n_docs").over(w) / lang_docs, 4).alias("cum_share"),
     )
 
 

@@ -11,7 +11,7 @@ retention is two aggregates plus a count-distinct on (cohort, week).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presto_cached_examples_spark.session import session_token
@@ -1695,29 +1695,34 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical posture to q_events_autocorr — the only
     event-volume-proportional work is the first (type, day) aggregate;
     medians run per type over the bounded day series (exact
-    percentile on a model-sized group, NOT a data-sized sort), and the
-    flag join broadcasts the |types|-row stats relation.
+    percentile on a model-sized group, NOT a data-sized sort) as
+    whole-partition WINDOW aggregates over the daily relation. (Round
+    16: the previous shape localCheckpoint-ed daily and attached
+    med/mad via two broadcast joins — a checkpoint materialization job
+    plus two sequential broadcast-build jobs per run,
+    plans/r16/q_events_mad_before.txt; the two same-key windows share
+    ONE |types|-keyed exchange of the model-sized daily relation and
+    run as a single linear job — guide §2.4. median-as-window is the
+    same exact Median aggregate per type; the explicit type-not-null
+    filter replays the inner joins' implicit null drop.)
 
     Reference provenance: C8 watchdog thresholds
     (/root/reference/src/SinglePsramBuffer480x480.cpp:166-175)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    daily = daily.localCheckpoint(eager=False)  # |types| x |days|; 3 consumers
-    med = daily.groupBy("event_type").agg(F.median("cnt").alias("med"))
-    mad = (
-        daily.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.any_value("med").alias("med"),
-            F.median(F.abs(F.col("cnt") - F.col("med"))).alias("mad"),
-        )
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    scored = daily.withColumn("med", F.median("cnt").over(w)).withColumn(
+        "mad", F.median(F.abs(F.col("cnt") - F.col("med"))).over(w)
     )
     dev = F.abs(F.col("cnt") - F.col("med"))
     return (
-        daily.join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad") > 0) & (dev > _MAD_MULT * _MAD_K * F.col("mad")))
+        scored.filter(
+            (F.col("mad") > 0) & (dev > _MAD_MULT * _MAD_K * F.col("mad"))
+        )
         .select(
             "event_type",
             F.col("d").alias("day"),
