@@ -1222,13 +1222,35 @@ _PPL_SURPRISAL_SQL = """
 """
 
 
-def _doc_surprisal(d: DataFrame) -> DataFrame:
+#: (applicationId, sf_dir) → checkpointed full-corpus (doc_id, s)
+#: surprisal relation shared by q_quality_ppl_filter and
+#: q_quality_ensemble (identical scoring pipelines over the identical
+#: base relation — guide §2.4; VERDICT r15 item 4). Same state contract
+#: as text.py's _PMI_CACHE: in-process, session-token-keyed, gone on a
+#: fresh driver. Width is 2 columns × one row per doc — the CCNet-shape
+#: "score once, filter many" artifact a production pipeline writes out.
+_SURPRISAL_CACHE: dict = {}
+
+
+def _doc_surprisal(
+    d: DataFrame, spark: SparkSession | None = None, sf_dir: str | None = None
+) -> DataFrame:
     """Per-doc add-1 bigram surprisal (doc_id, s) over relation ``d``
     (doc_id, text, ...) — the engine half of _ppl_surprisal_sql. The
     model tables are vocabulary-bounded and broadcast; doc_big and the
     scored relation are checkpointed because both feed two consumers
     (bc+surp, thr+verdict). Docs with < 2 tokens have no bigrams and
-    are ABSENT from the result (LEFT-join them as no-evidence)."""
+    are ABSENT from the result (LEFT-join them as no-evidence).
+
+    When ``spark``/``sf_dir`` are given, ``d`` MUST be the full
+    documents relation for that sf_dir: the result is then memoized per
+    session and the |V|^2 model table is shared through
+    text.bigram_model_counts. Callers scoring any other relation (e.g.
+    curation survivors) omit them and compute locally."""
+    if spark is not None:
+        cached = _SURPRISAL_CACHE.get((session_token(spark), sf_dir))
+        if cached is not None:
+            return cached
     toks = F.split("text", " ")
     doc_big = (
         d.select(
@@ -1248,8 +1270,22 @@ def _doc_surprisal(d: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
     )
     doc_big = doc_big.localCheckpoint(eager=False)
-    bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
-    bc = bc.localCheckpoint(eager=False)  # |V|^2-bounded, feeds 2 branches
+    if spark is not None:
+        # full-corpus call: share the |V|^2 model table session-wide;
+        # on a cold cache the rollup of the already-needed doc_big
+        # relation builds it (no extra corpus pass).
+        from presto_cached_examples_spark.llm.text import bigram_model_counts
+
+        bc = bigram_model_counts(
+            spark,
+            sf_dir,
+            derive=lambda: doc_big.groupBy("w1", "w2").agg(
+                F.sum("k").alias("n_big")
+            ),
+        )
+    else:
+        bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
+        bc = bc.localCheckpoint(eager=False)  # |V|^2-bounded, 2 branches
     uc = bc.groupBy("w1").agg(F.sum("n_big").alias("n_w1"))
     vsize = bc.agg(F.countDistinct("w2").alias("v"))
     p = (
@@ -1270,7 +1306,10 @@ def _doc_surprisal(d: DataFrame) -> DataFrame:
     )
     # (doc_id, s) is |docs|-sized and feeds BOTH the threshold scalar
     # and the verdict join — checkpoint so the scoring pipeline runs once
-    return surp.localCheckpoint(eager=False)
+    surp = surp.localCheckpoint(eager=False)
+    if spark is not None:
+        _SURPRISAL_CACHE[(session_token(spark), sf_dir)] = surp
+    return surp
 
 
 @register(
@@ -1319,7 +1358,7 @@ def q_quality_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     PicoPlusPsram.cpp:14-29 — cheap summary statistic gates what
     reaches the slow tier)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
-    surp = _doc_surprisal(d)
+    surp = _doc_surprisal(d, spark, sf_dir)
     thr = surp.agg(
         F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
     )
@@ -1762,7 +1801,7 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_QW["log_tokens"]) * F.log(n.cast("double"))
     )
     keep_model = F.when(1.0 / (1.0 + F.exp(-logit)) > 0.5, 1).otherwise(0)
-    surp = _doc_surprisal(d)
+    surp = _doc_surprisal(d, spark, sf_dir)
     thr = surp.agg(
         F.round(F.avg("s") + _PPL_SIGMAS * F.stddev_samp("s"), 4).alias("thr")
     )

@@ -21,6 +21,53 @@ from presto_cached_examples_spark.sources.catalog import load_table, spread
 #: discipline — the vocabulary-bounded LM artifact is built once).
 _PMI_CACHE: dict = {}
 
+#: (applicationId, sf_dir) → checkpointed corpus bigram count table
+#: (w1, w2, n_big) — the |V|^2-BOUNDED model artifact every bigram-LM
+#: consumer shares (q_text_kn_bigram, the _doc_surprisal scorers).
+#: Same state contract as _PMI_CACHE: in-process only, keyed on the
+#: session token so a fresh driver recomputes everything; values are
+#: builder-invariant (direct corpus aggregate ≡ doc-grain rollup —
+#: pinned by tests/test_round16_opt.py).
+_BIGRAM_BC_CACHE: dict = {}
+
+
+def bigram_model_counts(spark, sf_dir, derive=None):
+    """Session-memoized corpus bigram counts (w1, w2, n_big).
+
+    ``derive``: optional thunk returning an equivalent relation — used
+    by callers that already materialize doc-grain bigram counts, so a
+    cold cache costs them a rollup of that relation instead of a second
+    corpus pass. Both derivations aggregate the same multiset of corpus
+    bigrams, so the table is identical whichever consumer builds it
+    first (guide §2.4 share-one-pass; VERDICT r15 item 4)."""
+    key = (session_token(spark), sf_dir)
+    cached = _BIGRAM_BC_CACHE.get(key)
+    if cached is None:
+        if derive is not None:
+            bc = derive()
+        else:
+            d = spread(load_table(spark, sf_dir, "documents"), spark)
+            toks = F.split("text", " ")
+            bc = (
+                d.select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 1),
+                            lambda i: F.struct(
+                                F.element_at(toks, i).alias("w1"),
+                                F.element_at(toks, i + 1).alias("w2"),
+                            ),
+                        )
+                    ).alias("bg")
+                )
+                .select("bg.w1", "bg.w2")
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("n_big"))
+            )
+        cached = bc.localCheckpoint(eager=False)
+        _BIGRAM_BC_CACHE[key] = cached
+    return cached
+
 # Marker words for the heuristic language-ID scorer. The fixture corpus
 # is synthetic (31-word shared vocabulary), so markers are drawn from it;
 # with a real multilingual corpus these would be per-language stopword
@@ -1071,8 +1118,16 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_big = bigrams.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k")
     )
-    bc = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("n_big"))
-    bc = bc.localCheckpoint(eager=True)  # |V|^2-bounded, feeds 3 branches
+    # |V|^2-bounded model table, feeds 3 branches — session-shared with
+    # the other bigram-LM consumers (round 16); a cold cache rolls it up
+    # from the doc-grain counts this query needs anyway.
+    bc = bigram_model_counts(
+        spark,
+        sf_dir,
+        derive=lambda: doc_big.groupBy("w1", "w2").agg(
+            F.sum("k").alias("n_big")
+        ),
+    )
     uc = bc.groupBy("w1").agg(F.sum("n_big").alias("n_w1"))
     vsize = bc.agg(F.countDistinct("w2").alias("v"))
     p = (
@@ -1328,25 +1383,14 @@ def q_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference provenance: C7 summary tables (/root/reference/README.md:
     3-6 — small derived tables consulted instead of raw data)."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split("text", " ")
-    big = (
-        d.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg")
-        )
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+    # Round 16: the (w1, w2) count table is the session-shared bigram
+    # model artifact (guide §2.4) — built once per (session, sf) by
+    # whichever LM consumer runs first; the memoized relation is
+    # already checkpointed, so its 4 branches below reuse one
+    # materialization exactly as the per-query checkpoint did.
+    big = bigram_model_counts(spark, sf_dir).withColumnRenamed(
+        "n_big", "c12"
     )
-    big = big.localCheckpoint(eager=False)  # model-sized; feeds 4 branches
     uni = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
     )

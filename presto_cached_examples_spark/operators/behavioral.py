@@ -1439,15 +1439,18 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    ps = ps.localCheckpoint(eager=False)  # feeds N, item supports, trunc, pairs
-    n = ps.agg(F.count(F.lit(1)).alias("n_baskets"))
-    item = ps.select(F.explode("ps").alias("p")).groupBy("p").agg(
-        F.count(F.lit(1)).alias("np")
-    )
-    trunc = ps.agg(
+    ps = ps.localCheckpoint(eager=False)  # feeds globals, item supports, pairs
+    # n_baskets and n_truncated_baskets are both global aggregates over
+    # ps: fusing them into ONE 1-row relation halves the broadcast-build
+    # jobs (round 16, guide §2.4 — was two sequential broadcasts).
+    glob = ps.agg(
+        F.count(F.lit(1)).alias("n_baskets"),
         F.sum(F.when(F.size("ps") > _BASKET_CAP, 1).otherwise(0))
         .cast("long")
-        .alias("n_truncated_baskets")
+        .alias("n_truncated_baskets"),
+    )
+    item = ps.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("np")
     )
     # keep the first _BASKET_CAP items per basket in (md5(id), id)
     # order, then re-sort the kept ids so the pa<pb pair HOF below
@@ -1486,20 +1489,33 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nab"))
         .filter(F.col("nab") >= _BASKET_MIN_PAIR)
     )
+    # Both rule directions EXPLODE from the single aggregated pair row
+    # (round 16): the previous unionAll(pair, pair.swapped) planned the
+    # whole explode+aggregate pair subtree twice — correct only as long
+    # as AQE exchange reuse deduplicates it at runtime. The post-HAVING
+    # pair relation is support-filtered (tiny), so this explode is free.
     rules = pair.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "nab"
-    ).unionAll(
-        pair.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "nab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("nab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("nab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.nab")
     ia = item.select(F.col("p").alias("antecedent"), F.col("np").alias("na"))
     ic = item.select(F.col("p").alias("consequent"), F.col("np").alias("nc"))
     return (
-        rules.join(ia, "antecedent")
-        .join(ic, "consequent")
-        .join(F.broadcast(n))
-        .join(F.broadcast(trunc))
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .join(F.broadcast(glob))
         .select(
             "antecedent",
             "consequent",
