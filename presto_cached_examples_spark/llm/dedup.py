@@ -149,16 +149,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.n") * 5 >= F.col("a.n") * 4),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         # The verify stage below is CPU-bound (array_intersect over the
         # token sets of every surviving candidate) but its input is ids
         # only — a few MB — so AQE coalesces the dedup shuffle to 1-2
         # partitions and the Jaccard math runs on 2 cores (profiled: a
         # (1+1)/2 straggler stage at sf0.1). Pin the verify stage to
         # cluster parallelism with an explicit numbered repartition
-        # (AQE honors user-specified partition counts); the extra
-        # exchange carries two longs per candidate.
-        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
+        # (AQE honors user-specified partition counts). Round 16: the
+        # repartition moved BEFORE dropDuplicates on the SAME keys, so
+        # the dedup aggregate reuses its partitioning (guide §2.4) —
+        # one candidate-id exchange instead of two, same wide verify.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     pairs = (
         cand.join(
@@ -452,7 +456,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes vote lanes in the same j=0..63 order the old chain
     # shifted them. Measured 0.74s -> 0.15s signature-only, 2.7x on
     # the full pair pipeline at sf0.1; old-vs-new frames IDENTICAL on
-    # all 5000 sf0.1 docs. (F.call_function: the python wrapper for
+    # all 5000 sf0.1 docs. NULL contract (ADVICE r15 item 4): a NULL
+    # text folds to a NULL sig where the old per-bit chain produced 0 —
+    # equivalence relies on documents.text being non-null (FIXTURES.md:
+    # no fixture table contains NULLs); a nullable corpus needs an
+    # isnotnull guard ahead of the signature build. (F.call_function: the python wrapper for
     # shiftrightunsigned only accepts an int shift, but the underlying
     # SQL function takes a column — needed because j is a lambda var.)
     hs = F.transform("toks", lambda t: _md5_long(t))

@@ -324,7 +324,12 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the doc's OWN lines (bounded by document length, never corpus-
     sized). Every shuffle carries (line-key, ids) — raw text crosses
     the wire once, partitioned by doc for the rebuild."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the 8-token line build (sequence + slice + concat_ws per
+    # line) is CPU-bound per row; the under-split fixture scan
+    # serialized it on 1-2 cores (round 16 — the same guide §2.5
+    # discipline its decontam/fingerprint siblings got in round 15).
+    # No-op at production split counts.
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n_lines = F.ceil(F.size(toks) / F.lit(float(_BP_LINE_TOKENS))).cast("long")
     linearr = F.transform(

@@ -264,12 +264,21 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 15); spread() parallelizes the per-row CPU on under-split
     fixture scans (no-op at production split counts)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
-    best = _langid_best()
+    # Round 16 (ADVICE r15): extracting best["l"] and best["s"] in one
+    # projection re-evaluated the whole fold (all 15 marker scans)
+    # twice per row — interpreted HOFs have no CSE and CollapseProject
+    # inlines any intermediate projection. inline(array(struct)) routes
+    # the fold through a Generate node, which evaluates its generator
+    # exactly once and is 1:1 on a 1-element array.
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        best["l"].alias("guessed_lang"),
-        best["s"].cast("int").alias("top_score"),
+        F.inline(F.array(_langid_best())),
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        F.col("l").alias("guessed_lang"),
+        F.col("s").cast("int").alias("top_score"),
     )
 
 
@@ -598,6 +607,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (transform preserves length) — computing it as arithmetic instead
     # of size(grams) avoids building the 2-gram string array a second
     # time in this projection (HOFs are interpreted; no codegen CSE).
+    # NULL contract (ADVICE r15 item 4): on a NULL text the old
+    # size(grams) form yielded NULL where greatest(.., 1) yields 1 —
+    # equivalence relies on documents.text being non-null — FIXTURES.md
+    # records that no fixture table contains NULLs; a nullable corpus
+    # must add an explicit isnotnull guard before this operator.
     gram_stats = d.select(
         "doc_id",
         F.greatest(F.size(tk) - 1, F.lit(1)).alias("n_grams"),

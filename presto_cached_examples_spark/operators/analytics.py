@@ -81,13 +81,28 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stage parallelizes at any scale. cum/n are the same integer
     sums in a different association order — bit-identical, proven by
     old-vs-new frame equality at sf0.001/0.01/0.1 and the unchanged
-    oracle hash."""
+    oracle hash.
+
+    Round 16 (guide §2.4 — share one exchange): the cent-count
+    aggregate used to shuffle on (flag, cents) and the cumulative
+    window then RE-shuffled the cent-grain relation on (flag, bkt) —
+    two full exchanges of ~|distinct cents| rows. One explicit
+    repartition on (flag, bkt) up front now serves the cent aggregate
+    (bkt is functionally determined by cents, so adding it to the
+    group keys changes nothing), the bucket subtotals, AND the window
+    — committed plans show 7 -> 5 exchanges total, and the cent-grain
+    relation crosses the wire once instead of twice (the survivors are
+    the tiny offsets window and the final 3-row aggregate)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    counts = li.select(
-        "l_returnflag", cents.alias("cents")
-    ).groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    cb = counts.withColumn("bkt", F.floor(F.col("cents") / _PCT_BUCKET_CENTS))
+    pre = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.floor(cents / _PCT_BUCKET_CENTS).alias("bkt"),
+    ).repartition("l_returnflag", "bkt")
+    cb = pre.groupBy("l_returnflag", "bkt", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
     bcounts = cb.groupBy("l_returnflag", "bkt").agg(F.sum("cnt").alias("bcnt"))
     w_off = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(

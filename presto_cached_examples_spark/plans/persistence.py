@@ -36,6 +36,16 @@ DataFrame memo in the engine, and ``release_intermediates(spark)``
 unpersists the lot — so entity-scaled entries (per-user grains) have
 an explicit teardown instead of leaning on LRU eviction for the whole
 session. Long-running drivers should call it between query batches.
+
+Grain classes (ADVICE r15 item 3): most gated intermediates are
+bounded-grain (per-key rollups), but some are INPUT-PROPORTIONAL —
+q_quality_dsir's (doc_id, bucket) token-count grain grows with the
+corpus. That is a deliberate trade the gate makes exactly when inputs
+are large: the persist is MEMORY_AND_DISK (spills, never OOMs), it
+halves the number of corpus-wide explode passes, and it is released by
+``release_intermediates``. Callers adding a new input-proportional
+persist should weigh the second scan against the footprint the same
+way and say so at the call site.
 """
 
 from __future__ import annotations
