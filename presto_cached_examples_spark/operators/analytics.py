@@ -1003,12 +1003,18 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match at 3 SFs)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    counts = (
-        li.select("l_returnflag", cents.alias("cents"))
-        .groupBy("l_returnflag", "cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Round 16: same single-exchange fix as q_agg_percentiles — one
+    # up-front (flag, bkt) repartition serves the cent aggregate, the
+    # bucket subtotals, and the cumulative window (guide §2.4; the
+    # cent-grain relation used to cross the wire twice).
+    pre = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.floor(cents / _PCT_BUCKET_CENTS).alias("bkt"),
+    ).repartition("l_returnflag", "bkt")
+    cb = pre.groupBy("l_returnflag", "bkt", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    cb = counts.withColumn("bkt", F.floor(F.col("cents") / _PCT_BUCKET_CENTS))
     bcounts = cb.groupBy("l_returnflag", "bkt").agg(F.sum("cnt").alias("bcnt"))
     w_off = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1
