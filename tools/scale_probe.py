@@ -131,6 +131,9 @@ URL_QUERIES = [
 #: percentile state whose memory grew with data)
 AGG_QUERIES = [
     "q_agg_percentiles",
+    # round-16 addition: shares the cent-bucket decomposition and the
+    # round-16 single-exchange repartition — same expected curve
+    "q_agg_percentiles_approx",
 ]
 
 #: embeddings-family probes (10x vectors with fresh vec_ids; the probe
@@ -155,6 +158,9 @@ TPCH_QUERIES = [
     # supports grow, but the capped pair HOF keeps per-row cost at
     # CAP^2/2 — the curve should track basket COUNT, not density^2
     "q_basket_rules",
+    # round-16 addition: the shared-orderkey-repartition rewrite —
+    # expect ~linear (one partitioned pass over the fact rows)
+    "q_sole_return_supplier",
 ]
 
 #: orders-family probes (10x orders with fresh orderkeys, SAME custkey
